@@ -1,0 +1,87 @@
+"""Row-contract validation as boolean mask columns.
+
+The reference enforces per-row contracts in frozen-dataclass
+``__post_init__`` hooks, raising on the first bad row and aborting the
+whole dataset (reference: entities/market_data_daily_row.py:49-75,
+entities/fundamental_data_row.py:50-64, entities/main_identifier.py:21-25,
+services/entity_helper.py:23-72). That row-at-a-time detour is the
+reference's biggest inefficiency; here each contract is a vectorized
+boolean expression, violations are *filtered and counted* into a metrics
+table instead of aborting — the log-and-continue philosophy of the
+reference's per-identifier loop (data_curator.py:177-213) made
+data-parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Contract regexes (reference citations inline)
+CURRENCY_RE = "^[A-Z]{3}$"  # fundamental_data_row.py:16,50-53
+FISCAL_YEAR_RE = "^[0-9]{4}$"  # fundamental_data_row.py:17,55-58
+IDENTIFIER_RE = "^\\S+$"  # main_identifier.py:21-25
+ISO_DATE_RE = "^\\d{4}-\\d{2}-\\d{2}$"  # services/validator.py:9-15
+FISCAL_PERIODS = ("FY", "Q1", "Q2", "Q3", "Q4")  # fundamental_data_row.py:19-25
+
+
+@dataclass(frozen=True)
+class Contract:
+    """A named row contract: passes where ``mask`` is true or the checked
+    value is null (nullability is a separate contract)."""
+
+    name: str
+    mask: Column
+
+
+def non_negative(c: Column, name: str) -> Contract:
+    """OHLCV / share counts ≥ 0 (market_data_daily_row.py:49-57,
+    fundamental_data_row_income_statement.py:56-67)."""
+    return Contract(name, c.isNull() | (c >= 0))
+
+
+def low_le_high(low: Column, high: Column, name: str) -> Contract:
+    """low ≤ high per adjustment variant (market_data_daily_row.py:59-75)."""
+    return Contract(name, low.isNull() | high.isNull() | (low <= high))
+
+
+def matches(c: Column, regex: str, name: str) -> Contract:
+    return Contract(name, c.isNull() | c.rlike(regex))
+
+
+def isin(c: Column, values: tuple, name: str) -> Contract:
+    return Contract(name, c.isNull() | c.isin(*values))
+
+
+def not_null(c: Column, name: str) -> Contract:
+    return Contract(name, c.isNotNull())
+
+
+def apply_contracts(
+    df: DataFrame, contracts: list[Contract]
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (clean, metrics).
+
+    ``clean`` keeps rows passing every contract; ``metrics`` is one row
+    per contract with its violation count — the quarantine/metrics analog
+    of the reference's abort-with-error
+    (e.g. entity_helper.py:62-72 raising EntityFieldTypeError).
+    """
+    all_ok = None
+    counters = []
+    for c in contracts:
+        ok = F.coalesce(c.mask, F.lit(False))
+        all_ok = ok if all_ok is None else (all_ok & ok)
+        counters.append(F.sum(F.when(~ok, 1).otherwise(0)).alias(c.name))
+    clean = df.filter(all_ok)
+    wide = df.agg(*counters)
+    # unpivot to (contract, violations)
+    names = [c.name for c in contracts]
+    metrics = wide.selectExpr(
+        "stack({n}, {pairs}) as (contract, violations)".format(
+            n=len(names), pairs=", ".join(f"'{n}', `{n}`" for n in names)
+        )
+    )
+    return clean, metrics

@@ -1,0 +1,357 @@
+"""Per-identifier window/feature library.
+
+Re-expresses the reference's rolling/feature helpers
+(reference: src/kaxanuk/data_curator/features/helpers.py and
+features/calculations.py) as Spark Window expressions, plus grouped
+``applyInPandas`` kernels for the two genuinely-recursive operators
+(EMA, RSI) the SQL window model cannot express.
+
+Every expression partitions by an identifier column, so on a cluster the
+whole feature pass is a single hash shuffle on the identifier followed by
+shuffle-local sorted window evaluation — the distributed rewrite of the
+reference's sequential per-identifier loop (data_curator.py:136).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from data_curator_spark.engine.columns import safe_ln
+
+TRADING_DAYS_PER_YEAR = 252  # reference features/helpers.py:9
+
+
+def series_window(id_col: str, order_col: str) -> WindowSpec:
+    """The canonical per-identifier time-ordered window."""
+    return Window.partitionBy(id_col).orderBy(order_col)
+
+
+def rolling(w: WindowSpec, n: int) -> WindowSpec:
+    """Trailing n-row frame (current row inclusive)."""
+    return w.rowsBetween(-(n - 1), Window.currentRow)
+
+
+def gated(expr: Column, c: Column, w: WindowSpec, n: int) -> Column:
+    """Null until the trailing window holds n non-null values.
+
+    Mirrors pandas ``.rolling(n)`` min_periods semantics used by the
+    reference (helpers.py:503): any null inside the window nulls the
+    result; the first n-1 rows are null.
+    """
+    return F.when(F.count(c).over(rolling(w, n)) == n, expr)
+
+
+def simple_moving_average(c: Column, w: WindowSpec, n: int) -> Column:
+    """n-row mean, null until window full (helpers.py:477-505)."""
+    return gated(F.avg(c).over(rolling(w, n)), c, w, n)
+
+
+def annualized_volatility(c: Column, w: WindowSpec, n: int) -> Column:
+    """n-row sample stddev × √252 (helpers.py:12-55)."""
+    expr = F.stddev_samp(c).over(rolling(w, n)) * F.lit(float(np.sqrt(TRADING_DAYS_PER_YEAR)))
+    return gated(expr, c, w, n)
+
+
+def log_returns(c: Column, w: WindowSpec) -> Column:
+    """ln(p_t / p_{t-1}); first row null; ±Inf scrubbed
+    (helpers.py:333-359)."""
+    return safe_ln(c / F.lag(c, 1).over(w))
+
+
+def log_difference(a: Column, b: Column) -> Column:
+    """ln(a/b) with Inf scrub (calculations.py:1400 c_log_difference_high_to_low)."""
+    return safe_ln(a / b)
+
+
+def chaikin_money_flow(
+    high: Column, low: Column, close: Column, volume: Column, w: WindowSpec, n: int = 21
+) -> Column:
+    """CMF = Σₙ MFV / Σₙ V where MFV = ((C−L)−(H−C))/(H−L)·V.
+
+    Null if any window element is null or H==L in-window
+    (helpers.py:59-151). Pure window expression — the reference's per-row
+    Decimal loop is unnecessary.
+    """
+    mfv = F.when(high != low, ((close - low) - (high - close)) / (high - low) * volume)
+    frame = rolling(w, n)
+    cmf = F.sum(mfv).over(frame) / F.sum(volume).over(frame)
+    # gate on n non-null MFVs (any null/H==L row in window → null)
+    return F.when(F.count(mfv).over(frame) == n, cmf)
+
+
+def shift(c: Column, w: WindowSpec, n: int = 1) -> Column:
+    """Adjacent shift-by-n (helpers.py:279-292 concat([null], col[:-1]))."""
+    return F.lag(c, n).over(w)
+
+
+def cumulative_min(c: Column, w: WindowSpec) -> Column:
+    """Running minimum over the window order
+    (data_blocks/fundamentals/__init__.py:139-143 — used with a
+    period-end-descending order to flag amended/late filings)."""
+    return F.min(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+
+def irregular_filing_mask(
+    filing_date: Column, period_end_order: WindowSpec
+) -> Column:
+    """True where a filing date breaks the cumulative-min-by-period-end
+    rule — i.e. an amended/late filing
+    (data_blocks/fundamentals/__init__.py:96-163)."""
+    cm = F.min(filing_date).over(
+        period_end_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cm != filing_date
+
+
+def posterior_duplicate_mask(c: Column, id_col: str, order_col: str) -> Column:
+    """True for the 2nd+ occurrence of a duplicated value, in order
+    (data_blocks/fundamentals/__init__.py:165-210 — the reference loops
+    per-row; row_number over a value-partitioned window replaces it)."""
+    w = Window.partitionBy(id_col, c).orderBy(order_col)
+    return F.row_number().over(w) > 1
+
+
+def is_sorted_strict_asc(c: Column, w: WindowSpec) -> Column:
+    """Per-row strictly-ascending check vs previous row
+    (base_data_block.py:304-340). AND-reduce with F.every for the column
+    verdict."""
+    prev = F.lag(c, 1).over(w)
+    return prev.isNull() | (prev < c)
+
+
+def forward_fill(c: Column, w: WindowSpec) -> Column:
+    """Forward-fill-as-of: latest non-null value at-or-before each row
+    (ColumnBuilder._infill_data, column_builder.py:507-569)."""
+    return F.last(c, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Point-in-time as-of join: for each left row, attach the latest
+    right row with right_time ≤ left_time, per key.
+
+    Spark-first strategy: union the two event streams on a shared time
+    axis, forward-fill the right-side values per key, keep left rows.
+    One shuffle on the key; no per-row Python; scales to arbitrary key
+    cardinality (the reference does this one identifier at a time,
+    column_builder.py:507-569).
+    """
+    lt = left.select(
+        F.col(on), F.col(left_time).alias("__t"), F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c) for c in left.columns if c not in (on, left_time)],
+    )
+    rt_extra = [c for c in left.columns if c not in (on, left_time)]
+    rt = right.select(
+        F.col(on), F.col(right_time).alias("__t"), F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in rt_extra],
+    )
+    u = lt.unionByName(rt)
+    # right rows sort before left rows at equal timestamps so a same-time
+    # right value is visible to the left row (≤ semantics)
+    w = Window.partitionBy(on).orderBy(F.col("__t"), F.col("__is_left"))
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias(f"__ff_{c}")
+            for c in value_cols
+        ],
+    )
+    out_cols = (
+        [F.col(on), F.col("__t").alias(left_time)]
+        + [F.col(c) for c in rt_extra]
+        + [F.col(f"__ff_{c}").alias(c) for c in value_cols]
+    )
+    return filled.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
+def indexed_rolling_sum(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    value_col: str,
+    n: int,
+    out_col: str,
+) -> DataFrame:
+    """LTM-style indexed rolling: dedup adjacent-equal keys → rolling
+    n-key aggregation over unique keys → map back to every row
+    (helpers.py:228-330 indexed_rolling_window_operation).
+
+    E.g. rolling 4-fiscal-quarter sums repeated across daily rows. Two
+    narrow shuffles (both on id_col) + one shuffle-local join back.
+    """
+    uniq = df.select(id_col, key_col, value_col).dropDuplicates([id_col, key_col])
+    w = Window.partitionBy(id_col).orderBy(key_col)
+    frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    rolled = uniq.select(
+        id_col,
+        key_col,
+        F.when(F.count(value_col).over(frame) == n, F.sum(value_col).over(frame)).alias(out_col),
+    )
+    return df.join(rolled, on=[id_col, key_col], how="left")
+
+
+def expand_dated_factors(
+    dates_df: DataFrame,
+    events_df: DataFrame,
+    id_col: str,
+    date_col: str,
+    date_fields: list[str],
+    factor_fields: list[str],
+) -> DataFrame:
+    """Event-date expansion join: outer product of event date-fields ×
+    factor-fields; each factor value lands only on its exact date, null
+    elsewhere (column_builder.py:228-285 _expand_dated_factors).
+
+    Event tables are tiny (dividends/splits) → broadcast joins.
+    """
+    out = dates_df
+    for dfield in date_fields:
+        ev = events_df.select(
+            F.col(id_col),
+            F.col(dfield).alias(date_col),
+            *[F.col(f).alias(f"{dfield}__{f}") for f in factor_fields],
+        ).where(F.col(date_col).isNotNull())
+        out = out.join(F.broadcast(ev), on=[id_col, date_col], how="left")
+    return out
+
+
+def dividend_adjustment_factor(
+    id_col: str, ex_date_col: str, dividend_col: Column, close_col: Column
+) -> Column:
+    """Reverse cumulative product of (1 − Div/Close) over future ex-dates:
+    AdjP[t] = P[t]·Π_{ex>t}(1 − Div_ex/Close_ex)
+    (lseg_workspace.py:925-1034). Expressed as exp(Σ ln f) over a
+    descending window excluding the current row — no per-event loop.
+    """
+    f = F.when(
+        dividend_col.isNotNull() & close_col.isNotNull() & (close_col != 0),
+        1.0 - dividend_col / close_col,
+    )
+    wd = Window.partitionBy(id_col).orderBy(F.desc(ex_date_col))
+    cum = F.sum(F.ln(f)).over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    return F.coalesce(F.exp(cum), F.lit(1.0))
+
+
+# ---------------------------------------------------------------------------
+# Recursive kernels: EMA / RSI — grouped applyInPandas (Arrow-vectorized,
+# per-segment pandas ewm; zero per-row Python in the hot path)
+# ---------------------------------------------------------------------------
+
+
+def _ema_array(values: np.ndarray, span: int) -> np.ndarray:
+    """EMA with α=2/(span+1), seeded with the SMA of the first ``span``
+    values of each non-null segment; resets on null
+    (helpers.py:154-225). ±Inf scrubbed to null.
+    """
+    n = len(values)
+    out = np.full(n, np.nan)
+    isnan = ~np.isfinite(values)
+    # segment boundaries: maximal runs of finite values
+    alpha = 2.0 / (span + 1)
+    idx = 0
+    while idx < n:
+        if isnan[idx]:
+            idx += 1
+            continue
+        end = idx
+        while end < n and not isnan[end]:
+            end += 1
+        seg = values[idx:end]
+        if len(seg) >= span:
+            seed = seg[:span].mean()
+            tail = seg[span - 1 :].copy()
+            tail[0] = seed
+            ema = pd.Series(tail).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+            out[idx + span - 1 : end] = ema
+        idx = end
+    out[~np.isfinite(out)] = np.nan
+    return out
+
+
+def _rsi_array(values: np.ndarray, days: int) -> np.ndarray:
+    """Wilder-smoothed RSI; resets on null; null while avg loss == 0
+    (helpers.py:387-474)."""
+    n = len(values)
+    out = np.full(n, np.nan)
+    finite = np.isfinite(values)
+    # gains defined where both values[i-1] and values[i] finite
+    idx = 1
+    while idx < n:
+        if not (finite[idx] and finite[idx - 1]):
+            idx += 1
+            continue
+        # run of consecutive defined gains starting at idx
+        end = idx
+        while end < n and finite[end] and finite[end - 1]:
+            end += 1
+        diffs = np.diff(values[idx - 1 : end])
+        gains = np.where(diffs > 0, diffs, 0.0)
+        losses = np.where(diffs < 0, -diffs, 0.0)
+        m = len(diffs)
+        if m >= days:
+            seed_g = gains[:days].mean()
+            seed_l = losses[:days].mean()
+            tg = gains[days - 1 :].copy()
+            tl = losses[days - 1 :].copy()
+            tg[0] = seed_g
+            tl[0] = seed_l
+            alpha = 1.0 / days
+            avg_g = pd.Series(tg).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+            avg_l = pd.Series(tl).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rsi = 100.0 - 100.0 / (1.0 + avg_g / avg_l)
+            rsi[avg_l == 0] = np.nan
+            out[idx + days - 1 : end] = rsi
+        idx = end
+    out[~np.isfinite(out)] = np.nan
+    return out
+
+
+def apply_recursive_features(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    specs: list[tuple[str, str, str, int]],
+) -> DataFrame:
+    """Attach recursive feature columns via one grouped applyInPandas pass.
+
+    ``specs``: list of (out_name, kind, in_col, n) with kind ∈
+    {"ema", "rsi"}. One shuffle on id_col computes every spec; MACD and
+    signal lines compose from EMA outputs afterwards as plain column
+    arithmetic (calculations.py:1489-1724).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(name, DoubleType()) for name, *_ in specs]
+    )
+    in_cols = list(df.columns)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        for out_name, kind, in_col, n in specs:
+            vals = pdf[in_col].to_numpy(dtype="float64", na_value=np.nan)
+            if kind == "ema":
+                pdf[out_name] = _ema_array(vals, n)
+            elif kind == "rsi":
+                pdf[out_name] = _rsi_array(vals, n)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown recursive kind {kind!r}")
+        return pdf[in_cols + [s[0] for s in specs]]
+
+    return df.groupBy(id_col).applyInPandas(compute, schema=schema)

@@ -1,0 +1,102 @@
+"""Dependency-resolved derived-column planner.
+
+The reference resolves ``c_*`` feature columns by introspecting each
+function's parameter names as its dependency list, then runs a fixed-point
+postpone/complete loop with memoization
+(reference: services/column_builder.py:124-200, 317-345, 481-505).
+
+Under Spark's lazy evaluation the whole mechanism collapses: topologically
+sort the requested columns by parameter-name dependencies, emit one
+``withColumn`` per node, and let Catalyst prune/dedupe subexpressions.
+Registered functions take Column arguments and return a Column expression
+(or, for recursive kernels, a DataFrame→DataFrame stage).
+"""
+
+from __future__ import annotations
+
+import inspect
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+
+
+class CircularDependencyError(ValueError):
+    """Reference: ColumnBuilderCircularDependenciesError
+    (column_builder.py:180-193)."""
+
+
+class UnresolvedDependencyError(KeyError):
+    """A parameter name matches neither a base column nor a registered
+    derived function (column_builder.py:733-744 unknown-prefix error)."""
+
+
+def dependencies(fn: Callable[..., Column]) -> list[str]:
+    """A function's dependencies are its parameter names
+    (column_builder.py:481-505)."""
+    return [
+        p.name
+        for p in inspect.signature(fn).parameters.values()
+        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+    ]
+
+
+def topo_order(
+    requested: list[str],
+    registry: dict[str, Callable[..., Column]],
+    base_columns: set[str],
+) -> list[str]:
+    """Topological order of derived columns needed to compute ``requested``.
+
+    First-registered-wins resolution mirrors the reference's first-module-
+    wins calc lookup (column_builder.py:317-345).
+    """
+    order: list[str] = []
+    state: dict[str, int] = {}  # 0=visiting, 1=done
+
+    def visit(name: str, chain: tuple[str, ...]) -> None:
+        if name in base_columns:
+            return
+        if name not in registry:
+            raise UnresolvedDependencyError(
+                f"{name!r} is neither a base column nor a registered calculation"
+            )
+        s = state.get(name)
+        if s == 1:
+            return
+        if s == 0:
+            raise CircularDependencyError(" -> ".join((*chain, name)))
+        state[name] = 0
+        for dep in dependencies(registry[name]):
+            visit(dep, (*chain, name))
+        state[name] = 1
+        order.append(name)
+
+    for r in requested:
+        visit(r, ())
+    return order
+
+
+def build_columns(
+    df: DataFrame,
+    requested: list[str],
+    registry: dict[str, Callable[..., Column]],
+    keep_only_requested: bool = False,
+) -> DataFrame:
+    """Materialize ``requested`` derived columns onto ``df``.
+
+    Each registry function receives the Column objects named by its
+    parameters and returns a Column expression; lazy evaluation makes the
+    reference's postpone/retry loop and memoization caches unnecessary
+    (column_builder.py:124-200, 422-430).
+    """
+    base = set(df.columns)
+    plan = topo_order(requested, registry, base)
+    out = df
+    for name in plan:
+        fn = registry[name]
+        args = [out[dep] for dep in dependencies(fn)]
+        out = out.withColumn(name, fn(*args))
+    if keep_only_requested:
+        # requested-columns projection (column_builder.py:195-200)
+        out = out.select(*requested)
+    return out

@@ -1,0 +1,599 @@
+"""Driver-contract operator queries + DuckDB oracle SQL.
+
+Each query exercises one operator family from SURVEY.md §2 over the
+TPC-H-ish testdata. Conventions for hash-stable oracle comparison:
+
+- Money/rate doubles in the testdata are exact 2-decimal values, so both
+  engines cast them to DECIMAL before SUM/AVG (exact arithmetic), then
+  cast the final aggregate back to DOUBLE — bit-identical results with no
+  dependence on floating summation order.
+- Any genuinely-float output (stddev, ln, cosine) is ROUND(x, 6) on both
+  sides; engine math differs only in the last ulp (~1e-12 relative), far
+  below the rounding grain.
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MONEY = "decimal(14,2)"  # covers all money/qty/rate columns in testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, typ: str = MONEY):
+    return F.col(c).cast(typ) if isinstance(c, str) else c.cast(typ)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy aggregation with partial (map-side) combine; decimal-exact
+    sums (SURVEY §2.4; reference group_by at data_provider_toolkit.py:1556)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,0)") - _dec("l_discount", "decimal(4,2)"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,0)") + _dec("l_tax", "decimal(4,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS DECIMAL(3,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS DECIMAL(3,0)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,0)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS {MONEY})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS {MONEY})) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins — broadcast dim join + aggregation (revenue by nation)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    nation/region are broadcast (tiny dims); lineitem⋈orders is the
+    shuffle join; AQE coalesces post-shuffle partitions (SURVEY §4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,0)") - _dec("l_discount", "decimal(4,2)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT
+  r_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS DECIMAL(3,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 coalescing merge — N-way outer combine, first non-null wins
+# ---------------------------------------------------------------------------
+
+
+def q_coalescing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two overlapping 'endpoint' views of orders merged by PK with
+    first-non-null coalesce (data_provider_toolkit.py:478-529)."""
+    from data_curator_spark.engine.consolidate import coalescing_merge
+
+    o = _t(spark, sf_dir, "orders")
+    ep1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ep2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    merged = coalescing_merge([ep1, ep2], pk=["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+SQL_COALESCING_MERGE = """
+WITH ep1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+), ep2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT
+  o_orderkey,
+  ep1.o_custkey AS o_custkey,
+  CAST(COALESCE(ep1.o_totalprice, ep2.o_totalprice) AS DOUBLE) AS o_totalprice,
+  ep2.o_orderstatus AS o_orderstatus
+FROM ep1 FULL OUTER JOIN ep2 USING (o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 null-safe anti-join — missing rows mask
+# ---------------------------------------------------------------------------
+
+
+def q_missing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — the reference's 186-LoC null-safe
+    missing-rows mask collapsed into one anti-join
+    (data_provider_toolkit.py:571-756)."""
+    from data_curator_spark.engine.consolidate import missing_rows
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return missing_rows(
+        c.select("c_custkey", "c_name"), o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+SQL_MISSING_ROWS = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 duplicate-PK detection
+# ---------------------------------------------------------------------------
+
+
+def q_duplicate_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderkeys with more than one lineitem — groupBy-count dup check
+    (data_provider_toolkit.py:1556-1567)."""
+    from data_curator_spark.engine.consolidate import duplicate_pk_rows
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_pk_rows(li, ["l_orderkey"]).withColumnRenamed("count", "n_rows")
+
+
+SQL_DUPLICATE_PK = """
+SELECT l_orderkey, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 as-of join — point-in-time forward fill
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'click' event attach the latest 'view' value at-or-before
+    it per user — the point-in-time infill join
+    (column_builder.py:507-569), via union + forward-fill window."""
+    from data_curator_spark.engine.features import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_time="ts", right_time="ts", value_cols=["view_value"]
+    )
+    return out.select("user_id", "event_id", F.col("view_value").cast("double").alias("view_value"))
+
+
+SQL_ASOF_JOIN = """
+SELECT
+  c.user_id,
+  c.event_id,
+  CAST((
+    SELECT v.value FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
+    ORDER BY v.ts DESC LIMIT 1
+  ) AS DOUBLE) AS view_value
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows — SMA, volatility, log-returns over per-user event series
+# ---------------------------------------------------------------------------
+
+
+def q_sma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row simple moving average per user, null until window full
+    (features/helpers.py:477-505). Decimal-exact averaging."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, Window.currentRow)
+    dec = F.col("value").cast(MONEY)
+    sma = F.when(
+        F.count("value").over(frame) == 5,
+        F.sum(dec).over(frame).cast("double") / F.lit(5),
+    )
+    return ev.select("event_id", sma.alias("sma5"))
+
+
+SQL_SMA_WINDOW = f"""
+SELECT
+  event_id,
+  CASE WHEN COUNT(value) OVER w = 5
+       THEN CAST(SUM(CAST(value AS {MONEY})) OVER w AS DOUBLE) / 5
+  END AS sma5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_volatility_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """21-row annualized volatility (stddev_samp × √252), rounded to the
+    shared 6-decimal grain (features/helpers.py:12-55)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-20, Window.currentRow)
+    vol = F.when(
+        F.count("value").over(frame) == 21,
+        F.round(F.stddev_samp("value").over(frame) * F.sqrt(F.lit(252.0)), 6),
+    )
+    return ev.select("event_id", vol.alias("vol21"))
+
+
+SQL_VOLATILITY_WINDOW = """
+SELECT
+  event_id,
+  CASE WHEN COUNT(value) OVER w = 21
+       THEN ROUND(STDDEV_SAMP(value) OVER w * SQRT(252.0), 6)
+  END AS vol21
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln(v_t / v_{t-1}) per user with ±Inf scrubbed to null
+    (features/helpers.py:333-359, 362-383)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ratio = F.col("value") / F.lag("value", 1).over(w)
+    # ln only defined for finite positive ratios; else null (Inf scrub)
+    scrub = F.when(
+        (ratio > 0) & ~F.isnan(ratio) & (ratio != float("inf")), F.round(F.ln(ratio), 6)
+    )
+    return ev.select("event_id", scrub.alias("log_ret"))
+
+
+SQL_LOG_RETURNS = """
+SELECT
+  event_id,
+  CASE WHEN r > 0 AND NOT isnan(r) AND r <> 'inf'::DOUBLE THEN ROUND(LN(r), 6) END AS log_ret
+FROM (
+  SELECT event_id, value / LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 cumulative-min irregularity mask + posterior-duplicate mask
+# ---------------------------------------------------------------------------
+
+
+def q_irregular_filing_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-min irregularity: order dates that break the running
+    minimum scanned in descending totalprice order — the amended/late
+    filing detector shape (data_blocks/fundamentals/__init__.py:96-163)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cm = F.min("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey", (cm != F.col("o_orderdate")).alias("is_irregular")
+    )
+
+
+SQL_IRREGULAR_FILING_MASK = """
+SELECT
+  o_orderkey,
+  MIN(o_orderdate) OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) <> o_orderdate AS is_irregular
+FROM orders
+"""
+
+
+def q_posterior_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2nd+ occurrences of a duplicated value, in order — row_number
+    replaces the reference's per-row loop
+    (data_blocks/fundamentals/__init__.py:165-210)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey", (F.row_number().over(w) > 1).alias("is_posterior_dup")
+    )
+
+
+SQL_POSTERIOR_DUPLICATES = """
+SELECT
+  o_orderkey,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) > 1 AS is_posterior_dup
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 indexed rolling (LTM-style): rolling agg over unique keys, mapped back
+# ---------------------------------------------------------------------------
+
+
+def q_indexed_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-unique-key sum repeated across all rows of each key —
+    the LTM indexed-rolling shape (features/helpers.py:228-330): daily
+    per-user totals, rolled over the last 4 distinct active days, mapped
+    back onto every event row."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(MONEY)).alias("day_total"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, Window.currentRow)
+    rolled = daily.select(
+        "user_id",
+        "day",
+        F.when(F.count("day_total").over(w) == 4, F.sum("day_total").over(w))
+        .cast("double")
+        .alias("rolling4"),
+    )
+    return (
+        ev.select("event_id", "user_id", F.to_date("ts").alias("day"))
+        .join(rolled, on=["user_id", "day"], how="left")
+        .select("event_id", "rolling4")
+    )
+
+
+SQL_INDEXED_ROLLING = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, SUM(CAST(value AS {MONEY})) AS day_total
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), rolled AS (
+  SELECT user_id, day,
+    CAST(CASE WHEN COUNT(day_total) OVER w = 4 THEN SUM(day_total) OVER w END AS DOUBLE) AS rolling4
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT e.event_id, r.rolling4
+FROM events e LEFT JOIN rolled r ON e.user_id = r.user_id AND CAST(e.ts AS DATE) = r.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 row contracts → violation metrics
+# ---------------------------------------------------------------------------
+
+
+def q_contract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row contracts as mask columns with violation counts — the Spark
+    rewrite of the reference's per-row __post_init__ aborts (SURVEY §2.2)."""
+    from data_curator_spark.engine import contracts as K
+
+    li = _t(spark, sf_dir, "lineitem")
+    cs = [
+        K.non_negative(F.col("l_quantity"), "quantity_non_negative"),
+        K.non_negative(F.col("l_extendedprice"), "price_non_negative"),
+        K.isin(F.col("l_returnflag"), ("A", "N", "R"), "returnflag_domain"),
+        K.matches(F.col("l_linestatus"), "^[A-Z]$", "linestatus_regex"),
+        K.low_le_high(F.col("l_discount"), F.col("l_tax") + 1.0, "discount_le_tax_plus_1"),
+        K.not_null(F.col("l_orderkey"), "orderkey_not_null"),
+    ]
+    _, metrics = K.apply_contracts(li, cs)
+    return metrics
+
+
+SQL_CONTRACT_METRICS = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity IS NULL OR l_quantity >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS quantity_non_negative,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice IS NULL OR l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS price_non_negative,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IS NULL OR l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_linestatus IS NULL OR regexp_matches(l_linestatus, '^[A-Z]$'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS linestatus_regex,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_discount IS NULL OR (l_tax + 1.0) IS NULL OR l_discount <= l_tax + 1.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS discount_le_tax_plus_1,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_orderkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null
+  FROM lineitem
+)
+SELECT contract, violations FROM (
+  SELECT 'quantity_non_negative' AS contract, quantity_non_negative AS violations FROM agg
+  UNION ALL SELECT 'price_non_negative', price_non_negative FROM agg
+  UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM agg
+  UNION ALL SELECT 'linestatus_regex', linestatus_regex FROM agg
+  UNION ALL SELECT 'discount_le_tax_plus_1', discount_le_tax_plus_1 FROM agg
+  UNION ALL SELECT 'orderkey_not_null', orderkey_not_null FROM agg
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §1.3 null semantics — poisoned arithmetic / zero-division / non-Kleene bool
+# ---------------------------------------------------------------------------
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataColumn arithmetic contract on real data: div-by-zero → null,
+    null-poisoned add, non-Kleene AND (SURVEY §1.3)."""
+    from data_curator_spark.engine import columns as C
+
+    li = _t(spark, sf_dir, "lineitem")
+    # synthesize nulls/zeros deterministically from the data
+    a = F.when(F.col("l_linenumber") % 7 != 0, F.col("l_extendedprice"))
+    b = F.when(F.col("l_linenumber") % 3 == 0, F.lit(0.0)).otherwise(F.col("l_quantity"))
+    p = F.when(F.col("l_linenumber") % 2 == 0, F.col("l_discount") > 0.02)
+    q = F.col("l_tax") > 0.04
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # no rounding: +/÷ of identical doubles is IEEE-bit-identical in
+        # both engines, while ROUND on decimal-aligned quotients hits
+        # half-up (Spark) vs half-even (DuckDB) tie divergence
+        C.add(a, b).alias("poisoned_add"),
+        C.div(a, b).alias("safe_div"),
+        C.and_(p, q).alias("non_kleene_and"),
+        C.or_kleene(p, q).alias("kleene_or"),
+    )
+
+
+SQL_NULL_SEMANTICS = """
+WITH base AS (
+  SELECT
+    l_orderkey, l_linenumber,
+    CASE WHEN l_linenumber % 7 <> 0 THEN l_extendedprice END AS a,
+    CASE WHEN l_linenumber % 3 = 0 THEN 0.0 ELSE l_quantity END AS b,
+    CASE WHEN l_linenumber % 2 = 0 THEN l_discount > 0.02 END AS p,
+    l_tax > 0.04 AS q
+  FROM lineitem
+)
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE WHEN a IS NULL OR isnan(a) OR b IS NULL OR isnan(b) THEN NULL ELSE a + b END AS poisoned_add,
+  CASE WHEN a IS NULL OR isnan(a) OR b IS NULL OR isnan(b) THEN NULL WHEN b <> 0 THEN a / b END AS safe_div,
+  CASE WHEN p IS NULL OR q IS NULL THEN NULL ELSE p AND q END AS non_kleene_and,
+  p OR q AS kleene_or
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 discrepancy scan → quarantine table
+# ---------------------------------------------------------------------------
+
+
+def q_discrepancy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-endpoint value reconciliation: two views of orders
+    with injected conflicts; emit the conflict/quarantine rows
+    (data_provider_toolkit.py:365-476)."""
+    from data_curator_spark.engine.consolidate import discrepancy_scan
+
+    o = _t(spark, sf_dir, "orders")
+    ep1 = o.select("o_orderkey", F.col("o_totalprice").cast(MONEY).alias("totalprice"), "o_orderstatus")
+    ep2 = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice").cast(MONEY) + 1)
+        .otherwise(F.col("o_totalprice").cast(MONEY))
+        .alias("totalprice"),
+        "o_orderstatus",
+    )
+    out = discrepancy_scan([ep1, ep2], pk=["o_orderkey"])
+    return out.select("o_orderkey", "field", "value_a", "value_b")
+
+
+SQL_DISCREPANCY_SCAN = f"""
+WITH ep1 AS (
+  SELECT o_orderkey, CAST(o_totalprice AS {MONEY}) AS totalprice, o_orderstatus FROM orders
+), ep2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN CAST(o_totalprice AS {MONEY}) + 1
+              ELSE CAST(o_totalprice AS {MONEY}) END AS totalprice,
+         o_orderstatus
+  FROM orders
+)
+SELECT * FROM (
+  SELECT ep1.o_orderkey AS o_orderkey, 'totalprice' AS field,
+         CAST(ep1.totalprice AS VARCHAR) AS value_a, CAST(ep2.totalprice AS VARCHAR) AS value_b
+  FROM ep1 JOIN ep2 USING (o_orderkey)
+  WHERE NOT (ep1.totalprice IS NOT DISTINCT FROM ep2.totalprice)
+  UNION ALL
+  SELECT ep1.o_orderkey, 'o_orderstatus', ep1.o_orderstatus, ep2.o_orderstatus
+  FROM ep1 JOIN ep2 USING (o_orderkey)
+  WHERE NOT (ep1.o_orderstatus IS NOT DISTINCT FROM ep2.o_orderstatus)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "coalescing_merge": q_coalescing_merge,
+    "missing_rows_antijoin": q_missing_rows,
+    "duplicate_pk": q_duplicate_pk,
+    "asof_join": q_asof_join,
+    "sma_window": q_sma_window,
+    "volatility_window": q_volatility_window,
+    "log_returns": q_log_returns,
+    "irregular_filing_mask": q_irregular_filing_mask,
+    "posterior_duplicates": q_posterior_duplicates,
+    "indexed_rolling": q_indexed_rolling,
+    "contract_metrics": q_contract_metrics,
+    "null_semantics": q_null_semantics,
+    "discrepancy_scan": q_discrepancy_scan,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "coalescing_merge": SQL_COALESCING_MERGE,
+    "missing_rows_antijoin": SQL_MISSING_ROWS,
+    "duplicate_pk": SQL_DUPLICATE_PK,
+    "asof_join": SQL_ASOF_JOIN,
+    "sma_window": SQL_SMA_WINDOW,
+    "volatility_window": SQL_VOLATILITY_WINDOW,
+    "log_returns": SQL_LOG_RETURNS,
+    "irregular_filing_mask": SQL_IRREGULAR_FILING_MASK,
+    "posterior_duplicates": SQL_POSTERIOR_DUPLICATES,
+    "indexed_rolling": SQL_INDEXED_ROLLING,
+    "contract_metrics": SQL_CONTRACT_METRICS,
+    "null_semantics": SQL_NULL_SEMANTICS,
+    "discrepancy_scan": SQL_DISCREPANCY_SCAN,
+}

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the engine.
+
+All knobs here are scale-oriented defaults: AQE on (runtime coalesce +
+skew-join splitting), Arrow for every pandas-UDF exchange, and shuffle
+partitions sized for the local test harness (overridden by cluster confs
+in a real spark-submit deployment).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "data_curator_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    Parameters are overridable so the bench harness can pin ``local[8]``
+    vs ``local[32]`` for the two-parallelism scaling measurement.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match parallelism locally; on a cluster this is set by conf
+        n = cpus if cpus != "*" else str(os.cpu_count() or 8)
+        shuffle_partitions = max(int(n), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: runtime partition coalescing + skew joins
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow everywhere Python touches data
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- broadcast joins for small dims (TPC-H nation/region etc.)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- local-mode memory headroom
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the testdata tables as a DataFrame.
+
+    In production these are Iceberg tables
+    (``spark.read.format("iceberg").load(...)``); the sandbox uses plain
+    parquet, which exercises the same columnar scan + pushdown path.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
