@@ -1,0 +1,91 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two workloads:
+- the operator queries from __spark_entry__.queries() (TPC-H-ish testdata)
+- the quality-filter pipeline over a deterministic synthetic code corpus
+  (files/sec throughput — the north-rule headline number)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "coalescing_merge",
+    "asof_join",
+    "sma_window",
+    "volatility_window",
+    "indexed_rolling",
+    "null_semantics",
+    "discrepancy_scan",
+]
+
+CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from data_curator_spark.session import build_session
+    from data_curator_spark.queries import QUERIES
+
+    spark = build_session("bench")
+    # warm the JVM/readers so per-query timings measure the plan, not JIT
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full materialization without driver collect
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # quality-filter pipeline throughput
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    corpus_path = os.path.join(cache_dir, f"bench_corpus_{CORPUS_FILES}.parquet")
+    if not os.path.exists(corpus_path):
+        from data_curator_spark.pipeline.corpus import write_corpus_parquet
+
+        write_corpus_parquet(corpus_path, CORPUS_FILES, seed=42)
+
+    from data_curator_spark.pipeline.stages import run_stages
+
+    raw = spark.read.parquet(corpus_path)
+    n_files = raw.count()
+    t0 = time.time()
+    out = run_stages(raw.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))), spark)
+    kept = out.filter("keep").count()
+    pipe_sec = time.time() - t0
+    timings["quality_filter_pipeline"] = round(pipe_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_files_per_sec": round(n_files / pipe_sec, 1),
+                "pipeline_files": n_files,
+                "pipeline_kept": kept,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

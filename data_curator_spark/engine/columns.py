@@ -39,10 +39,13 @@ def nan_to_null(c: Column) -> Column:
 
 
 def _poison(result: Column, *operands: Column) -> Column:
-    """Null-poison ``result``: null wherever any operand is null-or-NaN."""
+    """Null-poison ``result``: null wherever any operand is null-or-NaN.
+
+    ``try_cast`` keeps this ANSI-safe for non-numeric operand types
+    (strings/booleans in concat/boolean kernels)."""
     cond = None
     for op in operands:
-        this = op.isNull() | F.isnan(op.cast(_DOUBLE))
+        this = op.isNull() | F.coalesce(F.isnan(op.try_cast(_DOUBLE)), F.lit(False))
         cond = this if cond is None else (cond | this)
     return F.when(cond, F.lit(None)).otherwise(result)
 

@@ -1,0 +1,192 @@
+"""Deterministic synthetic source-code corpus generator.
+
+Produces the north-rule input table ``(repo, path, commit, lang,
+content)`` (BASELINE.json input_hint) at a parameterized scale, with the
+pathologies a real 10^12-file corpus exhibits:
+
+- multiple languages with distinct token distributions (langid signal)
+- low-quality files: minified one-liners, generated boilerplate, binary
+  garbage, extremely long lines, high-digit-density dumps
+- PII/secrets to scrub: emails, IPv4s, AWS-style keys, bearer tokens
+- near/exact duplicate files (dedup signal)
+- mega-repo skew: one repo holds ~20% of all files (salting test case)
+
+Everything derives from a seeded ``numpy.random.Generator`` — same seed,
+same corpus, so reference labels and F1 are reproducible. No external
+data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+LANGS = ("python", "javascript", "java", "c", "go")
+
+# language-specific keyword pools — the langid signal
+_KEYWORDS = {
+    "python": "def return import class self None True False lambda yield elif pass with as try except raise print range len str dict list".split(),
+    "javascript": "function var let const return export import async await this new typeof undefined null console log document window promise".split(),
+    "java": "public static void class private final extends implements interface new return import package throws try catch this boolean".split(),
+    "c": "int char void struct typedef static const return include define sizeof unsigned long printf malloc free while switch case".split(),
+    "go": "func package import type struct interface return defer go chan map range nil err fmt println var const select".split(),
+}
+
+_IDENTS = "alpha beta gamma delta count index buffer result status config handler parser stream window batch table value item node edge graph queue stack".split()
+
+_EMAIL_USERS = ["alice", "bob", "carol", "dev", "admin", "support"]
+_EMAIL_DOMAINS = ["example.com", "test.org", "corp.internal", "mail.net"]
+_TOXIC_WORDS = ["frakking", "gorram", "smeghead"]  # stand-in lexicon
+
+
+def _make_line(rng: np.random.Generator, lang: str) -> str:
+    kw = _KEYWORDS[lang]
+    n = int(rng.integers(3, 9))
+    words = [
+        kw[int(rng.integers(0, len(kw)))] if rng.random() < 0.45 else _IDENTS[int(rng.integers(0, len(_IDENTS)))]
+        for _ in range(n)
+    ]
+    indent = " " * int(rng.integers(0, 3)) * 4
+    return indent + " ".join(words)
+
+
+def _normal_file(rng: np.random.Generator, lang: str) -> str:
+    n_lines = int(rng.integers(8, 60))
+    return "\n".join(_make_line(rng, lang) for _ in range(n_lines))
+
+
+def _minified_file(rng: np.random.Generator, lang: str) -> str:
+    # one enormous line — fails max-line-length rule
+    return ";".join(_make_line(rng, lang).strip() for _ in range(int(rng.integers(150, 400))))
+
+
+def _digit_dump(rng: np.random.Generator) -> str:
+    rows = int(rng.integers(20, 60))
+    return "\n".join(
+        ",".join(str(int(rng.integers(0, 10**6))) for _ in range(10)) for _ in range(rows)
+    )
+
+
+def _binary_garbage(rng: np.random.Generator) -> str:
+    n = int(rng.integers(200, 800))
+    codes = rng.integers(0x80, 0x2FF, n)
+    return "".join(chr(int(c)) for c in codes)
+
+
+def _repetitive_file(rng: np.random.Generator, lang: str) -> str:
+    line = _make_line(rng, lang)
+    return "\n".join([line] * int(rng.integers(30, 80)))
+
+
+def _mixed_lang_file(rng: np.random.Generator) -> str:
+    # alternating lines from every language — langid margin collapses
+    # (the langid_low_margin ambiguity signal)
+    n_lines = int(rng.integers(12, 40))
+    return "\n".join(
+        _make_line(rng, LANGS[i % len(LANGS)]) for i in range(n_lines)
+    )
+
+
+def _gibberish_file(rng: np.random.Generator) -> str:
+    # well-shaped lines of random letters — normal heuristics pass, but
+    # the bigram LM assigns high perplexity (the KenLM-style signal)
+    rows = int(rng.integers(10, 40))
+    lines = []
+    for _ in range(rows):
+        n = int(rng.integers(30, 80))
+        codes = rng.integers(97, 123, n)
+        s = "".join(chr(int(c)) for c in codes)
+        lines.append(" ".join(s[i : i + 7] for i in range(0, n, 7)))
+    return "\n".join(lines)
+
+
+def _inject_pii(rng: np.random.Generator, content: str) -> str:
+    lines = content.split("\n")
+    k = int(rng.integers(1, 4))
+    for _ in range(k):
+        kind = int(rng.integers(0, 4))
+        if kind == 0:
+            pii = f"contact = '{_EMAIL_USERS[int(rng.integers(0,6))]}@{_EMAIL_DOMAINS[int(rng.integers(0,4))]}'"
+        elif kind == 1:
+            pii = f"host = '{int(rng.integers(1,255))}.{int(rng.integers(0,255))}.{int(rng.integers(0,255))}.{int(rng.integers(1,255))}'"
+        elif kind == 2:
+            pii = "aws_key = 'AKIA" + "".join(chr(int(c)) for c in rng.integers(65, 91, 16)) + "'"
+        else:
+            pii = f"# {_TOXIC_WORDS[int(rng.integers(0,3))]} comment"
+        pos = int(rng.integers(0, len(lines)))
+        lines.insert(pos, pii)
+    return "\n".join(lines)
+
+
+def generate_corpus(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
+    """Build the synthetic corpus as a pandas DataFrame.
+
+    ~70% clean files, ~22% quality-defective, ~8% PII-bearing; ~5%
+    near-duplicates appended at the end. Repo 0 is the mega-repo holding
+    ~20% of files (skew).
+    """
+    rng = np.random.default_rng(seed)
+    n_repos = max(n_files // 40, 5)
+
+    rows = []
+    for i in range(n_files):
+        # mega-repo skew: 20% of files land in repo 0
+        repo_idx = 0 if rng.random() < 0.2 else int(rng.integers(1, n_repos))
+        repo = f"org{repo_idx % 7}/repo{repo_idx}"
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        kind = rng.random()
+        if kind < 0.66:
+            content = _normal_file(rng, lang)
+        elif kind < 0.74:
+            content = _minified_file(rng, lang)
+        elif kind < 0.80:
+            content = _digit_dump(rng)
+        elif kind < 0.84:
+            content = _binary_garbage(rng)
+        elif kind < 0.88:
+            content = _gibberish_file(rng)
+        elif kind < 0.91:
+            content = _mixed_lang_file(rng)
+        else:
+            content = _repetitive_file(rng, lang)
+        # ~3% mislabeled metadata: claimed lang ≠ content language
+        # (the homogenize/validate discrepancy signal for langid_mismatch)
+        if kind < 0.66 and rng.random() < 0.04:
+            lang_claimed = LANGS[int(rng.integers(0, len(LANGS)))]
+        else:
+            lang_claimed = lang
+        if rng.random() < 0.08:
+            content = _inject_pii(rng, content)
+        ext = {"python": "py", "javascript": "js", "java": "java", "c": "c", "go": "go"}[lang]
+        path = f"src/{_IDENTS[int(rng.integers(0, len(_IDENTS)))]}/{_IDENTS[int(rng.integers(0, len(_IDENTS)))]}_{i}.{ext}"
+        commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
+        rows.append((repo, path, commit, lang_claimed, content))
+
+    # exact + near duplicates of earlier files
+    n_dups = n_files // 20
+    for j in range(n_dups):
+        src = rows[int(rng.integers(0, n_files))]
+        repo = f"org{int(rng.integers(0,7))}/repo{int(rng.integers(0, n_repos))}"
+        content = src[4]
+        if rng.random() < 0.5:  # near-dup: perturb one line
+            lines = content.split("\n")
+            if len(lines) > 2:
+                lines[int(rng.integers(0, len(lines)))] = _make_line(rng, src[3] if src[3] in LANGS else "python")
+            content = "\n".join(lines)
+        path = f"vendor/copy_{j}_{src[1].rsplit('/', 1)[-1]}"
+        commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
+        rows.append((repo, path, commit, src[3], content))
+
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def write_corpus_parquet(path: str, n_files: int = 2000, seed: int = 42) -> str:
+    """Materialize the corpus as a parquet file Spark can scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_corpus(n_files, seed)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path

@@ -1,0 +1,141 @@
+"""Model artifacts for the quality-filter pipeline.
+
+Two small, deterministic, broadcast-able models:
+
+- ``LangIdModel`` — fastText-style linear classifier over hashed char
+  trigrams (multinomial-NB weights). Trained at build time from the
+  per-language keyword pools (no external data); weights are a dense
+  ``(n_buckets, n_langs)`` float32 matrix, broadcast to executors.
+- ``BigramLM`` — KenLM-style character-bigram language model with
+  additive smoothing; emits per-file log-perplexity.
+
+Scoring is fully numpy-vectorized over whole Arrow batches: documents
+are concatenated into one code-point array, n-gram hash buckets computed
+with strided arithmetic, and per-document scores accumulated with
+``np.add.at`` — zero per-row Python (north_rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+N_BUCKETS = 4096
+_HASH_MUL = 31
+_SEP = 0  # document separator code point (never a real char)
+
+
+def _concat_codes(docs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate documents into one uint32 code-point array separated by
+    sentinel 0s. Returns (codes, doc_lengths incl. +1 separator)."""
+    bufs = [np.frombuffer((d + "\x00").encode("utf-32-le"), dtype=np.uint32) for d in docs]
+    codes = np.concatenate(bufs) if bufs else np.zeros(0, dtype=np.uint32)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    return codes, lens
+
+
+def _ngram_buckets(codes: np.ndarray, lens: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash buckets for every n-gram window + owning doc id, excluding
+    windows that cross a document boundary (contain the sentinel)."""
+    total = len(codes)
+    if total < n:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    h = codes[: total - n + 1].astype(np.int64)
+    valid = codes[: total - n + 1] != _SEP
+    for k in range(1, n):
+        h = h * _HASH_MUL + codes[k : total - n + 1 + k]
+        valid &= codes[k : total - n + 1 + k] != _SEP
+    buckets = h % N_BUCKETS
+    doc_ids = np.repeat(np.arange(len(lens)), lens)[: total - n + 1]
+    return buckets[valid], doc_ids[valid]
+
+
+@dataclass
+class LangIdModel:
+    """Hashed char-trigram NB classifier; ``weights`` is (N_BUCKETS, L)."""
+
+    langs: tuple[str, ...]
+    weights: np.ndarray  # float32 (N_BUCKETS, n_langs) log-likelihood
+    priors: np.ndarray  # float32 (n_langs,) log prior
+
+    def predict(self, docs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (argmax lang index, margin = best − second-best score
+        per char) for a batch of documents."""
+        n = len(docs)
+        scores = np.tile(self.priors, (n, 1)).astype(np.float64)
+        codes, lens = _concat_codes(docs)
+        buckets, doc_ids = _ngram_buckets(codes, lens, 3)
+        np.add.at(scores, doc_ids, self.weights[buckets])
+        order = np.argsort(scores, axis=1)
+        best = order[:, -1]
+        doc_len = np.maximum(lens - 1, 1)
+        margin = (
+            scores[np.arange(n), best] - scores[np.arange(n), order[:, -2]]
+        ) / doc_len
+        return best, margin
+
+
+@dataclass
+class BigramLM:
+    """Character-bigram LM; ``logp`` is (N_BUCKETS,) log-probability."""
+
+    logp: np.ndarray  # float32
+
+    def log_perplexity(self, docs: list[str]) -> np.ndarray:
+        """Mean negative log2 probability per bigram, per document."""
+        n = len(docs)
+        codes, lens = _concat_codes(docs)
+        buckets, doc_ids = _ngram_buckets(codes, lens, 2)
+        tot = np.zeros(n, dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.float64)
+        np.add.at(tot, doc_ids, -self.logp[buckets])
+        np.add.at(cnt, doc_ids, 1.0)
+        return np.where(cnt > 0, tot / np.maximum(cnt, 1.0), np.inf)
+
+
+def _training_text(lang: str, rng: np.random.Generator) -> list[str]:
+    """Deterministic pseudo-corpus from the language's keyword pool."""
+    from data_curator_spark.pipeline.corpus import _IDENTS, _KEYWORDS
+
+    kw = _KEYWORDS[lang]
+    docs = []
+    for _ in range(200):
+        n = int(rng.integers(6, 14))
+        words = [
+            kw[int(rng.integers(0, len(kw)))] if rng.random() < 0.5 else _IDENTS[int(rng.integers(0, len(_IDENTS)))]
+            for _ in range(n)
+        ]
+        docs.append(" ".join(words))
+    return docs
+
+
+def build_langid_model(seed: int = 7) -> LangIdModel:
+    """Train the NB trigram model on deterministic synthetic text."""
+    from data_curator_spark.pipeline.corpus import LANGS
+
+    counts = np.ones((N_BUCKETS, len(LANGS)), dtype=np.float64)  # add-one
+    for li, lang in enumerate(LANGS):
+        rng = np.random.default_rng(seed + li)
+        docs = _training_text(lang, rng)
+        codes, lens = _concat_codes(docs)
+        buckets, _ = _ngram_buckets(codes, lens, 3)
+        np.add.at(counts[:, li], buckets, 1.0)
+    weights = np.log(counts / counts.sum(axis=0, keepdims=True)).astype(np.float32)
+    priors = np.zeros(len(LANGS), dtype=np.float32)
+    return LangIdModel(langs=LANGS, weights=weights, priors=priors)
+
+
+def build_bigram_lm(seed: int = 11) -> BigramLM:
+    """Train the char-bigram LM on the union of all languages' clean text."""
+    from data_curator_spark.pipeline.corpus import LANGS
+
+    counts = np.full(N_BUCKETS, 0.5, dtype=np.float64)
+    for li, lang in enumerate(LANGS):
+        rng = np.random.default_rng(seed + li)
+        docs = _training_text(lang, rng)
+        codes, lens = _concat_codes(docs)
+        buckets, _ = _ngram_buckets(codes, lens, 2)
+        np.add.at(counts, buckets, 1.0)
+    logp = (np.log2(counts) - np.log2(counts.sum())).astype(np.float32)
+    return BigramLM(logp=logp)

@@ -1,0 +1,94 @@
+"""Pure-pandas reference labeler — the F1 oracle for the Spark pipeline.
+
+Implements the same documented rule contract (spec.py) independently of
+the Spark code path, the way the reference validates its feature library
+against externally-computed golden columns
+(reference: tests/unit/features/calculations_test.py + fixtures/*.csv).
+
+The comparison contract (BASELINE.md): Spark keep/drop must match these
+labels at F1 ≥ 0.99, scrubbed text must match exactly, and sha256 must be
+preserved for rows no scrub rule touches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from data_curator_spark.pipeline import spec
+from data_curator_spark.pipeline.model import build_bigram_lm, build_langid_model
+
+
+def label_corpus(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Compute reference labels for a corpus frame
+    (repo, path, commit, lang, content) → adds keep, drop_reason,
+    content_scrubbed, sha256_original, sha256_scrubbed, scrub_fired."""
+    content = pdf["content"]
+
+    n_chars = content.str.len()
+    line_lists = content.str.split("\n")
+    n_lines = line_lists.map(len)
+    max_line_len = line_lists.map(lambda ls: max(len(x) for x in ls))
+    avg_line_len = (n_chars - n_lines + 1) / n_lines
+    alnum_ratio = content.str.count("[A-Za-z0-9]") / n_chars.clip(lower=1)
+    digit_ratio = content.str.count("[0-9]") / n_chars.clip(lower=1)
+    distinct_line_ratio = line_lists.map(lambda ls: len(set(ls))) / n_lines
+
+    langid = build_langid_model()
+    lm = build_bigram_lm()
+    docs = content.fillna("").tolist()
+    best, margin = langid.predict(docs)
+    log_ppl = lm.log_perplexity(docs)
+    lang_pred = np.array(langid.langs)[best]
+
+    rules = {
+        "too_short": (n_chars < spec.MIN_CHARS).to_numpy(),
+        "long_line": (max_line_len > spec.MAX_LINE_LENGTH).to_numpy(),
+        "long_avg_line": (avg_line_len > spec.MAX_AVG_LINE_LENGTH).to_numpy(),
+        "low_alnum": (alnum_ratio < spec.MIN_ALNUM_RATIO).to_numpy(),
+        "high_digit": (digit_ratio > spec.MAX_DIGIT_RATIO).to_numpy(),
+        "repetitive": (
+            (n_lines >= spec.DISTINCT_LINE_MIN_LINES)
+            & (distinct_line_ratio < spec.MIN_DISTINCT_LINE_RATIO)
+        ).to_numpy(),
+        "high_perplexity": log_ppl > spec.MAX_LOG_PERPLEXITY,
+        "langid_low_margin": margin < spec.MIN_LANGID_MARGIN,
+        "langid_mismatch": lang_pred != pdf["lang"].to_numpy(),
+    }
+    drop_reason = np.full(len(pdf), None, dtype=object)
+    for name in reversed(spec.RULE_NAMES):
+        drop_reason = np.where(rules[name], name, drop_reason)
+
+    scrubbed = content.copy()
+    fired_any = np.zeros(len(pdf), dtype=bool)
+    for _, pattern, repl in spec.SCRUB_RULES:
+        rx = re.compile(pattern)
+        fired_any |= scrubbed.str.contains(rx).to_numpy()
+        scrubbed = scrubbed.str.replace(rx, repl, regex=True)
+
+    out = pdf.copy()
+    out["keep"] = pd.isna(drop_reason)
+    out["drop_reason"] = drop_reason
+    out["content_scrubbed"] = scrubbed
+    out["scrub_fired"] = fired_any
+    out["sha256_original"] = content.map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    out["sha256_scrubbed"] = scrubbed.map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    out["lang_pred"] = lang_pred
+    out["log_ppl"] = log_ppl
+    out["langid_margin"] = margin
+    return out
+
+
+def f1_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Binary F1 on the keep decision (positive class = keep)."""
+    tp = float(np.sum(y_true & y_pred))
+    fp = float(np.sum(~y_true & y_pred))
+    fn = float(np.sum(y_true & ~y_pred))
+    if tp == 0:
+        return 0.0
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * p * r / (p + r)

@@ -1,0 +1,68 @@
+"""Single source of truth for quality-filter rule PARAMETERS.
+
+The Spark pipeline (stages.py) and the pandas reference labeler
+(reference_labeler.py) implement these rules independently; sharing only
+the constants keeps the F1≥0.99 comparison honest while pinning both
+sides to the same contract — mirroring how the reference pins feature
+semantics with externally-computed golden fixtures
+(reference: tests/unit/features/fixtures/*.csv).
+
+Regexes use the Java/Python-common subset: explicit ASCII classes only
+(no \\d/\\w, whose Unicode behavior differs between java.util.regex and
+Python re).
+"""
+
+from __future__ import annotations
+
+# --- heuristic quality thresholds (RefinedWeb/Gopher-style rules) -------
+MIN_CHARS = 20
+MAX_LINE_LENGTH = 1000
+MAX_AVG_LINE_LENGTH = 200
+MIN_ALNUM_RATIO = 0.25
+MAX_DIGIT_RATIO = 0.5
+MIN_DISTINCT_LINE_RATIO = 0.30
+DISTINCT_LINE_MIN_LINES = 20  # repetition rule applies from this many lines
+MAX_LOG_PERPLEXITY = 11.0  # bits/char-bigram under the code LM
+MIN_LANGID_MARGIN = 0.05  # per-char NB margin between best & 2nd language
+
+# --- scrub rules: (name, pattern, replacement), applied in order ---------
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "aws_key",
+        r"\bAKIA[A-Z0-9]{16}\b",
+        "<AWS_KEY>",
+    ),
+    (
+        "bearer_token",
+        r"[Bb]earer +[A-Za-z0-9._-]{8,}",
+        "<TOKEN>",
+    ),
+    (
+        "toxicity",
+        r"\b(?:frakking|gorram|smeghead)\b",
+        "<REDACTED>",
+    ),
+]
+
+# keep/drop rule names, in decision order (first failure = drop_reason)
+RULE_NAMES = [
+    "too_short",
+    "long_line",
+    "long_avg_line",
+    "low_alnum",
+    "high_digit",
+    "repetitive",
+    "high_perplexity",
+    "langid_low_margin",
+    "langid_mismatch",
+]

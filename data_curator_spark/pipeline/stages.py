@@ -1,0 +1,168 @@
+"""Spark stages of the quality-filter pipeline (north_rule).
+
+Stage layout over the input table ``(repo, path, commit, lang, content)``:
+
+1. ``with_heuristics``   — line/char statistics as pure built-in SQL
+                           expressions (whole-stage codegen, no Python).
+2. ``with_model_scores`` — fastText-style langid + bigram log-perplexity
+                           in ONE Arrow-batched pandas UDF with broadcast
+                           model weights (the only Python exchange).
+3. ``with_scrub``        — regex PII/toxicity scrub as a chained
+                           ``regexp_replace`` (JVM); per-rule fire flags
+                           via ``rlike``; sha256 preserved for untouched
+                           rows by construction.
+4. ``with_decision``     — keep/drop + first-failing drop_reason.
+
+The reference analog: validate (entity contracts → mask columns),
+homogenize (provider lang tag vs computed langid = the cross-endpoint
+discrepancy check, data_provider_toolkit.py:365-476), combine (scrubbed
+output + metrics) — re-targeted from market data onto code corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_curator_spark.pipeline import spec
+from data_curator_spark.pipeline.model import BigramLM, LangIdModel, build_bigram_lm, build_langid_model
+
+# ---------------------------------------------------------------------------
+# stage 1: heuristic statistics (pure SQL expressions)
+# ---------------------------------------------------------------------------
+
+
+def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
+    c = F.col(content)
+    lines = F.split(c, "\n")
+    n_chars = F.length(c)
+    n_lines = F.size(lines)
+    # sum of line lengths = n_chars − (n_lines − 1) separators
+    avg_line = (n_chars - n_lines + 1).cast("double") / n_lines
+    return df.select(
+        "*",
+        n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        F.array_max(F.transform(lines, lambda x: F.length(x))).alias("max_line_len"),
+        avg_line.alias("avg_line_len"),
+        (
+            F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("alnum_ratio"),
+        (
+            F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("digit_ratio"),
+        (
+            F.size(F.array_distinct(lines)).cast("double") / n_lines
+        ).alias("distinct_line_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 2: model scores (one Arrow-batched pandas UDF, broadcast weights)
+# ---------------------------------------------------------------------------
+
+
+def with_model_scores(
+    df: DataFrame,
+    spark: SparkSession,
+    content: str = "content",
+    langid: LangIdModel | None = None,
+    lm: BigramLM | None = None,
+) -> DataFrame:
+    langid = langid or build_langid_model()
+    lm = lm or build_bigram_lm()
+    sc = spark.sparkContext
+    b_weights = sc.broadcast(langid.weights)
+    b_priors = sc.broadcast(langid.priors)
+    b_langs = sc.broadcast(list(langid.langs))
+    b_logp = sc.broadcast(lm.logp)
+
+    @F.pandas_udf("struct<lang_pred:string, langid_margin:double, log_ppl:double>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        model = LangIdModel(
+            langs=tuple(b_langs.value), weights=b_weights.value, priors=b_priors.value
+        )
+        lmod = BigramLM(logp=b_logp.value)
+        docs = texts.fillna("").tolist()
+        best, margin = model.predict(docs)
+        ppl = lmod.log_perplexity(docs)
+        langs = np.array(b_langs.value)
+        return pd.DataFrame(
+            {
+                "lang_pred": langs[best],
+                "langid_margin": margin,
+                "log_ppl": ppl,
+            }
+        )
+
+    return df.withColumn("__scores", score(F.col(content))).select(
+        "*", "__scores.lang_pred", "__scores.langid_margin", "__scores.log_ppl"
+    ).drop("__scores")
+
+
+# ---------------------------------------------------------------------------
+# stage 3: PII/toxicity scrub (chained regexp_replace, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def scrub_expr(content: Column) -> Column:
+    out = content
+    for _, pattern, repl in spec.SCRUB_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
+    c = F.col(content)
+    fired = [
+        F.when(c.rlike(pattern), F.lit(name)) for name, pattern, _ in spec.SCRUB_RULES
+    ]
+    scrubbed = scrub_expr(c)
+    return df.select(
+        "*",
+        scrubbed.alias("content_scrubbed"),
+        F.array_compact(F.array(*fired)).alias("scrub_rules_fired"),
+        F.sha2(c, 256).alias("sha256_original"),
+        F.sha2(scrubbed, 256).alias("sha256_scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 4: keep/drop decision
+# ---------------------------------------------------------------------------
+
+
+def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
+    checks: list[tuple[str, Column]] = [
+        ("too_short", F.col("n_chars") < spec.MIN_CHARS),
+        ("long_line", F.col("max_line_len") > spec.MAX_LINE_LENGTH),
+        ("long_avg_line", F.col("avg_line_len") > spec.MAX_AVG_LINE_LENGTH),
+        ("low_alnum", F.col("alnum_ratio") < spec.MIN_ALNUM_RATIO),
+        ("high_digit", F.col("digit_ratio") > spec.MAX_DIGIT_RATIO),
+        (
+            "repetitive",
+            (F.col("n_lines") >= spec.DISTINCT_LINE_MIN_LINES)
+            & (F.col("distinct_line_ratio") < spec.MIN_DISTINCT_LINE_RATIO),
+        ),
+        ("high_perplexity", F.col("log_ppl") > spec.MAX_LOG_PERPLEXITY),
+        ("langid_low_margin", F.col("langid_margin") < spec.MIN_LANGID_MARGIN),
+        ("langid_mismatch", F.col("lang_pred") != F.col(claimed_lang)),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return df.select("*", reason.alias("drop_reason")).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def run_stages(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Full stage chain over the raw corpus table."""
+    out = with_heuristics(df)
+    out = with_model_scores(out, spark)
+    out = with_scrub(out)
+    return with_decision(out)

@@ -1,0 +1,71 @@
+"""Row-contract masks + derived-column DAG planner tests
+(reference layers: entity contracts SURVEY §5.6; dependency resolution
+§5.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.engine import contracts as K
+from data_curator_spark.plans import column_dag as DAG
+
+
+def test_apply_contracts_split_and_metrics(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "USD"), (-1.0, 2.0, "USD"), (3.0, 1.0, "usd"), (None, 5.0, "EUR")],
+        "low double, high double, ccy string",
+    )
+    cs = [
+        K.non_negative(F.col("low"), "low_nonneg"),
+        K.low_le_high(F.col("low"), F.col("high"), "low_le_high"),
+        K.matches(F.col("ccy"), K.CURRENCY_RE, "ccy_iso"),
+    ]
+    clean, metrics = K.apply_contracts(df, cs)
+    assert clean.count() == 2  # row2 fails nonneg, row3 fails both low_le_high & regex
+    m = {r["contract"]: r["violations"] for r in metrics.collect()}
+    assert m == {"low_nonneg": 1, "low_le_high": 1, "ccy_iso": 1}
+
+
+def test_contract_null_passes_value_checks(spark):
+    df = spark.createDataFrame([(None,)], "x double")
+    clean, _ = K.apply_contracts(df, [K.non_negative(F.col("x"), "nn")])
+    assert clean.count() == 1  # nullability is a separate contract
+    clean2, _ = K.apply_contracts(df, [K.not_null(F.col("x"), "nnull")])
+    assert clean2.count() == 0
+
+
+def test_dag_topo_and_build(spark):
+    df = spark.createDataFrame([(2.0, 3.0)], "a double, b double")
+    registry = {
+        "c_sum": lambda a, b: a + b,
+        "c_double_sum": lambda c_sum: c_sum * 2,
+        "c_combo": lambda c_double_sum, a: c_double_sum + a,
+    }
+    out = DAG.build_columns(df, ["c_combo"], registry)
+    row = out.collect()[0]
+    assert row["c_sum"] == 5.0
+    assert row["c_double_sum"] == 10.0
+    assert row["c_combo"] == 12.0
+
+
+def test_dag_requested_projection(spark):
+    df = spark.createDataFrame([(2.0, 3.0)], "a double, b double")
+    registry = {"c_sum": lambda a, b: a + b}
+    out = DAG.build_columns(df, ["c_sum"], registry, keep_only_requested=True)
+    assert out.columns == ["c_sum"]
+
+
+def test_dag_circular_dependency(spark):
+    df = spark.createDataFrame([(1.0,)], "a double")
+    registry = {
+        "c_x": lambda c_y: c_y,
+        "c_y": lambda c_x: c_x,
+    }
+    with pytest.raises(DAG.CircularDependencyError):
+        DAG.topo_order(["c_x"], registry, {"a"})
+
+
+def test_dag_unresolved_dependency(spark):
+    with pytest.raises(DAG.UnresolvedDependencyError):
+        DAG.topo_order(["c_missing"], {}, {"a"})

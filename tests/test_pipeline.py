@@ -1,0 +1,126 @@
+"""Quality-filter pipeline: F1 vs reference labels, scrub equality,
+sha256 invariant, salted skew spread, checkpoint resume (BASELINE.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.pipeline.corpus import generate_corpus, write_corpus_parquet
+from data_curator_spark.pipeline.reference_labeler import f1_score, label_corpus
+from data_curator_spark.pipeline.runner import run_pipeline, with_bucket
+from data_curator_spark.pipeline.stages import run_stages
+
+N_FILES = 800
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return write_corpus_parquet(str(d / "corpus.parquet"), N_FILES, SEED)
+
+
+@pytest.fixture(scope="module")
+def labels():
+    return label_corpus(generate_corpus(N_FILES, SEED))
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, corpus_path):
+    out = run_stages(spark.read.parquet(corpus_path), spark)
+    return out.select(
+        "repo", "path", "keep", "drop_reason", "content_scrubbed",
+        "scrub_rules_fired", "sha256_original", "sha256_scrubbed",
+    ).toPandas()
+
+
+def _merged(labels, spark_result):
+    return labels.merge(spark_result, on=["repo", "path"], suffixes=("_ref", "_spark"))
+
+
+def test_keep_f1_at_least_099(labels, spark_result):
+    m = _merged(labels, spark_result)
+    assert len(m) == len(labels)
+    f1 = f1_score(m["keep_ref"].to_numpy(), m["keep_spark"].to_numpy())
+    assert f1 >= 0.99
+
+
+def test_drop_reasons_match(labels, spark_result):
+    m = _merged(labels, spark_result)
+    assert (m["drop_reason_ref"].fillna("") == m["drop_reason_spark"].fillna("")).all()
+
+
+def test_scrubbed_text_exact_match(labels, spark_result):
+    m = _merged(labels, spark_result)
+    assert (m["content_scrubbed_ref"] == m["content_scrubbed_spark"]).all()
+
+
+def test_sha256_preserved_for_untouched_rows(labels, spark_result):
+    m = _merged(labels, spark_result)
+    untouched = m[m["scrub_rules_fired"].map(len) == 0]
+    assert len(untouched) > 0
+    assert (untouched["sha256_original_spark"] == untouched["sha256_scrubbed_spark"]).all()
+    # spark hashes agree with the independently-computed reference hashes
+    assert (m["sha256_original_spark"] == m["sha256_original_ref"]).all()
+    assert (m["sha256_scrubbed_spark"] == m["sha256_scrubbed_ref"]).all()
+    # and scrubbed rows must differ
+    touched = m[m["scrub_rules_fired"].map(len) > 0]
+    assert len(touched) > 0
+    assert (touched["sha256_original_spark"] != touched["sha256_scrubbed_spark"]).all()
+
+
+def test_every_rule_fires_in_corpus(labels):
+    reasons = set(labels["drop_reason"].dropna())
+    assert {"long_line", "high_digit", "repetitive", "high_perplexity",
+            "langid_mismatch", "langid_low_margin"} <= reasons
+
+
+def test_salted_buckets_defuse_mega_repo(spark, corpus_path):
+    df = with_bucket(spark.read.parquet(corpus_path), 16)
+    mega = df.filter(F.col("repo").endswith("repo0"))
+    n_buckets_used = mega.select("bucket").distinct().count()
+    assert mega.count() > N_FILES * 0.1  # it IS the skewed repo
+    assert n_buckets_used == 16  # and it spreads over every bucket
+
+
+def test_resume_from_manifest(spark, corpus_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    # first run "crashes" with 4 buckets unprocessed
+    r1 = run_pipeline(
+        spark, corpus_path, out_dir, manifest, n_buckets=8, fail_buckets={5, 6, 7, 2}
+    )
+    assert r1["buckets_processed"] == 4
+    # resume: only the missing buckets run
+    r2 = run_pipeline(spark, corpus_path, out_dir, manifest, n_buckets=8)
+    assert r2["buckets_skipped"] == 4
+    assert r2["buckets_processed"] == 4
+    # output is complete and row-exact (no duplicates from the resume)
+    total_rows = spark.read.parquet(corpus_path).count()
+    assert r2["rows_total"] == total_rows
+    written = spark.read.parquet(out_dir)
+    assert written.groupBy("repo", "path", "commit").count().filter("count > 1").isEmpty()
+
+
+def test_model_separation():
+    """LangId classifies clean single-language files correctly; the LM
+    separates gibberish from real code."""
+    from data_curator_spark.pipeline.corpus import LANGS, _normal_file, _gibberish_file
+    from data_curator_spark.pipeline.model import build_bigram_lm, build_langid_model
+
+    rng = np.random.default_rng(99)
+    model = build_langid_model()
+    lm = build_bigram_lm()
+    docs, want = [], []
+    for lang in LANGS:
+        for _ in range(10):
+            docs.append(_normal_file(rng, lang))
+            want.append(lang)
+    best, margin = model.predict(docs)
+    acc = np.mean(np.array(model.langs)[best] == np.array(want))
+    assert acc >= 0.98
+    clean_ppl = lm.log_perplexity(docs)
+    gib_ppl = lm.log_perplexity([_gibberish_file(rng) for _ in range(10)])
+    assert gib_ppl.min() > clean_ppl.max()
