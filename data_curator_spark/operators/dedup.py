@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side built-ins (explode + hash + groupBy); SimHash
+uses one Arrow-batched pandas UDF for the 64-bit accumulate. Scale notes
+per operator inline — these are the dedup stages a 10^12-file corpus
+pipeline actually shuffles on, so shuffle keys and pre-aggregation are
+chosen to keep data movement minimal:
+
+- exact: one shuffle on a 256-bit content hash (no content moves).
+- MinHash/LSH: per-doc signatures via explode + single groupBy (map-side
+  partial min), then candidate pairs via band-bucket self-join — the
+  standard shingle→minhash→band→bucket-join pipeline; only signatures
+  (k×8 bytes/doc) shuffle, never content.
+- n-gram Jaccard: exact verification join on distinct shingles, used on
+  LSH candidates (or small corpora) only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS_RE = "[ \\n\\t\\r]+"
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (pure SQL expr)."""
+    words = F.split(F.trim(text), WS_RE)
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicated
+    content hash with the canonical (min) id and the member count.
+
+    At scale: shuffles 32-byte hashes + ids only; AQE coalesces the
+    post-shuffle partitions."""
+    h = F.sha2(F.col(content_col), 256).alias("content_sha")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, content_col: str, k: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signatures: explode distinct shingles, one
+    groupBy computing k mins of k salted xxhash64 values (map-side
+    partial aggregation makes this one narrow shuffle of k×8B per doc)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, k: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature into ``bands`` buckets and self-join on
+    (band_idx, band_hash) — near-duplicate candidates collide in ≥1 band.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is
+    the fraction of equal minhash components (unbiased Jaccard estimate).
+    At 10^12 scale the self-join is on the bucket key only; skewed
+    buckets (boilerplate shingles) are split by AQE skew-join handling."""
+    r = k // bands
+    mh_cols = [f"mh_{i}" for i in range(k)]
+    banded = signatures.select(
+        id_col,
+        *mh_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, *mh_cols, "bb.band", "bb.bh")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols], "band", "bh"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols], "band", "bh"
+    )
+    pairs = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols
+    )
+    return pairs.select(
+        "id_a", "id_b", (matches.cast("double") / F.lit(float(k))).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    |A∩B| via a shingle equi-join + count, |A∪B| = |A|+|B|−|A∩B|.
+    Quadratic in the worst case — at scale this runs on LSH candidates,
+    not the full corpus (lsh_candidate_pairs provides the blocking)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """64-bit SimHash fingerprints via one Arrow-batched pandas UDF.
+
+    Tokens are hashed with a splitmix64-style mixer in numpy (uint64
+    vectorized); bit votes accumulate per document; near-dups are docs
+    whose fingerprints differ in ≤3 bits (compare with
+    ``bit_count(simhash_a ^ simhash_b)``, a pure JVM expression)."""
+
+    @F.pandas_udf("long")
+    def sim64(texts: pd.Series) -> pd.Series:
+        docs = texts.fillna("").tolist()
+        tok_lists = [d.split() for d in docs]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        all_toks = np.array(
+            [t for toks in tok_lists for t in toks] or [""], dtype=object
+        )
+        # C-speed deterministic 64-bit token hashing over the whole batch
+        hs = pd.util.hash_array(all_toks, categorize=False)
+        doc_ids = np.repeat(np.arange(len(docs)), counts)
+        shifts = np.arange(64, dtype=np.uint64)
+        bit_votes = np.zeros((len(docs), 64), dtype=np.int64)
+        if counts.sum() > 0:
+            bits = ((hs[: counts.sum(), None] >> shifts) & np.uint64(1)).astype(np.int64)
+            np.add.at(bit_votes, doc_ids, 2 * bits - 1)
+        fp = ((bit_votes > 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(fp.view(np.int64))
+
+    return df.select(F.col(id_col), sim64(F.col(content_col)).alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over SimHash fingerprints.
+
+    Blocking: split the 64-bit fingerprint into (max_hamming+1) bands —
+    by pigeonhole, any pair within ``max_hamming`` bits shares at least
+    one exact band. Join per band, then verify with bit_count(xor)."""
+    nb = max_hamming + 1
+    # cover ALL 64 bits: the first (64 % nb) bands are one bit wider, so
+    # the pigeonhole guarantee (≤max_hamming flips ⇒ ≥1 untouched band)
+    # actually holds — a plain 64//nb split leaves remainder bits outside
+    # every band and silently loses the guarantee
+    base_w, extra = divmod(64, nb)
+    offsets, widths, off = [], [], 0
+    for b in range(nb):
+        w = base_w + (1 if b < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+    bands = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,152 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with a typed metadata struct; decode
+/ feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The actual codecs (PIL/librosa/ffmpeg) are NOT
+in this container, so the decode step is gated behind an import-try with
+a clearly-marked deterministic fake — the Spark-side contract (schema,
+batching, partitioning) is real and tested.
+
+Scale notes: media bytes never shuffle — every stage is a map-only
+projection; partition sizing comes from
+``spark.sql.files.maxPartitionBytes`` at scan time, and batch memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),  # opaque encoded bytes
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),  # images/video
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),  # audio
+        StructField("n_frames", IntegerType(), True),  # video
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an encoded image to an HxWx3 uint8 array.
+
+    Real implementation requires an image codec (PIL/opencv), absent in
+    this container. DETERMINISTIC FAKE: bytes are tiled into the target
+    shape — preserves the pipeline contract (shape, dtype) for tests.
+    """
+    try:  # pragma: no cover - codec not installed here
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode path: PIL.Image.open(io.BytesIO(payload))"
+        )
+    except ImportError:
+        buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+        need = width * height * 3
+        reps = -(-need // len(buf))
+        return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
+    """Decode audio to a float32 waveform. DETERMINISTIC FAKE (see above)."""
+    try:  # pragma: no cover
+        import librosa  # noqa: F401
+
+        raise NotImplementedError("real audio decode path: librosa.load(...)")
+    except ImportError:
+        buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+        return (buf.astype(np.float32) - 127.5) / 127.5
+
+
+def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Decode + feature-extract each media row; features are fixed-width
+    float vectors (8 channel-statistics for images, 8 spectral-ish stats
+    for audio, per-frame means for video).
+
+    One ``mapInPandas`` pass; output schema is fixed (FEATURE_SCHEMA) so
+    downstream joins/ANN run on columnar vectors, never raw bytes."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                if row["kind"] == "image":
+                    img = _decode_image(payload, row["width"] or 8, row["height"] or 8)
+                    f = np.concatenate(
+                        [img.mean(axis=(0, 1)), img.std(axis=(0, 1)), [img.min(), img.max()]]
+                    )
+                elif row["kind"] == "audio":
+                    wav = _decode_audio(payload, row["sample_rate"] or 16000)
+                    f = np.array(
+                        [
+                            wav.mean(), wav.std(), np.abs(wav).mean(), np.abs(wav).max(),
+                            float((np.diff(np.signbit(wav)) != 0).mean() if len(wav) > 1 else 0.0),
+                            float(len(wav)), wav[: len(wav) // 2].mean() if len(wav) > 1 else 0.0,
+                            wav[len(wav) // 2 :].mean() if len(wav) > 1 else 0.0,
+                        ]
+                    )
+                else:  # video: frame-sample then per-frame channel means
+                    n = row["n_frames"] or 1
+                    frames = [
+                        _decode_image(payload[i::n] or payload, row["width"] or 8, row["height"] or 8)
+                        for i in range(min(n, 4))
+                    ]
+                    f = np.array([fr.mean() for fr in frames] + [0.0] * (4 - len(frames)) + [float(n)] * 4)
+                feats.append([float(x) for x in f[:8]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(compute, schema=FEATURE_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from the documents table: text bytes
+    become opaque payloads with deterministic metadata — exercises the
+    binary-column plumbing without real media files."""
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("n_frames"),
+    )

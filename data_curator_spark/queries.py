@@ -597,3 +597,269 @@ ORACLES: dict[str, str] = {
     "null_semantics": SQL_NULL_SEMANTICS,
     "discrepancy_scan": SQL_DISCREPANCY_SCAN,
 }
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring as pure SQL expressions
+    (functions/text.py; training-data text-analysis ops)."""
+    from data_curator_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        T.whitespace_token_count(c).alias("ws_tokens"),
+        T.bpe_token_count(c).alias("bpe_tokens"),
+        T.mean_word_length(c).alias("mean_word_len"),
+        T.punct_ratio(c).alias("punct_ratio"),
+        T.stopword_ratio(c, ["the", "a", "and", "of", "to"]).alias("stop_ratio"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT
+  doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '[ 
+	
+]+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 
+	
+]')) AS bpe_tokens,
+  CASE WHEN len(string_split_regex(trim(text), '[ 
+	
+]+')) > 0
+       THEN CAST(list_sum(list_transform(string_split_regex(trim(text), '[ 
+	
+]+'), x -> length(x))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '[ 
+	
+]+')) END AS mean_word_len,
+  CASE WHEN length(text) > 0
+       THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+  CASE WHEN len(string_split_regex(trim(lower(text)), '[ 
+	
+]+')) > 0
+       THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ 
+	
+]+'),
+                                 x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+            / len(string_split_regex(trim(lower(text)), '[ 
+	
+]+')) END AS stop_ratio
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint (functions/text.py)."""
+    from data_curator_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: deduplication over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by sha256 (operators/dedup.py:exact_duplicates).
+
+    The documents table has no exact dups, so every doc_id % 7 == 0 row is
+    re-appended under doc_id+1000000 — deterministic known duplicates."""
+    from data_curator_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(dup), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT sha256(text) AS content_sha, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+FROM base
+GROUP BY sha256(text)
+HAVING COUNT(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.5
+    (operators/dedup.py:ngram_jaccard_pairs)."""
+    from data_curator_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ 
+	
+]+') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w WHERE len(ws) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (shingle -> minhash -> band ->
+    bucket-join). No SQL oracle (hash-function specific) -> rows-only check;
+    exactness of the underlying estimate is pinned by tests/test_dedup.py."""
+    from data_curator_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", k=32)
+    return lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via pigeonhole band blocking.
+    Rows-only check (fingerprint bits are hash-function specific)."""
+    from data_curator_spark.operators.dedup import simhash, simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for query vectors vec_id < 5
+    (operators/similarity.py:cosine_topk; broadcast nested-loop scan)."""
+    from data_curator_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=3
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND(
+      list_sum(list_transform(range(1, len(q.embedding)+1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+    6) AS sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (operators/similarity.py:lsh_ann_topk).
+    Rows-only check; recall vs the exact baseline is pinned by
+    tests/test_similarity.py."""
+    from data_curator_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=3
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms of embedding vectors — double-precision left-to-right fold
+    (operators/similarity.py:l2_norm)."""
+    from data_curator_spark.operators.similarity import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", l2_norm(F.col("embedding")).alias("l2"))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS l2
+FROM embeddings
+"""
+
+QUERIES.update(
+    {
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near": q_simhash_near,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_norms": q_embedding_norms,
+    }
+)
+
+ORACLES.update(
+    {
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "embedding_norms": SQL_EMBEDDING_NORMS,
+        # minhash_lsh, simhash_near, ann_lsh: intentionally no oracle
+        # (hash-function-specific internals) -> driver rows-only check
+    }
+)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents -> opaque payloads ->
+    mapInPandas decode/feature-extract (operators/multimodal.py). Decode
+    codecs are stubbed (deterministic fake); rows-only check."""
+    from data_curator_spark.operators.multimodal import extract_features, media_from_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = extract_features(media_from_documents(d))
+    return out.select("media_id", "kind", "n_bytes")
+
+
+QUERIES["multimodal_features"] = q_multimodal_features

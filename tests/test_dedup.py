@@ -1,0 +1,105 @@
+"""Dedup operator semantics: MinHash estimate quality, LSH candidate
+recall, SimHash hamming behavior, exact-dup grouping."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.operators import dedup as D
+
+
+def _mk_docs(spark, docs):
+    return spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    base_docs = [
+        " ".join(rng.choice(vocab, 60)) for _ in range(10)
+    ]
+    docs = list(base_docs)
+    # docs 10..14: near-dups of docs 0..4 (replace 3 of 60 words)
+    for i in range(5):
+        words = base_docs[i].split()
+        for j in range(3):
+            words[int(rng.integers(0, len(words)))] = "CHANGED" + str(j)
+        docs.append(" ".join(words))
+    # doc 15: exact dup of doc 0
+    docs.append(base_docs[0])
+    return _mk_docs(spark, docs), docs
+
+
+def _true_jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_duplicates(spark, near_dup_docs):
+    df, docs = near_dup_docs
+    out = D.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 0 and out[0]["n_members"] == 2
+
+
+def test_ngram_jaccard_exact_values(spark, near_dup_docs):
+    df, docs = near_dup_docs
+    out = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # near-dup pairs present with the true jaccard value
+    for i in range(5):
+        pair = (i, i + 10)
+        assert pair in got
+        assert got[pair] == pytest.approx(_true_jaccard(docs[i], docs[i + 10]))
+    assert got[(0, 15)] == pytest.approx(1.0)
+
+
+def test_minhash_lsh_recall_and_estimate(spark, near_dup_docs):
+    df, docs = near_dup_docs
+    sigs = D.minhash_signatures(df, "doc_id", "text", k=64)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", k=64, bands=16).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    # all true near-dup pairs are candidates (high-sim ⇒ ≥1 band collides)
+    for i in range(5):
+        assert (i, i + 10) in got
+        true_j = _true_jaccard(docs[i], docs[i + 10])
+        assert got[(i, i + 10)] == pytest.approx(true_j, abs=0.25)
+    assert got[(0, 15)] == 1.0  # exact dup: all minhashes equal
+
+
+def test_simhash_near_pairs(spark, near_dup_docs):
+    df, docs = near_dup_docs
+    fps = D.simhash(df, "doc_id", "text")
+    rows = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    # exact dup → identical fingerprints
+    assert rows[0] == rows[15]
+    pairs = D.simhash_near_pairs(fps, "doc_id", max_hamming=15).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 15)] == 0
+    # near-dups (true hamming ≤ 13 for this fixture) all found — the
+    # pigeonhole banding guarantees completeness within the radius
+    for i in range(5):
+        assert (i, i + 10) in got
+    # unrelated docs (hamming ≈ 21) excluded
+    assert (1, 2) not in got
+
+
+def test_word_shingles_edgecases(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, ""), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()}
+    assert out[0] == []  # fewer words than n
+    assert out[1] == []
+    assert out[2] == ["a b c", "b c d"]

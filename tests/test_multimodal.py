@@ -1,0 +1,43 @@
+"""Multimodal plumbing: schema stability, deterministic fake decode,
+batch shape through mapInPandas."""
+
+from __future__ import annotations
+
+from data_curator_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    extract_features,
+    media_from_documents,
+)
+
+
+def test_feature_extraction_schema_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "abc"), (2, "a longer text body here")],
+        "doc_id long, text string",
+    )
+    media = media_from_documents(docs)
+    out = extract_features(media)
+    assert out.schema == FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {"m0", "m1", "m2"}
+    # kinds rotate deterministically
+    assert rows["m0"]["kind"] == "image"
+    assert rows["m1"]["kind"] == "audio"
+    assert rows["m2"]["kind"] == "video"
+    # features are fixed-width and deterministic
+    for r in rows.values():
+        assert len(r["feature"]) == 8
+    rows2 = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows2["m0"]["feature"] == rows["m0"]["feature"]
+    assert rows["m0"]["n_bytes"] == len("hello world")
+
+
+def test_feature_extraction_null_payload(spark):
+    media = spark.createDataFrame(
+        [("x", "image", None, None, 4, 4, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, sample_rate int, n_frames int",
+    )
+    out = extract_features(media).collect()
+    assert out[0]["n_bytes"] == 0
+    assert len(out[0]["feature"]) == 8

@@ -1,0 +1,93 @@
+"""Similarity-search operators: exact top-k vs numpy baseline; LSH
+recall against the exact result."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_curator_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(13)
+    # 3 clusters of 20 vectors in 16-d
+    centers = rng.standard_normal((3, 16)) * 5
+    vecs = []
+    for ci in range(3):
+        for _ in range(20):
+            vecs.append(centers[ci] + rng.standard_normal(16) * 0.5)
+    arr = np.array(vecs, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in arr[i]]) for i in range(len(arr))],
+        "vec_id long, embedding array<float>",
+    )
+    return df, arr
+
+
+def _numpy_topk(arr, qids, k):
+    a = arr.astype(np.float64)
+    norms = np.linalg.norm(a, axis=1)
+    sims = (a @ a.T) / np.outer(norms, norms)
+    out = {}
+    for q in qids:
+        s = np.round(sims[q], 6)
+        order = sorted(
+            (i for i in range(len(a)) if i != q), key=lambda i: (-s[i], i)
+        )
+        out[q] = [(i, s[i]) for i in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    df, arr = vectors
+    queries = df.filter("vec_id < 4")
+    out = S.cosine_topk(queries, df, "vec_id", "embedding", k=5).collect()
+    want = _numpy_topk(arr, range(4), 5)
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim"]))
+    for q in range(4):
+        got_q = [(n, s) for _, n, s in sorted(got[q])]
+        for (gn, gs), (wn, ws) in zip(got_q, want[q]):
+            assert gn == wn
+            assert gs == pytest.approx(ws, abs=1e-6)
+
+
+def test_topk_same_cluster(spark, vectors):
+    df, arr = vectors
+    out = S.cosine_topk(df.filter("vec_id = 0"), df, "vec_id", "embedding", k=5).collect()
+    # neighbors of a cluster-0 vector are cluster-0 vectors (ids 0..19)
+    assert all(r["neighbor_id"] < 20 for r in out)
+
+
+def test_lsh_ann_recall(spark, vectors):
+    df, arr = vectors
+    queries = df.filter("vec_id < 4")
+    exact = S.cosine_topk(queries, df, "vec_id", "embedding", k=5).collect()
+    approx = S.lsh_ann_topk(
+        queries, df, "vec_id", "embedding", k=5, n_planes=6, n_tables=6, dim=16
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.8  # clustered data, 6 tables → high recall
+
+
+def test_norm_and_dot_precision(spark, vectors):
+    df, arr = vectors
+    from pyspark.sql import functions as F
+
+    out = df.select("vec_id", S.l2_norm(F.col("embedding")).alias("l2")).collect()
+    a = arr.astype(np.float64)
+    for r in out:
+        # left-to-right double fold == numpy cumulative within fp tolerance
+        assert r["l2"] == pytest.approx(np.linalg.norm(a[r["vec_id"]]), rel=1e-12)
