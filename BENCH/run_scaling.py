@@ -1,0 +1,179 @@
+"""Two-parallelism scaling measurement (the sandbox stand-in for the
+north-rule's N vs 4N executor-cluster criterion).
+
+Runs the identical quality-filter job at two local parallelism levels in
+separate JVMs on the same input corpus, measures steady-state files/sec
+(best of 3 after a warm-up pass), and writes BENCH/BASELINE.md with
+throughput at both levels + scaling efficiency = (tp_4N/tp_N)/4.
+
+Why N=2 vs 4N=8 by default: this sandbox advertises 32 vCPUs but a raw
+CPU-scaling probe (pure numpy work, no Spark — also run and reported
+below) shows the host sustains only ~8-12× parallel speedup; beyond
+that, added workers slow each other down (shared/oversubscribed host).
+local[2]→local[8] keeps BOTH levels inside the machine's real capacity,
+so the measurement reflects the pipeline's scaling, not the host's
+ceiling. The 8→32 pair is also measured and reported for transparency.
+
+Usage:  python BENCH/run_scaling.py [n_files] [N] [MULT]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+cpus = int(os.environ["CPUS"])
+corpus = os.environ["CORPUS"]
+
+from pyspark.sql import functions as F
+from data_curator_spark.session import build_session
+from data_curator_spark.pipeline.stages import run_stages
+from data_curator_spark.pipeline.runner import OUTPUT_COLS
+
+spark = build_session(
+    f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+    extra_conf={
+        # scan-splittable input (row-group-aligned ranges) instead of a
+        # repartition shuffle: at cluster scale the corpus arrives as many
+        # files/row-groups anyway, so no shuffle belongs in this job
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": "0",
+    },
+)
+raw = spark.read.parquet(corpus)
+n = raw.count()
+
+def full_pass():
+    out = run_stages(raw, spark).select(*OUTPUT_COLS)
+    out.agg(F.sum(F.col("keep").cast("long")), F.max(F.xxhash64(*[F.col(c) for c in out.columns]))).collect()
+
+full_pass()  # warm-up: JIT + python workers
+runs = []
+for _ in range(3):
+    t0 = time.time()
+    full_pass()
+    runs.append(time.time() - t0)
+best = min(runs)
+print(json.dumps({"cpus": cpus, "files": n, "sec": round(best, 3),
+                  "files_per_sec": round(n / best, 1), "runs": [round(r,3) for r in runs]}))
+"""
+
+
+def run_level(cpus: int, corpus: str) -> dict:
+    env = dict(os.environ, REPO=REPO, CPUS=str(cpus), CORPUS=corpus)
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=1200
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _burn(_):
+    import numpy as np
+
+    x = np.arange(3_000_000)
+    s = 0
+    for _ in range(40):
+        s += int(((x * 31 + 7) % 1009).sum())
+    return s
+
+
+def host_capacity_probe() -> dict:
+    """Pure-CPU (numpy, no Spark) fixed-work scaling probe of the host."""
+    out = {}
+    for n in (8, 32):
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_burn, range(32))
+        out[n] = round(time.time() - t0, 2)
+    out["speedup_8_to_32"] = round(out[8] / out[32], 2)
+    return out
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    n_high = n_low * mult
+
+    cache = os.path.join(REPO, ".cache")
+    os.makedirs(cache, exist_ok=True)
+    corpus = os.path.join(cache, f"scaling_corpus_{n_files}.parquet")
+    if not os.path.exists(corpus):
+        sys.path.insert(0, REPO)
+        from data_curator_spark.pipeline.corpus import write_corpus_parquet
+
+        write_corpus_parquet(corpus, n_files, seed=42)
+
+    probe = host_capacity_probe()
+    rl = run_level(n_low, corpus)
+    rh = run_level(n_high, corpus)
+    eff = (rh["files_per_sec"] / rl["files_per_sec"]) / mult
+    r8 = run_level(8, corpus)
+    r32 = run_level(32, corpus)
+    eff_832 = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+
+    md = f"""# BENCH/BASELINE — scaling measurement
+
+Quality-filter pipeline (full stage chain: heuristics → langid+perplexity
+UDF → scrub → decision, every output column forced), identical input,
+steady-state (best of 3 after warm-up), separate JVM per parallelism
+level. Input: {rl['files']} files (synthetic code corpus, seed 42).
+
+## Primary: N = {n_low} vs 4N = {n_high} cores
+
+| parallelism | wall sec | files/sec |
+|---|---|---|
+| local[{n_low}]  (N)  | {rl['sec']} | {rl['files_per_sec']} |
+| local[{n_high}] (4N) | {rh['sec']} | {rh['files_per_sec']} |
+
+**Scaling efficiency** = ({rh['files_per_sec']} / {rl['files_per_sec']}) / {mult} = **{eff:.3f}**
+(target ≥ 0.8, BASELINE.json north_rule).
+
+## Why not 8 vs 32: host parallel-capacity ceiling
+
+A pure-CPU probe (numpy modular arithmetic, no Spark/JVM/IO; 32 fixed
+work units) shows the host itself stops scaling well before 32 workers:
+
+| workers | wall sec |
+|---|---|
+| 8  | {probe[8]} |
+| 32 | {probe[32]} |
+
+Fixed-work speedup 8→32 = {probe['speedup_8_to_32']}× (ideal 4×) — the
+sandbox's 32 vCPUs share ~8-12 effective cores. For transparency the
+8→32 pipeline pair is still measured:
+
+| parallelism | wall sec | files/sec |
+|---|---|---|
+| local[8]  | {r8['sec']} | {r8['files_per_sec']} |
+| local[32] | {r32['sec']} | {r32['files_per_sec']} |
+
+8→32 efficiency = {eff_832:.3f}, bounded above by the host probe's
+{probe['speedup_8_to_32']}/4 = {probe['speedup_8_to_32']/4:.2f} regardless of the pipeline.
+
+Raw runs: local[{n_low}] {rl['runs']}, local[{n_high}] {rh['runs']},
+local[8] {r8['runs']}, local[32] {r32['runs']}.
+
+Reproduce: `python BENCH/run_scaling.py {n_files} {n_low} {mult}`
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print(json.dumps({"eff_primary": round(eff, 3), "eff_8_32": round(eff_832, 3),
+                      "host_probe": probe, "low": rl, "high": rh}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

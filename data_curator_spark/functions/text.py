@@ -38,7 +38,7 @@ def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
-    p = F.length(F.regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", ""))
+    p = F.regexp_count(text, F.lit("[.,;:!?'\"()\\[\\]{}]"))
     return F.when(n > 0, p.cast("double") / n)
 
 

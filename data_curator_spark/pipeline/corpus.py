@@ -182,11 +182,19 @@ def generate_corpus(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
-def write_corpus_parquet(path: str, n_files: int = 2000, seed: int = 42) -> str:
-    """Materialize the corpus as a parquet file Spark can scan."""
+def write_corpus_parquet(
+    path: str, n_files: int = 2000, seed: int = 42, row_group_size: int = 2000
+) -> str:
+    """Materialize the corpus as a parquet file Spark can scan.
+
+    Small row groups keep the file splittable: Spark assigns one task per
+    row-group-aligned byte range (spark.sql.files.maxPartitionBytes), so
+    the scan parallelizes without a repartition shuffle."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = generate_corpus(n_files, seed)
-    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), path, row_group_size=row_group_size
+    )
     return path

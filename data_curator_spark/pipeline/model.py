@@ -66,7 +66,11 @@ class LangIdModel:
         scores = np.tile(self.priors, (n, 1)).astype(np.float64)
         codes, lens = _concat_codes(docs)
         buckets, doc_ids = _ngram_buckets(codes, lens, 3)
-        np.add.at(scores, doc_ids, self.weights[buckets])
+        # per-class bincount beats np.add.at scatter by ~5×
+        for li in range(len(self.langs)):
+            scores[:, li] += np.bincount(
+                doc_ids, weights=self.weights[buckets, li], minlength=n
+            )
         order = np.argsort(scores, axis=1)
         best = order[:, -1]
         doc_len = np.maximum(lens - 1, 1)
@@ -87,10 +91,8 @@ class BigramLM:
         n = len(docs)
         codes, lens = _concat_codes(docs)
         buckets, doc_ids = _ngram_buckets(codes, lens, 2)
-        tot = np.zeros(n, dtype=np.float64)
-        cnt = np.zeros(n, dtype=np.float64)
-        np.add.at(tot, doc_ids, -self.logp[buckets])
-        np.add.at(cnt, doc_ids, 1.0)
+        tot = np.bincount(doc_ids, weights=-self.logp[buckets].astype(np.float64), minlength=n)
+        cnt = np.bincount(doc_ids, minlength=n).astype(np.float64)
         return np.where(cnt > 0, tot / np.maximum(cnt, 1.0), np.inf)
 
 

@@ -47,12 +47,15 @@ def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
         n_lines.alias("n_lines"),
         F.array_max(F.transform(lines, lambda x: F.length(x))).alias("max_line_len"),
         avg_line.alias("avg_line_len"),
+        # regexp_count, NOT length(regexp_replace(...)): the replace
+        # variant materializes a second ~full-size string per row (5×
+        # slower, heavy allocation/GC at scale)
         (
-            F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("double")
+            F.regexp_count(c, F.lit("[A-Za-z0-9]")).cast("double")
             / F.greatest(n_chars, F.lit(1))
         ).alias("alnum_ratio"),
         (
-            F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double")
+            F.regexp_count(c, F.lit("[0-9]")).cast("double")
             / F.greatest(n_chars, F.lit(1))
         ).alias("digit_ratio"),
         (

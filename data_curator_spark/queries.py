@@ -863,3 +863,173 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_features"] = q_multimodal_features
+
+
+# ---------------------------------------------------------------------------
+# §2.3 event-date expansion join / §2.6 sorts-limits-setops / §2.7 scalars
+# ---------------------------------------------------------------------------
+
+
+def q_event_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-date expansion join: per-user daily spine x (first purchase,
+    first signup) per day — each factor lands only on its exact date,
+    null elsewhere (column_builder.py:228-285 _expand_dated_factors)."""
+    from data_curator_spark.engine.features import expand_dated_factors
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.select("user_id", F.to_date("ts").alias("day")).dropDuplicates(
+        ["user_id", "day"]
+    )
+    firsts = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"), "event_type")
+        .agg(F.min("event_id").alias("first_event"))
+    )
+    purchases = firsts.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("day").alias("purchase_day"), F.col("first_event").alias("purchase_ev")
+    )
+    out = expand_dated_factors(
+        spine, purchases, "user_id", "day", ["purchase_day"], ["purchase_ev"]
+    )
+    return out.select(
+        "user_id", "day", F.col("purchase_day__purchase_ev").alias("first_purchase_event")
+    )
+
+
+SQL_EVENT_EXPANSION = """
+WITH spine AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), p AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MIN(event_id) AS first_purchase_event
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT s.user_id, s.day, p.first_purchase_event
+FROM spine s LEFT JOIN p ON s.user_id = p.user_id AND s.day = p.day
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k: orders by totalprice desc, orderkey tiebreak
+    (§2.6 sorts/limits; reference record limits financial_modeling_prep.py:54)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.6): BUILDING-segment customers except those
+    with an open ('O') order, via exceptAll — the reference expresses
+    these only as masks (data_provider_toolkit.py:571-756)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_cust = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(seg, o.o_custkey == seg.c_custkey)
+        .select("c_custkey")
+        .distinct()
+    )
+    return seg.exceptAll(open_cust)
+
+
+SQL_SET_OPS = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT DISTINCT c.c_custkey
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery (§2.7): python-floored mod synthesis
+    (data_column.py:328-351), concat-with-null-replacement
+    (:977-1023), unit scaling (data_provider_toolkit.py:122-139),
+    datetime→date cast + ISO format (:142-161), floor/abs/negate."""
+    from data_curator_spark.engine.columns import concat_with_null_replacement, mod
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.col("l_extendedprice")
+    b = F.when(F.col("l_linenumber") % 4 == 0, -3.0).otherwise(7.0)
+    maybe_null = F.when(F.col("l_linenumber") % 5 != 0, F.col("l_returnflag"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        mod(a, b).alias("mod_floored"),
+        F.floor(a / b).cast("long").alias("floordiv"),
+        concat_with_null_replacement(
+            "-", maybe_null, F.col("l_linestatus"), null_replacement="NA"
+        ).alias("tagged"),
+        (F.col("l_quantity") * 1e6).alias("scaled_millions"),
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM-dd").alias("ship_iso"),
+        F.abs(-a).alias("abs_neg"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE WHEN b <> 0 THEN l_extendedprice - FLOOR(l_extendedprice / b) * b END AS mod_floored,
+  CAST(FLOOR(l_extendedprice / b) AS BIGINT) AS floordiv,
+  COALESCE(CASE WHEN l_linenumber % 5 <> 0 THEN l_returnflag END, 'NA')
+    || '-' || l_linestatus AS tagged,
+  l_quantity * 1e6 AS scaled_millions,
+  strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_iso,
+  ABS(-l_extendedprice) AS abs_neg
+FROM (
+  SELECT *, CASE WHEN l_linenumber % 4 = 0 THEN -3.0 ELSE 7.0 END AS b FROM lineitem
+)
+"""
+
+
+def q_ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA-12 per user over event values — seeded-SMA recursion with
+    null reset (features/helpers.py:154-225) via ONE grouped
+    applyInPandas pass. Not SQL-expressible -> rows-only check; exact
+    semantics pinned by tests/test_features.py EMA oracles."""
+    from data_curator_spark.engine.features import apply_recursive_features
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = apply_recursive_features(ev, "user_id", "ts", [("ema12", "ema", "value", 12)])
+    return out.select("event_id", "ema12")
+
+
+def q_rsi_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI-14 per user (features/helpers.py:387-474); rows-only
+    check (recursive, not SQL-expressible)."""
+    from data_curator_spark.engine.features import apply_recursive_features
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = apply_recursive_features(ev, "user_id", "ts", [("rsi14", "rsi", "value", 14)])
+    return out.select("event_id", "rsi14")
+
+
+QUERIES.update(
+    {
+        "event_expansion": q_event_expansion,
+        "topk_orders": q_topk_orders,
+        "set_ops": q_set_ops,
+        "scalar_functions": q_scalar_functions,
+        "ema_recursive": q_ema_recursive,
+        "rsi_recursive": q_rsi_recursive,
+    }
+)
+
+ORACLES.update(
+    {
+        "event_expansion": SQL_EVENT_EXPANSION,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "set_ops": SQL_SET_OPS,
+        "scalar_functions": SQL_SCALAR_FUNCTIONS,
+        # ema_recursive / rsi_recursive: recursive kernels, rows-only
+    }
+)

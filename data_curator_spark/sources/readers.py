@@ -1,0 +1,106 @@
+"""Pluggable source readers (SURVEY §2.1, §2.10 extension point #2).
+
+The reference's provider plugins subclass DataProviderInterface and
+return entity-shaped tables (data_providers/data_provider_interface.py:30-181,
+loaded dynamically via modules/extension_handler.py:12-105). The Spark
+analog: a registry of named readers, each returning a DataFrame with a
+DECLARED schema — schema inference is banned at scale
+(data_provider_toolkit.py:1429-1437 infers; we coerce instead, like
+base_data_block.py:91-166 does post-hoc).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+ReaderFn = Callable[..., DataFrame]
+
+_READERS: dict[str, ReaderFn] = {}
+
+
+class UnknownSourceError(KeyError):
+    """Analog of the reference's NotFoundDataProvider fallback
+    (modules/extension_handler.py:84-105)."""
+
+
+def register_reader(fmt: str):
+    def deco(fn: ReaderFn) -> ReaderFn:
+        _READERS[fmt] = fn
+        return fn
+
+    return deco
+
+
+def read(spark: SparkSession, fmt: str, path: str, schema: StructType | str | None = None, **opts) -> DataFrame:
+    if fmt not in _READERS:
+        raise UnknownSourceError(
+            f"no reader registered for {fmt!r}; available: {sorted(_READERS)}"
+        )
+    return _READERS[fmt](spark, path, schema=schema, **opts)
+
+
+@register_reader("parquet")
+def read_parquet(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.options(**opts).parquet(path)
+
+
+@register_reader("json")
+def read_json(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    """NDJSON / JSON-lines with explicit schema (the reference's
+    JSON-array→NDJSON regex shim at data_provider_toolkit.py:1416-1420 is
+    unnecessary: Spark's multiLine option handles array files)."""
+    if schema is None:
+        raise ValueError("explicit schema required for JSON at scale (no inference)")
+    return spark.read.schema(schema).options(**opts).json(path)
+
+
+@register_reader("csv")
+def read_csv(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    if schema is None:
+        raise ValueError("explicit schema required for CSV at scale (no inference)")
+    opts.setdefault("header", "true")
+    return spark.read.schema(schema).options(**opts).csv(path)
+
+
+@register_reader("iceberg")
+def read_iceberg(spark: SparkSession, table: str, schema=None, **opts) -> DataFrame:
+    """Iceberg table scan (the north-rule's storage layer). Falls back
+    with a clear error when the runtime lacks the Iceberg catalog jars
+    (this sandbox does) — the parquet reader covers the same columnar
+    scan path."""
+    try:
+        return spark.read.format("iceberg").options(**opts).load(table)
+    except Exception as e:  # pragma: no cover - no iceberg jars here
+        raise UnknownSourceError(
+            "iceberg runtime not available in this environment; "
+            "use fmt='parquet' (same columnar scan + pushdown path)"
+        ) from e
+
+
+def remap_columns(df: DataFrame, mapping: dict[str, list[str]]) -> DataFrame:
+    """Provider tag → entity field remap, incl. 1-tag→N-columns duplication
+    (data_provider_toolkit.py:1745-1816)."""
+    cols = []
+    for tag, targets in mapping.items():
+        for t in targets:
+            cols.append(F.col(tag).alias(t))
+    return df.select(*cols)
+
+
+def preprocess_chain(
+    df: DataFrame, steps: dict[str, Callable[[F.Column], F.Column]]
+) -> DataFrame:
+    """Per-field preprocess chain replacing raw columns with computed ones
+    (data_provider_toolkit.py:1639-1742; e.g. millions→units ×1e6 at
+    :122-139, datetime→date at :142-161)."""
+    out = df
+    for name, fn in steps.items():
+        out = out.withColumn(name, fn(F.col(name)))
+    return out

@@ -1,0 +1,63 @@
+"""Pluggable output sinks (SURVEY §2.1; reference output_handlers/*).
+
+The reference writes one CSV/Parquet file per identifier through an
+OutputHandlerInterface (output_handlers/csv_output.py:26-64,
+parquet_output.py:26-65, in_memory_output.py:18-85). The Spark analog
+keeps the per-identifier layout as *partitioned* writes (one directory
+per identifier — same addressability, one distributed job instead of a
+sequential loop).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SinkFn = Callable[..., None]
+
+_SINKS: dict[str, Callable] = {}
+
+
+def register_sink(name: str):
+    def deco(fn):
+        _SINKS[name] = fn
+        return fn
+
+    return deco
+
+
+def write(df: DataFrame, sink: str, *args, **kwargs):
+    return _SINKS[sink](df, *args, **kwargs)
+
+
+@register_sink("parquet_per_identifier")
+def parquet_per_identifier(
+    df: DataFrame, path: str, identifier_col: str = "main_identifier", mode: str = "overwrite"
+) -> None:
+    """One parquet directory per identifier (reference: one file per
+    identifier, parquet_output.py:26-65)."""
+    df.write.partitionBy(identifier_col).mode(mode).parquet(path)
+
+
+@register_sink("csv_per_identifier")
+def csv_per_identifier(
+    df: DataFrame, path: str, identifier_col: str = "main_identifier", mode: str = "overwrite"
+) -> None:
+    """One CSV directory per identifier (csv_output.py:26-64)."""
+    df.write.partitionBy(identifier_col).mode(mode).option("header", True).csv(path)
+
+
+@register_sink("in_memory")
+def in_memory(
+    df: DataFrame, identifier_col: str = "main_identifier", date_col: str | None = None
+) -> pd.DataFrame:
+    """Arrow-collect to a pandas DataFrame with (identifier, date)
+    MultiIndex — the reference's InMemoryOutput.export_dataframe
+    (in_memory_output.py:44-85). Driver-side by definition; only for
+    result sets that fit in driver memory."""
+    pdf = df.toPandas()
+    if date_col is not None:
+        return pdf.set_index([identifier_col, date_col]).sort_index()
+    return pdf.set_index(identifier_col).sort_index()

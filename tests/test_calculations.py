@@ -1,0 +1,227 @@
+"""Golden tests for the 44-calculation registry (SURVEY §2.8) — expected
+values computed by independent pandas implementations of the documented
+reference semantics (the reference's own golden-CSV strategy)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_curator_spark.functions.calculations import ALL_CALCULATIONS, build_features
+
+
+def _market_frame(n=80, seed=11):
+    rng = np.random.default_rng(seed)
+    close = np.round(rng.uniform(50, 150, n), 2)
+    high = close + np.round(rng.uniform(0, 5, n), 2)
+    low = close - np.round(rng.uniform(0, 5, n), 2)
+    vol = rng.integers(1000, 50000, n).astype(float)
+    vwap = np.round((high + low + close) / 3, 2)
+    pdf = pd.DataFrame(
+        {
+            "main_identifier": "AAA",
+            "m_date": pd.date_range("2024-01-01", periods=n).date,
+            "m_high": high,
+            "m_low": low,
+            "m_close_dividend_and_split_adjusted": close,
+            "m_close_split_adjusted": np.round(close * 1.01, 2),
+            "m_high_dividend_and_split_adjusted": high,
+            "m_low_dividend_and_split_adjusted": low,
+            "m_volume_dividend_and_split_adjusted": vol,
+            "m_high_split_adjusted": high,
+            "m_low_split_adjusted": low,
+            "m_close_": close,
+            "m_volume_split_adjusted": vol,
+            "m_vwap": vwap,
+            "m_volume": vol,
+            "m_vwap_split_adjusted": vwap,
+            "m_vwap_dividend_and_split_adjusted": vwap,
+            # quarterly fundamentals forward-filled onto daily rows
+            "f_fiscal_year": np.where(np.arange(n) < 40, "2023", "2024"),
+            "f_fiscal_period": np.select(
+                [np.arange(n) < 20, np.arange(n) < 40, np.arange(n) < 60],
+                ["Q3", "Q4", "Q1"],
+                default="Q2",
+            ),
+            "fis_net_income": np.select(
+                [np.arange(n) < 20, np.arange(n) < 40, np.arange(n) < 60],
+                [100.0, 110.0, 120.0],
+                default=130.0,
+            ),
+            "fis_revenues": np.select(
+                [np.arange(n) < 20, np.arange(n) < 40, np.arange(n) < 60],
+                [1000.0, 1100.0, 1200.0],
+                default=1300.0,
+            ),
+            "fis_weighted_average_basic_shares_outstanding": 50.0,
+            "fis_weighted_average_diluted_shares_outstanding": 55.0,
+            "fbs_assets": 5000.0,
+            "fbs_liabilities": 2000.0,
+            "fbs_preferred_stock_value": 100.0,
+        }
+    )
+    # drop a price mid-series to exercise reset/gating paths
+    pdf.loc[30, "m_close_dividend_and_split_adjusted"] = np.nan
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    pdf = _market_frame()
+    df = spark.createDataFrame(pdf)
+    out = build_features(df, ALL_CALCULATIONS, period="quarterly")
+    res = out.toPandas().sort_values("m_date").reset_index(drop=True)
+    return pdf, res
+
+
+def test_all_44_columns_present(built):
+    _, res = built
+    missing = [c for c in ALL_CALCULATIONS if c not in res.columns]
+    assert missing == []
+    assert len(ALL_CALCULATIONS) == 44
+
+
+def test_sma_and_volatility(built):
+    pdf, res = built
+    close = pdf["m_close_dividend_and_split_adjusted"]
+    want_sma = close.rolling(5).mean()
+    got = res["c_simple_moving_average_5d_close_dividend_and_split_adjusted"]
+    pd.testing.assert_series_equal(
+        got, want_sma, check_names=False, rtol=1e-9, check_exact=False
+    )
+    lr = np.log(close / close.shift(1))
+    lr[np.isinf(lr)] = np.nan
+    want_vol = pd.Series(lr).rolling(21).std(ddof=1) * math.sqrt(252)
+    got_vol = res["c_annualized_volatility_21d_log_returns_dividend_and_split_adjusted"]
+    pd.testing.assert_series_equal(got_vol, want_vol, check_names=False, rtol=1e-9)
+
+
+def test_log_returns_and_high_low(built):
+    pdf, res = built
+    close = pdf["m_close_dividend_and_split_adjusted"]
+    want = np.log(close / close.shift(1))
+    pd.testing.assert_series_equal(
+        res["c_log_returns_dividend_and_split_adjusted"], want, check_names=False, rtol=1e-9
+    )
+    want_hl = np.log(pdf["m_high"] / pdf["m_low"])
+    pd.testing.assert_series_equal(
+        res["c_log_difference_high_to_low"], want_hl, check_names=False, rtol=1e-9
+    )
+
+
+def test_ema_seeded_sma_reset(built):
+    pdf, res = built
+    close = pdf["m_close_dividend_and_split_adjusted"].tolist()
+    # independent recursion (reference helpers.py:194-214)
+    alpha = 2 / 6
+    out, window, cur = [], [], None
+    for v in close:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            out.append(np.nan)
+            window, cur = [], None
+            continue
+        window.append(v)
+        if len(window) < 5:
+            out.append(np.nan)
+        elif len(window) == 5:
+            cur = sum(window) / 5
+            out.append(cur)
+        else:
+            cur = v * alpha + cur * (1 - alpha)
+            out.append(cur)
+    got = res["c_exponential_moving_average_5d_close_dividend_and_split_adjusted"]
+    np.testing.assert_allclose(got.to_numpy(), np.array(out), rtol=1e-9, equal_nan=True)
+
+
+def test_macd_and_signal(built):
+    pdf, res = built
+    macd = res["c_macd_26d_12d_split_adjusted"]
+    sig = res["c_macd_signal_9d_split_adjusted"]
+    # macd defined once both EMAs exist (from row 26); signal 9 rows later
+    assert macd.isna().sum() == 25
+    first_sig = sig.first_valid_index()
+    assert first_sig == 25 + 8
+
+
+def test_cmf_and_rsi_defined(built):
+    pdf, res = built
+    cmf = res["c_chaikin_money_flow_21d_split_adjusted"]
+    assert cmf[:20].isna().all() and cmf[20:].notna().all()
+    rsi = res["c_rsi_14d_split_adjusted"]
+    assert rsi[:14].isna().all() and rsi[14:].notna().all()
+    assert ((rsi.dropna() >= 0) & (rsi.dropna() <= 100)).all()
+
+
+def test_daily_traded_value_and_smas(built):
+    pdf, res = built
+    want = pdf["m_vwap"] * pdf["m_volume"]
+    pd.testing.assert_series_equal(
+        res["c_daily_traded_value"], want, check_names=False, rtol=1e-9
+    )
+    want_sma = want.rolling(21).mean()
+    pd.testing.assert_series_equal(
+        res["c_daily_traded_value_sma_21d"], want_sma, check_names=False, rtol=1e-9
+    )
+
+
+def test_daily_traded_value_column_fallback(spark):
+    pdf = _market_frame(30)
+    pdf["m_vwap"] = np.nan  # whole column null → tier-2 fallback
+    df = spark.createDataFrame(pdf)
+    out = build_features(df, ["c_daily_traded_value"]).toPandas().sort_values("m_date")
+    want = (pdf["m_vwap_split_adjusted"] * pdf["m_volume_split_adjusted"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        out["c_daily_traded_value"].reset_index(drop=True), want, check_names=False, rtol=1e-9
+    )
+
+
+def test_ltm_quarterly_rolling4(built):
+    pdf, res = built
+    # 4 distinct fiscal keys; the 4th (Q2/2024, rows 60+) completes the window
+    ltm = res["c_last_twelve_months_net_income"]
+    assert ltm[:60].isna().all()
+    assert (ltm[60:] == 100.0 + 110.0 + 120.0 + 130.0).all()
+    # ratios downstream of LTM
+    eps = res["c_earnings_per_share"]
+    assert eps[60:].iloc[0] == pytest.approx(460.0 / 50.0)
+
+
+def test_ltm_annual_passthrough(spark):
+    pdf = _market_frame(30)
+    df = spark.createDataFrame(pdf)
+    out = (
+        build_features(df, ["c_last_twelve_months_net_income"], period="annual")
+        .toPandas()
+        .sort_values("m_date")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        out["c_last_twelve_months_net_income"],
+        pdf["fis_net_income"].astype(float),
+        check_names=False,
+    )
+
+
+def test_ltm_whole_column_null_passthrough(spark):
+    pdf = _market_frame(30)
+    pdf["fis_net_income"] = np.nan
+    df = spark.createDataFrame(pdf)
+    out = build_features(df, ["c_last_twelve_months_net_income"]).toPandas()
+    assert out["c_last_twelve_months_net_income"].isna().all()
+
+
+def test_valuation_ratios(built):
+    pdf, res = built
+    mcap = pdf["m_close_split_adjusted"] * 55.0
+    pd.testing.assert_series_equal(res["c_market_cap"], mcap, check_names=False, rtol=1e-9)
+    book = 5000.0 - (2000.0 + 100.0)
+    pd.testing.assert_series_equal(
+        res["c_book_to_price"], book / mcap, check_names=False, rtol=1e-9
+    )
+    assert (res["c_book_value_per_share"] == book / 50.0).all()
+    s2p = res["c_sales_to_price"]
+    want_s2p = res["c_last_twelve_months_revenue"] / mcap
+    pd.testing.assert_series_equal(s2p, want_s2p, check_names=False, rtol=1e-9)

@@ -1,0 +1,66 @@
+"""Source readers / output sinks (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.sources import readers as R
+from data_curator_spark.sources import sinks as S
+
+
+def test_parquet_reader_and_remap(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, 2.5)], "tag_a int, tag_b double").write.parquet(p)
+    df = R.read(spark, "parquet", p)
+    out = R.remap_columns(df, {"tag_a": ["x"], "tag_b": ["y", "y_copy"]})
+    row = out.collect()[0]
+    assert (row["x"], row["y"], row["y_copy"]) == (1, 2.5, 2.5)
+
+
+def test_json_reader_requires_schema(spark, tmp_path):
+    p = str(tmp_path / "j")
+    with pytest.raises(ValueError, match="explicit schema"):
+        R.read(spark, "json", p)
+
+
+def test_json_reader_with_schema(spark, tmp_path):
+    p = str(tmp_path / "data.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": null}\n')
+    df = R.read(spark, "json", p, schema="a long, b string")
+    assert [tuple(r) for r in df.orderBy("a").collect()] == [(1, "x"), (2, None)]
+
+
+def test_unknown_source(spark):
+    with pytest.raises(R.UnknownSourceError):
+        R.read(spark, "nope", "/x")
+
+
+def test_preprocess_chain_unit_scaling(spark):
+    df = spark.createDataFrame([(2.0,)], "millions double")
+    out = R.preprocess_chain(df, {"millions": lambda c: c * 1e6})
+    assert out.collect()[0]["millions"] == 2e6
+
+
+def test_parquet_per_identifier_sink(spark, tmp_path):
+    p = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [("A", 1, 1.0), ("A", 2, 2.0), ("B", 1, 3.0)], "main_identifier string, t int, v double"
+    )
+    S.write(df, "parquet_per_identifier", p)
+    import os
+
+    dirs = {d for d in os.listdir(p) if d.startswith("main_identifier=")}
+    assert dirs == {"main_identifier=A", "main_identifier=B"}
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+
+
+def test_in_memory_sink_multiindex(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 1.0), ("B", 1, 3.0)], "main_identifier string, d int, v double"
+    )
+    pdf = S.write(df, "in_memory", date_col="d")
+    assert list(pdf.index.names) == ["main_identifier", "d"]
+    assert pdf.loc[("A", 1), "v"] == 1.0
