@@ -1,0 +1,44 @@
+"""spark-submit entry point for the quality-filter pipeline.
+
+Cluster deployment (north_rule):
+
+    zip -r dcs.zip data_curator_spark
+    spark-submit --py-files dcs.zip tools/run_pipeline_job.py \
+        --input  <iceberg-or-parquet path> \
+        --output <curated output path> \
+        --manifest <lineage manifest path> \
+        --buckets 4096
+
+On a real cluster the session master/sizing comes from spark-submit
+conf; locally it falls back to local[$SPARK_GRAFT_CPUS]. Re-running the
+same command after a failure resumes from the manifest (completed
+buckets are skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from data_curator_spark.pipeline.runner import run_pipeline
+    from data_curator_spark.session import build_session
+
+    spark = build_session("quality-filter-pipeline")
+    stats = run_pipeline(
+        spark, args.input, args.output, args.manifest, n_buckets=args.buckets
+    )
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
