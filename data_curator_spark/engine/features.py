@@ -56,14 +56,15 @@ def annualized_volatility(c: Column, w: WindowSpec, n: int) -> Column:
 
 
 def log_returns(c: Column, w: WindowSpec) -> Column:
-    """ln(p_t / p_{t-1}); first row null; ±Inf scrubbed
-    (helpers.py:333-359)."""
-    return safe_ln(c / F.lag(c, 1).over(w))
+    """ln(p_t / p_{t-1}); first row null; zero divisor → null (ANSI-safe
+    try_divide); ±Inf scrubbed (helpers.py:333-359)."""
+    return safe_ln(F.try_divide(c, F.lag(c, 1).over(w)))
 
 
 def log_difference(a: Column, b: Column) -> Column:
-    """ln(a/b) with Inf scrub (calculations.py:1400 c_log_difference_high_to_low)."""
-    return safe_ln(a / b)
+    """ln(a/b) with zero-divisor→null + Inf scrub (calculations.py:1400
+    c_log_difference_high_to_low)."""
+    return safe_ln(F.try_divide(a, b))
 
 
 def chaikin_money_flow(

@@ -1033,3 +1033,63 @@ ORACLES.update(
         # ema_recursive / rsi_recursive: recursive kernels, rows-only
     }
 )
+
+
+def q_corpus_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter pipeline's heuristic stage (pipeline/stages.py:
+    with_heuristics) + rule decisions, oracle-verified over documents —
+    the SQL-expressible core of the north-rule pipeline."""
+    from data_curator_spark.pipeline import spec
+    from data_curator_spark.pipeline.stages import with_heuristics
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    h = with_heuristics(d)
+    return h.select(
+        "doc_id",
+        "n_chars",
+        "n_lines",
+        "max_line_len",
+        F.round("avg_line_len", 6).alias("avg_line_len"),
+        F.round("alnum_ratio", 6).alias("alnum_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("distinct_line_ratio", 6).alias("distinct_line_ratio"),
+        (
+            (F.col("n_chars") >= spec.MIN_CHARS)
+            & (F.col("max_line_len") <= spec.MAX_LINE_LENGTH)
+            & (F.col("avg_line_len") <= spec.MAX_AVG_LINE_LENGTH)
+            & (F.col("alnum_ratio") >= spec.MIN_ALNUM_RATIO)
+            & (F.col("digit_ratio") <= spec.MAX_DIGIT_RATIO)
+        ).alias("heuristics_pass"),
+    )
+
+
+SQL_CORPUS_HEURISTICS = """
+WITH h AS (
+  SELECT
+    doc_id,
+    length(text) AS n_chars,
+    len(string_split(text, chr(10))) AS n_lines,
+    list_max(list_transform(string_split(text, chr(10)), x -> length(x))) AS max_line_len,
+    CAST(length(text) - len(string_split(text, chr(10))) + 1 AS DOUBLE)
+      / len(string_split(text, chr(10))) AS avg_line_len,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS alnum_ratio,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS digit_ratio,
+    CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+      / len(string_split(text, chr(10))) AS distinct_line_ratio
+  FROM documents
+)
+SELECT
+  doc_id, n_chars, CAST(n_lines AS INT) AS n_lines, CAST(max_line_len AS INT) AS max_line_len,
+  ROUND(avg_line_len, 6) AS avg_line_len,
+  ROUND(alnum_ratio, 6) AS alnum_ratio,
+  ROUND(digit_ratio, 6) AS digit_ratio,
+  ROUND(distinct_line_ratio, 6) AS distinct_line_ratio,
+  (n_chars >= 20 AND max_line_len <= 1000 AND avg_line_len <= 200
+   AND alnum_ratio >= 0.25 AND digit_ratio <= 0.5) AS heuristics_pass
+FROM h
+"""
+
+QUERIES["corpus_heuristics"] = q_corpus_heuristics
+ORACLES["corpus_heuristics"] = SQL_CORPUS_HEURISTICS

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's EMA is a batch recursion (features/helpers.py:154-225);
+this is its continuous counterpart: per-key EMA state (current value +
+seed window) carried across micro-batches, so a restarted/long-running
+stream produces exactly the values the batch kernel would on the
+concatenated history. State is O(span) floats per key — bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EMA_OUTPUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("ema", DoubleType(), True),
+    ]
+)
+EMA_STATE = StructType(
+    [
+        StructField("cur", DoubleType(), True),
+        StructField("window", StringType(), True),  # csv of pending seed values
+    ]
+)
+
+
+def streaming_ema(df: DataFrame, span: int) -> DataFrame:
+    """Per-key streaming EMA with the reference's seeded-SMA start and
+    null-reset semantics, via applyInPandasWithState.
+
+    Input stream schema: (key string, seq long, value double) — ``seq``
+    is the per-key event order (rows within a micro-batch are sorted by
+    it; across batches arrival order must respect it, the usual
+    source-ordering contract for stateful ops)."""
+    alpha = 2.0 / (span + 1)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur, window_csv = state.get
+            window = [float(x) for x in window_csv.split(",") if x != ""]
+        else:
+            cur, window = None, []
+        out_rows: list[tuple[Any, ...]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq")
+            for seq, v in zip(pdf["seq"], pdf["value"]):
+                if pd.isna(v):
+                    cur, window = None, []
+                    out_rows.append((key[0], int(seq), None, None))
+                    continue
+                v = float(v)
+                if cur is None:
+                    window.append(v)
+                    if len(window) < span:
+                        out_rows.append((key[0], int(seq), v, None))
+                        continue
+                    cur = sum(window) / span
+                    window = []
+                else:
+                    cur = v * alpha + cur * (1 - alpha)
+                out_rows.append((key[0], int(seq), v, cur))
+        state.update((cur, ",".join(str(x) for x in window)))
+        yield pd.DataFrame(out_rows, columns=["key", "seq", "value", "ema"])
+
+    return df.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=EMA_OUTPUT,
+        stateStructType=EMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

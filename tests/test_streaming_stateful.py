@@ -1,0 +1,80 @@
+"""Stateful streaming EMA: state carries across micro-batches and matches
+the batch recursion on the concatenated history."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pandas as pd
+import pytest
+
+from data_curator_spark.streaming.stateful import streaming_ema
+
+SPAN = 3
+
+
+def _batch_oracle(vals, span=SPAN):
+    alpha = 2 / (span + 1)
+    out, window, cur = [], [], None
+    for v in vals:
+        if v is None:
+            out.append(None)
+            window, cur = [], None
+            continue
+        if cur is None:
+            window.append(v)
+            if len(window) < span:
+                out.append(None)
+                continue
+            cur = sum(window) / span
+            window = []
+        else:
+            cur = v * alpha + cur * (1 - alpha)
+        out.append(cur)
+    return out
+
+
+def test_streaming_ema_state_across_batches(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    vals = [10.0, 11.0, 12.0, 13.0, None, 14.0, 15.0, 16.0, 17.0, 18.0]
+    # batch 1 = first 4 events, batch 2 = the rest (split mid-recursion)
+    def land_batch(idx, lo, hi):
+        pdf = pd.DataFrame(
+            {"key": "A", "seq": range(lo, hi), "value": vals[lo:hi]}
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(land / f"b{idx}.parquet"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("key string, seq long, value double").parquet(str(land))
+        )
+        q = (
+            streaming_ema(stream, SPAN)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land_batch(1, 0, 4)
+    drain()
+    land_batch(2, 4, len(vals))
+    drain()
+
+    got = (
+        spark.read.parquet(out_dir).orderBy("seq").toPandas()
+    )
+    want = _batch_oracle(vals)
+    assert len(got) == len(vals)
+    for g, w in zip(got["ema"], want):
+        if w is None:
+            assert pd.isna(g)
+        else:
+            assert g == pytest.approx(w, rel=1e-12)
