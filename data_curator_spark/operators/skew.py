@@ -1,0 +1,96 @@
+"""Skew-defusal operators: salted aggregation and salted broadcast-free
+join for hot keys.
+
+At 100 TB a single hot key (a mega-repo, a bot user) turns one shuffle
+partition into the job's critical path. AQE's skew-join splitting
+(enabled in session.py) handles *joins* at runtime; these operators
+cover the cases AQE doesn't:
+
+- ``salted_aggregate``: two-phase aggregation — partial groupBy on
+  (key, salt) spreads the hot key over ``n_salts`` reducers, then a
+  cheap final combine on the key. Works for decomposable aggregates
+  (sum/count/min/max; avg = sum+count recombined).
+- ``salted_join``: replicate the small side n_salts times so the big
+  side's hot-key rows join locally in n_salts independent partitions,
+  without requiring the small side to fit a broadcast.
+
+The pipeline's bucket salting (pipeline/runner.py:with_bucket) is the
+scan-level variant of the same idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# decomposable aggregate -> (partial expr builder, final expr builder)
+_DECOMPOSABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def _salt(n_salts: int, *cols: Column) -> Column:
+    """Deterministic per-row salt derived from non-key columns (falls
+    back to a stable hash of all inputs — never rand(), which breaks
+    retry determinism on task re-execution)."""
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_source: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs``: out_name -> (fn, col) with fn in {sum,count,min,max,avg}.
+    ``salt_source``: columns to derive the salt from (defaults to all
+    non-key columns).
+    """
+    salt_cols = [F.col(c) for c in (salt_source or [c for c in df.columns if c not in keys])]
+    salted = df.withColumn("__salt", _salt(n_salts, *salt_cols))
+
+    partial_exprs = []
+    final_exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            partial_exprs += [
+                F.sum(col).alias(f"__{out}_sum"),
+                F.count(col).alias(f"__{out}_cnt"),
+            ]
+            final_exprs.append(
+                (F.sum(f"__{out}_sum") / F.sum(f"__{out}_cnt")).alias(out)
+            )
+        elif fn in _DECOMPOSABLE:
+            p, f = _DECOMPOSABLE[fn]
+            partial_exprs.append(p(col).alias(f"__{out}_p"))
+            final_exprs.append(f(f"__{out}_p").alias(out))
+        else:
+            raise ValueError(f"{fn!r} is not decomposable; use groupBy directly")
+
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-safe equi-join: big side salted, small side replicated
+    ×n_salts, join on (key, salt). Use when the small side is too big to
+    broadcast and the key distribution is skewed beyond what AQE splits."""
+    big_cols = [c for c in big.columns if c != on]
+    salted_big = big.withColumn("__salt", _salt(n_salts, *[F.col(c) for c in big_cols]))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    out = salted_big.join(replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -103,3 +103,25 @@ def test_word_shingles_edgecases(spark):
     assert out[0] == []  # fewer words than n
     assert out[1] == []
     assert out[2] == ["a b c", "b c d"]
+
+
+def test_rolling_content_hash_containment(spark):
+    """Winnowing-style fingerprints: a doc containing a 64-char-aligned
+    chunk of another shares that chunk's fingerprint."""
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.functions.text import rolling_content_hash
+
+    base = "x" * 64 + "y" * 64 + "z" * 64
+    contains = base[:128]  # shares the first two aligned windows
+    other = "q" * 200
+    df = spark.createDataFrame(
+        [(0, base), (1, contains), (2, other)], "doc_id long, text string"
+    )
+    fps = df.select(
+        "doc_id", rolling_content_hash(F.col("text"), 64).alias("fp")
+    )
+    rows = {r["doc_id"]: r["fp"] for r in fps.collect()}
+    assert set(rows[1]) <= set(rows[0])
+    assert len(set(rows[1]) & set(rows[0])) == 2
+    assert not set(rows[2]) & set(rows[0])

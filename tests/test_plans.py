@@ -1,0 +1,68 @@
+"""Physical-plan regression guards: the scale properties we rely on must
+be visible in the explain output — pruned scans, pushed filters,
+broadcast dims, partial aggregation, single exchange per window chain,
+whole-stage codegen. A refactor that silently loses one of these would
+pass value checks and still be wrong at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_curator_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_join_query_broadcasts_dims_and_prunes(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan pruned to exactly the 3 needed columns
+    assert "l_orderkey:bigint,l_extendedprice:double,l_discount:double" in plan
+    assert "PushedFilters: [IsNotNull(l_orderkey)]" in plan
+    # (codegen ids only appear in the post-execution AQE final plan)
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = _plan(spark, "pricing_summary")
+    # two HashAggregates around one Exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+    # scan reads only the aggregated columns, no orderkey/partkey/suppkey
+    assert "l_partkey" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "asof_join")
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,view)" in plan
+
+
+def test_window_chain_single_exchange_per_key(spark):
+    import re
+
+    plan = _plan(spark, "sma_window")
+    # one hash partitioning on user_id, no extra shuffles
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_antijoin_strategy(spark):
+    plan = _plan(spark, "missing_rows_antijoin")
+    assert "LeftAnti" in plan
+
+
+def test_dedup_shuffles_hashes_not_content(spark):
+    plan = _plan(spark, "dedup_exact")
+    # the aggregate exchange carries the sha, not the text column
+    import re
+
+    ex = [l for l in plan.splitlines() if "Exchange" in l or "hashpartitioning" in l]
+    assert ex, plan
+    assert not re.search(r"hashpartitioning\(text", plan)

@@ -1,0 +1,77 @@
+"""Skew operators: salted results must equal unsalted results, and the
+salt must actually spread the hot key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.operators.skew import salted_aggregate, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 'hot' has 5000 rows, 20 other keys have 10 each
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    rest = spark.range(200).select(
+        F.concat(F.lit("k"), (F.col("id") % 20).cast("string")).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    return hot.unionByName(rest)
+
+
+def test_salted_aggregate_matches_plain(spark, skewed):
+    plain = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"], r["a"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"), F.count("v").alias("c"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"), F.avg("v").alias("a"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"], r["a"])
+        for r in salted_aggregate(
+            skewed,
+            ["k"],
+            {"s": ("sum", "v"), "c": ("count", "v"), "mn": ("min", "v"),
+             "mx": ("max", "v"), "a": ("avg", "v")},
+            n_salts=8,
+        ).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        for p, s in zip(plain[k], salted[k]):
+            assert s == pytest.approx(p)
+
+
+def test_salt_spreads_hot_key(spark, skewed):
+    from data_curator_spark.operators.skew import _salt
+
+    hot = skewed.filter("k = 'hot'").withColumn("__salt", _salt(8, F.col("v")))
+    per_salt = hot.groupBy("__salt").count().collect()
+    assert len(per_salt) == 8  # all salt buckets used
+    counts = [r["count"] for r in per_salt]
+    assert max(counts) < 5000 * 0.5  # no bucket holds the majority
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", 1.5)] + [(f"k{i}", float(i)) for i in range(20)], "k string, w double"
+    )
+    plain = (
+        skewed.join(dim, "k")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("t"))
+        .collect()[0]["t"]
+    )
+    salted = (
+        salted_join(skewed, dim, "k", n_salts=8)
+        .agg(F.sum(F.col("v") * F.col("w")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert salted == pytest.approx(plain)
+    # row counts preserved exactly (no dup/loss from replication)
+    assert salted_join(skewed, dim, "k", n_salts=8).count() == skewed.join(dim, "k").count()
