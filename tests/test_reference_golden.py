@@ -1,0 +1,290 @@
+"""Parity against the reference's OWN golden fixtures.
+
+Reads the reference's hand/Excel-computed CSV fixtures in place from
+/root/reference (never copied into this repo) and checks our Spark
+feature library reproduces each expected column under the reference's
+own approximate-equality contract |a−b| ≤ (|a|+|b|)·128·ε
+(reference: modules/data_column.py:12,1067-1089; fixtures:
+tests/unit/features/fixtures/*.csv). Skips cleanly if the reference
+checkout is absent.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.engine import features as FT
+
+FIXTURES = "/root/reference/tests/unit/features/fixtures"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixtures not available"
+)
+
+EPS128 = 128 * sys.float_info.epsilon
+
+
+def _load(name: str) -> pd.DataFrame:
+    return pd.read_csv(os.path.join(FIXTURES, name))
+
+
+def _approx_equal(got, want) -> bool:
+    g = np.asarray(got, dtype=float)
+    w = np.asarray(want, dtype=float)
+    both_nan = np.isnan(g) & np.isnan(w)
+    close = np.abs(g - w) <= (np.abs(g) + np.abs(w)) * EPS128
+    # some fixture CSVs truncate (not round) to 16 decimal places, past
+    # float64 round-trip — allow the truncation grain on top of 128ε
+    close |= np.abs(g - w) < 1.0e-15
+    return bool(np.all(both_nan | close))
+
+
+def _spark_series(spark, pdf: pd.DataFrame, build) -> dict[str, np.ndarray]:
+    """Run a column-builder callback over the fixture frame (one
+    identifier, row order = fixture order)."""
+    pdf = pdf.copy()
+    pdf["__id"] = "X"
+    pdf["__t"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    out = build(df).toPandas().sort_values("__t").reset_index(drop=True)
+    return out
+
+
+def test_sma_and_ema_fixture(spark):
+    pdf = _load("moving_average.csv")
+    w = FT.series_window("__id", "__t")
+
+    def build(df):
+        for n in (5, 21, 63, 252):
+            df = df.withColumn(
+                f"got_sma_{n}", FT.simple_moving_average(F.col("m_adjusted_close"), w, n)
+            )
+        return FT.apply_recursive_features(
+            df, "__id", "__t",
+            [(f"got_ema_{n}", "ema", "m_adjusted_close", n) for n in (5, 21, 63, 252)],
+        )
+
+    out = _spark_series(spark, pdf, build)
+    for n in (5, 21, 63, 252):
+        assert _approx_equal(out[f"got_sma_{n}"], pdf[f"c_simple_moving_average_{n}d"]), n
+        assert _approx_equal(out[f"got_ema_{n}"], pdf[f"c_exponential_moving_average_{n}d"]), n
+
+
+def test_rsi_fixture(spark):
+    pdf = _load("relative_strength_index.csv")
+
+    def build(df):
+        return FT.apply_recursive_features(
+            df, "__id", "__t", [("got", "rsi", "m_adjusted_close", 14)]
+        )
+
+    out = _spark_series(spark, pdf, build)
+    assert _approx_equal(out["got"], pdf["c_relative_strength_index_14d"])
+
+
+def test_macd_fixture(spark):
+    pdf = _load("moving_average_convergence_divergence.csv")
+    src = pdf.columns[0]
+
+    def build(df):
+        df = FT.apply_recursive_features(
+            df, "__id", "__t", [("e12", "ema", src, 12), ("e26", "ema", src, 26)]
+        ).withColumn("got_macd", F.col("e12") - F.col("e26"))
+        return FT.apply_recursive_features(
+            df, "__id", "__t", [("got_signal", "ema", "got_macd", 9)]
+        )
+
+    out = _spark_series(spark, pdf, build)
+    expected_macd = [c for c in pdf.columns if "26" in c and "signal" not in c][0]
+    assert _approx_equal(out["got_macd"], pdf[expected_macd])
+    signal_cols = [c for c in pdf.columns if "signal" in c]
+    if signal_cols:
+        assert _approx_equal(out["got_signal"], pdf[signal_cols[0]])
+
+
+def test_log_returns_volatility_fixture(spark):
+    pdf = _load("log_returns_annualized_volatility.csv")
+    src = pdf.columns[0]
+    w = FT.series_window("__id", "__t")
+
+    def build(df):
+        df = df.withColumn("got_lr", FT.log_returns(F.col(src), w))
+        for c in pdf.columns:
+            if "annualized_volatility" in c:
+                n = int(c.split("_volatility_")[1].split("d")[0])
+                df = df.withColumn(
+                    f"got_vol_{n}", FT.annualized_volatility(F.col("got_lr"), w, n)
+                )
+        return df
+
+    out = _spark_series(spark, pdf, build)
+    lr_cols = [c for c in pdf.columns if "log_returns" in c and "volatility" not in c]
+    if lr_cols:
+        assert _approx_equal(out["got_lr"], pdf[lr_cols[0]])
+    for c in pdf.columns:
+        if "annualized_volatility" in c:
+            n = int(c.split("_volatility_")[1].split("d")[0])
+            assert _approx_equal(out[f"got_vol_{n}"], pdf[c]), c
+
+
+def test_chaikin_money_flow_fixture(spark):
+    pdf = _load("chakin_money_flow.csv")
+    cols = {c.lower(): c for c in pdf.columns}
+    w = FT.series_window("__id", "__t")
+    high = [c for c in pdf.columns if "high" in c][0]
+    low = [c for c in pdf.columns if "low" in c][0]
+    close = [c for c in pdf.columns if "close" in c][0]
+    volume = [c for c in pdf.columns if "volume" in c][0]
+    expected = [c for c in pdf.columns if "chaikin_money_flow" in c][0]
+
+    def build(df):
+        return df.withColumn(
+            "got",
+            FT.chaikin_money_flow(
+                F.col(high), F.col(low), F.col(close), F.col(volume), w, 21
+            ),
+        )
+
+    out = _spark_series(spark, pdf, build)
+    assert _approx_equal(out["got"], pdf[expected])
+
+
+def test_market_cap_fixture(spark):
+    pdf = _load("market_cap.csv")
+    from data_curator_spark.engine import columns as C
+
+    def build(df):
+        return df.withColumn(
+            "got",
+            C.mul(F.col("m_close"), F.col("fi_weighted_average_shares_outstanding")),
+        )
+
+    out = _spark_series(spark, pdf, build)
+    assert _approx_equal(out["got"], pdf["c_market_cap"])
+
+
+def test_log_difference_high_low_fixture(spark):
+    pdf = _load("logarithmic_difference_high_low.csv")
+    high = [c for c in pdf.columns if "high" in c][0]
+    low = [c for c in pdf.columns if "low" in c][0]
+    expected = [c for c in pdf.columns if c.startswith("c_")][0]
+
+    def build(df):
+        return df.withColumn("got", FT.log_difference(F.col(high), F.col(low)))
+
+    out = _spark_series(spark, pdf, build)
+    assert _approx_equal(out["got"], pdf[expected])
+
+
+def test_valuation_ratio_fixtures(spark):
+    from data_curator_spark.engine import columns as C
+
+    # book_to_price: (assets − (liab + pref)) / market_cap
+    pdf = _load("book_to_price.csv")
+    out = _spark_series(
+        spark, pdf,
+        lambda df: df.withColumn(
+            "got",
+            C.div(
+                C.sub(F.col("fbs_total_assets"),
+                      C.add(F.col("fbs_total_liabilities"), F.col("fbs_preferred_stock"))),
+                F.col("c_market_cap"),
+            ),
+        ),
+    )
+    assert _approx_equal(out["got"], pdf["c_book_to_price"])
+
+    # book_value_per_share
+    pdf = _load("book_value_per_share.csv")
+    out = _spark_series(
+        spark, pdf,
+        lambda df: df.withColumn(
+            "got",
+            C.div(
+                C.sub(F.col("fbs_total_assets"),
+                      C.add(F.col("fbs_total_liabilities"), F.col("fbs_preferred_stock"))),
+                F.col("fi_weighted_average_shares_outstanding"),
+            ),
+        ),
+    )
+    assert _approx_equal(out["got"], pdf["c_book_value_per_share"])
+
+    # earnings_to_price / sales_to_price / revenue_per_share
+    pdf = _load("earnings_to_price.csv").dropna(axis=1, how="all")
+    out = _spark_series(
+        spark, pdf,
+        lambda df: df.withColumn(
+            "got", C.div(F.col("c_last_twelve_months_net_income"), F.col("c_market_cap"))
+        ),
+    )
+    assert _approx_equal(out["got"], pdf["c_earnings_to_price"])
+
+    pdf = _load("sales_to_price.csv")
+    out = _spark_series(
+        spark, pdf,
+        lambda df: df.withColumn(
+            "got", C.div(F.col("c_last_twelve_months_revenue"), F.col("c_market_cap"))
+        ),
+    )
+    assert _approx_equal(out["got"], pdf["c_sales_to_price"])
+
+    pdf = _load("last_twelve_months_revenue_per_share.csv").dropna(axis=1, how="all")
+    out = _spark_series(
+        spark, pdf,
+        lambda df: df.withColumn(
+            "got",
+            C.div(F.col("c_last_twelve_months_revenue"),
+                  F.col("fi_weighted_average_shares_outstanding")),
+        ),
+    )
+    assert _approx_equal(out["got"], pdf["c_last_twelve_months_revenue_per_share"])
+
+
+def test_daily_traded_value_fixture(spark):
+    from data_curator_spark.engine import columns as C
+
+    pdf = _load("average_daily_traded_value.csv").dropna(axis=1, how="all")
+    w = FT.series_window("__id", "__t")
+
+    def build(df):
+        df = df.withColumn("got", C.mul(F.col("m_vwap"), F.col("m_volume")))
+        for n in (5, 21, 63, 252):
+            df = df.withColumn(f"got_{n}", FT.simple_moving_average(F.col("got"), w, n))
+        return df
+
+    out = _spark_series(spark, pdf, build)
+    assert _approx_equal(out["got"], pdf["c_average_daily_traded_value"])
+    for n in (5, 21, 63, 252):
+        assert _approx_equal(out[f"got_{n}"], pdf[f"c_average_daily_traded_value_{n}d"]), n
+
+
+def test_adjusted_price_ratio_fixture(spark):
+    from data_curator_spark.engine import columns as C
+
+    pdf = _load("adjusted_price_ratio_calculation.csv")
+    out = _spark_series(
+        spark, pdf,
+        lambda df: df.withColumn("got", C.div(F.col("m_adjusted_close"), F.col("m_close"))),
+    )
+    assert _approx_equal(out["got"], pdf["c_adjusted_price_ratio"])
+
+    pdf = _load("adjusted_price_ratio.csv")
+    out = _spark_series(
+        spark, pdf,
+        lambda df: df.withColumn(
+            "ratio", C.div(F.col("m_adjusted_close"), F.col("m_close"))
+        ).withColumn("got_high", C.mul(F.col("ratio"), F.col("m_high")))
+        .withColumn("got_low", C.mul(F.col("ratio"), F.col("m_low")))
+        .withColumn("got_open", C.mul(F.col("ratio"), F.col("m_open"))),
+    )
+    assert _approx_equal(out["ratio"], pdf["c_adjusted_price_ratio"])
+    assert _approx_equal(out["got_high"], pdf["c_adjusted_high"])
+    assert _approx_equal(out["got_low"], pdf["c_adjusted_low"])
+    assert _approx_equal(out["got_open"], pdf["c_adjusted_open"])
