@@ -120,18 +120,40 @@ def _inject_pii(rng: np.random.Generator, content: str) -> str:
     return "\n".join(lines)
 
 
-def generate_corpus(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
+def generate_corpus(
+    n_files: int = 2000, seed: int = 42, chunk_size: int = 20000
+) -> pd.DataFrame:
     """Build the synthetic corpus as a pandas DataFrame.
 
-    ~70% clean files, ~22% quality-defective, ~8% PII-bearing; ~5%
-    near-duplicates appended at the end. Repo 0 is the mega-repo holding
-    ~20% of files (skew).
+    ~66% clean files, ~25% quality-defective, ~8% PII-bearing, ~3%
+    mislabeled; ~5% near-duplicates appended per chunk. Repo 0 is the
+    mega-repo holding ~20% of files (skew).
+
+    Large corpora are generated in deterministic chunks — each chunk
+    seeded by (seed, chunk_idx) — in a process pool, so the output
+    depends only on (n_files, seed, chunk_size), not worker count.
     """
-    rng = np.random.default_rng(seed)
+    if n_files > chunk_size:
+        import multiprocessing as mp
+
+        bounds = [
+            (min(chunk_size, n_files - lo), seed, ci)
+            for ci, lo in enumerate(range(0, n_files, chunk_size))
+        ]
+        with mp.Pool(min(len(bounds), max((__import__("os").cpu_count() or 8) // 2, 1))) as pool:
+            parts = pool.starmap(_generate_chunk, bounds)
+        return pd.concat(parts, ignore_index=True)
+    return _generate_chunk(n_files, seed, 0)
+
+
+def _generate_chunk(n_files: int, seed: int, chunk_idx: int) -> pd.DataFrame:
+    rng = np.random.default_rng([seed, chunk_idx])
     n_repos = max(n_files // 40, 5)
+    base = chunk_idx * 10_000_000  # unique file index space per chunk
 
     rows = []
-    for i in range(n_files):
+    for j in range(n_files):
+        i = base + j
         # mega-repo skew: 20% of files land in repo 0
         repo_idx = 0 if rng.random() < 0.2 else int(rng.integers(1, n_repos))
         repo = f"org{repo_idx % 7}/repo{repo_idx}"
