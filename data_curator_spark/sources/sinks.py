@@ -61,3 +61,23 @@ def in_memory(
     if date_col is not None:
         return pdf.set_index([identifier_col, date_col]).sort_index()
     return pdf.set_index(identifier_col).sort_index()
+
+
+@register_sink("bucketed_table")
+def bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) table: repeated joins
+    and aggregations on the bucket key become shuffle-free — the
+    pre-partitioning strategy for fact tables that are joined on the
+    same key by many downstream jobs (e.g. lineitem⋈orders on orderkey
+    at every scale-up). Requires a table catalog (saveAsTable)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -124,3 +124,13 @@ def test_model_separation():
     clean_ppl = lm.log_perplexity(docs)
     gib_ppl = lm.log_perplexity([_gibberish_file(rng) for _ in range(10)])
     assert gib_ppl.min() > clean_ppl.max()
+
+
+def test_empty_corpus_through_all_stages(spark):
+    """0-row input must flow through every stage without error."""
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    out = run_stages(empty, spark)
+    assert out.count() == 0
+    assert "keep" in out.columns and "content_scrubbed" in out.columns

@@ -64,3 +64,32 @@ def test_in_memory_sink_multiindex(spark):
     pdf = S.write(df, "in_memory", date_col="d")
     assert list(pdf.index.names) == ["main_identifier", "d"]
     assert pdf.loc[("A", 1), "v"] == 1.0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Joining two tables bucketed on the same key must not shuffle —
+    the plan contains no Exchange (scale: pre-partitioned fact joins)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        S.write(a, "bucketed_table", "t_bucket_a", ["k"], 8)
+        S.write(b, "bucketed_table", "t_bucket_b", ["k"], 8)
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
