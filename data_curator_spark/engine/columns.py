@@ -141,6 +141,23 @@ def safe_ln(c: Column) -> Column:
     return scrub_infinite(F.ln(c))
 
 
+def add_decimal_with_float_fallback(a: Column, b: Column, scale: int = 18) -> Column:
+    """Decimal addition that falls back to float64 on overflow — the
+    reference's decimal-overflow retry (data_column.py:54-63: decimal
+    +,−,× retried in float64 when the decimal128 range is exceeded).
+
+    Spark analog: ``try_add`` on decimal(38,scale) yields null on
+    overflow; rows where inputs were present but the decimal op nulled
+    re-compute in double.
+    """
+    t = f"decimal(38,{scale})"
+    dec = F.try_add(a.cast(t), b.cast(t))
+    flo = a.cast("double") + b.cast("double")
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.coalesce(dec.cast("double"), flo)
+    )
+
+
 APPROX_EPS_FACTOR = 128  # reference data_column.py:12
 
 

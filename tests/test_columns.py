@@ -130,3 +130,20 @@ def test_approx_equal_contract(spark):
         ).collect()
     ]
     assert out2[2] is True
+
+
+def test_decimal_overflow_float_fallback(spark):
+    """Decimal overflow retries in float64 (reference data_column.py:54-63)."""
+    big = 9.9e19  # exceeds decimal(38,18) integral range (max ~1e20/1e18)
+    sdf = spark.createDataFrame(
+        [(big, big), (1.5, 2.25), (None, 1.0)], "x double, y double"
+    )
+    out = [
+        r[0]
+        for r in sdf.select(
+            C.add_decimal_with_float_fallback(F.col("x"), F.col("y")).alias("c")
+        ).collect()
+    ]
+    assert out[0] == pytest.approx(2 * big)  # overflowed decimal → float64 path
+    assert out[1] == pytest.approx(3.75)  # exact decimal path
+    assert out[2] is None  # null poisoning preserved

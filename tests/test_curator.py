@@ -1,0 +1,130 @@
+"""End-to-end curate() orchestrator — the reference main() analog over a
+multi-identifier panel with fundamentals, dividends, and splits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.curator import Configuration, curate
+
+
+@pytest.fixture(scope="module")
+def datasets(spark):
+    rng = np.random.default_rng(21)
+    n = 120
+    frames = []
+    for ident in ("AAA", "BBB", "CCC"):
+        close = np.round(np.abs(np.cumsum(rng.normal(0, 1, n))) + 100, 2)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "main_identifier": ident,
+                    "m_date": pd.date_range("2024-01-01", periods=n).date,
+                    "m_open": close, "m_high": close + 1, "m_low": close - 1,
+                    "m_close": close, "m_vwap": close,
+                    "m_volume": rng.integers(1000, 9999, n).astype(float),
+                    "m_close_split_adjusted": close,
+                    "m_close_dividend_and_split_adjusted": close,
+                    "m_high_dividend_and_split_adjusted": close + 1,
+                    "m_low_dividend_and_split_adjusted": close - 1,
+                    "m_volume_dividend_and_split_adjusted": rng.integers(1000, 9999, n).astype(float),
+                    "m_high_split_adjusted": close + 1,
+                    "m_low_split_adjusted": close - 1,
+                    "m_volume_split_adjusted": rng.integers(1000, 9999, n).astype(float),
+                    "m_vwap_split_adjusted": close,
+                    "m_vwap_dividend_and_split_adjusted": close,
+                }
+            )
+        )
+    market = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+    # 5 quarterly filings per identifier; one AMENDED (filed late)
+    fund_rows = []
+    for ident in ("AAA", "BBB", "CCC"):
+        for q in range(5):
+            fund_rows.append(
+                {
+                    "main_identifier": ident,
+                    "f_filing_date": pd.Timestamp("2024-01-15") + pd.Timedelta(days=25 * q),
+                    "f_period_end_date": pd.Timestamp("2023-12-31") + pd.Timedelta(days=90 * q),
+                    "f_fiscal_year": 2024,
+                    "f_fiscal_period": f"Q{q % 4 + 1}",
+                    "f_reported_currency": "USD",
+                    "fis_net_income": 100.0 + q,
+                    "fis_revenues": 1000.0 + q,
+                    "fis_weighted_average_basic_shares_outstanding": 50.0,
+                    "fis_weighted_average_diluted_shares_outstanding": 55.0,
+                    "fbs_assets": 5000.0, "fbs_liabilities": 2000.0,
+                    "fbs_preferred_stock_value": 0.0,
+                }
+            )
+    # amended filing: earlier period-end filed AFTER a later one
+    fund_rows.append(
+        {**fund_rows[0], "f_period_end_date": pd.Timestamp("2023-10-01"),
+         "f_filing_date": pd.Timestamp("2024-06-01")}
+    )
+    fund = spark.createDataFrame(pd.DataFrame(fund_rows)).select(
+        "main_identifier",
+        F.to_date("f_filing_date").alias("f_filing_date"),
+        F.to_date("f_period_end_date").alias("f_period_end_date"),
+        "f_fiscal_year", "f_fiscal_period", "f_reported_currency",
+        "fis_net_income", "fis_revenues",
+        "fis_weighted_average_basic_shares_outstanding",
+        "fis_weighted_average_diluted_shares_outstanding",
+        "fbs_assets", "fbs_liabilities", "fbs_preferred_stock_value",
+    )
+
+    div = spark.createDataFrame(
+        [("AAA", "2024-02-15", 0.5, 0.5)],
+        "main_identifier string, d_ex_dividend_date string, d_dividend double, d_dividend_split_adjusted double",
+    ).select(
+        "main_identifier", F.to_date("d_ex_dividend_date").alias("d_ex_dividend_date"),
+        "d_dividend", "d_dividend_split_adjusted",
+    )
+    spl = spark.createDataFrame(
+        [("BBB", "2024-03-01", 2.0, 1.0)],
+        "main_identifier string, s_split_date string, s_numerator double, s_denominator double",
+    ).select(
+        "main_identifier", F.to_date("s_split_date").alias("s_split_date"),
+        "s_numerator", "s_denominator",
+    )
+    return market, fund, div, spl
+
+
+def test_curate_end_to_end(spark, datasets):
+    market, fund, div, spl = datasets
+    curated, metrics = curate(market, fund, div, spl, Configuration(period="quarterly"))
+    pdf = curated.toPandas()
+    assert len(pdf) == 360  # 3 ids × 120 days preserved
+
+    # all requested features that have satisfiable deps are present
+    assert "c_simple_moving_average_5d_close_dividend_and_split_adjusted" in pdf.columns
+    assert "c_market_cap" in pdf.columns
+    assert "c_book_value_per_share" in pdf.columns
+
+    # point-in-time: before the first filing date fundamentals are null
+    aaa = pdf[pdf.main_identifier == "AAA"].sort_values("m_date")
+    assert np.isnan(aaa["c_market_cap"].iloc[0])
+    assert aaa["c_market_cap"].notna().iloc[-1]
+
+    # dividend lands only on its exact ex-date
+    ex = aaa[aaa["d_ex_dividend_date__d_dividend"].notna()]
+    assert len(ex) == 1 and str(aaa["m_date"].iloc[0]) == "2024-01-01"
+
+    # metrics table carries contract + irregular-filing counts
+    m = {(r["dataset"], r["contract"]): r["violations"] for r in metrics.collect()}
+    assert m[("fundamentals", "irregular_filing")] == 1
+    assert m[("market", "low_le_high")] == 0
+
+
+def test_curate_market_only(spark, datasets):
+    market, *_ = datasets
+    curated, metrics = curate(market, configuration=Configuration())
+    # fundamental-dependent calcs are skipped, market-only ones built
+    cols = curated.columns
+    assert "c_log_difference_high_to_low" in cols
+    assert "c_market_cap" not in cols  # needs fundamentals
+    assert curated.count() == 360
