@@ -301,7 +301,8 @@ def q_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (features/helpers.py:333-359, 362-383)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ratio = F.col("value") / F.lag("value", 1).over(w)
+    # try_divide: zero lag value -> null (ANSI-safe; DuckDB x/0 is NULL too)
+    ratio = F.try_divide(F.col("value"), F.lag("value", 1).over(w))
     # ln only defined for finite positive ratios; else null (Inf scrub)
     scrub = F.when(
         (ratio > 0) & ~F.isnan(ratio) & (ratio != float("inf")), F.round(F.ln(ratio), 6)
