@@ -1,0 +1,42 @@
+"""Watermarked event-time windowed metrics over the curation stream.
+
+Continuous analog of the batch manifest metrics (pipeline/runner.py):
+per event-time tumbling window, counts of files seen/kept/scrubbed.
+The watermark bounds state AND defines the late-data contract: rows
+arriving later than the watermark horizon behind the max seen event time
+are dropped from their (already finalized) window — exactly the
+Structured Streaming semantics a 10^12-file continuous feed needs to
+keep window state finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_curation_metrics(
+    curated_stream: DataFrame,
+    time_col: str = "ingested_at",
+    window_len: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window keep/drop/scrub counts with a watermark.
+
+    Use in append mode: each window emits once, when the watermark passes
+    its end (finalized metrics rows — the streaming manifest)."""
+    return (
+        curated_stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window_len).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+            F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "rows", "kept", "dropped", "scrubbed",
+        )
+    )

@@ -11,8 +11,11 @@ from data_curator_spark.streaming.quality_stream import run_stream_once
 
 
 def _land(pdf, path, ts):
+    import pandas as pd
+
     pdf = pdf.copy()
-    pdf["ingested_at"] = ts
+    # microsecond precision: Spark's TimestampType cannot read ns INT64
+    pdf["ingested_at"] = pd.Series([ts] * len(pdf), index=pdf.index).astype("datetime64[us]")
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
 
 

@@ -1,0 +1,66 @@
+"""Watermarked windowed metrics: finalized windows emit once; late rows
+beyond the watermark are excluded from closed windows."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_curator_spark.pipeline.corpus import generate_corpus
+from data_curator_spark.pipeline.stages import run_stages
+from data_curator_spark.streaming.quality_stream import read_corpus_stream
+from data_curator_spark.streaming.windowed_metrics import windowed_curation_metrics
+
+
+def _land(pdf, path, ts_list):
+    pdf = pdf.copy()
+    # microsecond precision: Spark's TimestampType cannot read ns INT64
+    pdf["ingested_at"] = pd.Series(ts_list, index=pdf.index).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_windowed_metrics_with_watermark_and_late_data(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = generate_corpus(60, seed=9)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def drain():
+        stream = read_corpus_stream(spark, str(land))
+        # run_stages keeps ingested_at (projection adds columns)
+        curated = run_stages(stream, spark)
+        q = (
+            windowed_curation_metrics(
+                curated, window_len="10 minutes", watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: 20 rows in [00:00,00:10), 20 in [00:10,00:20), 22 at 00:35
+    # → watermark reaches 00:25 → the first two windows finalize
+    ts1 = [base + pd.Timedelta(minutes=m) for m in ([2] * 20 + [12] * 20 + [35] * 22)]
+    _land(corpus.head(len(ts1)), str(land / "b1.parquet"), ts1)
+    drain()
+    m1 = spark.read.parquet(out).toPandas()
+    counts = {
+        pd.Timestamp(r.window_start).minute: r.rows for r in m1.itertuples()
+    }
+    assert counts.get(0) == 20 and counts.get(10) == 20
+
+    # batch 2: a LATE row for the closed [00:00,00:10) window → must NOT
+    # re-emit or alter that window's finalized counts
+    _land(corpus.tail(1), str(land / "b2.parquet"), [base + pd.Timedelta(minutes=3)])
+    drain()
+    m2 = spark.read.parquet(out).toPandas()
+    zero_window = m2[pd.to_datetime(m2["window_start"]).dt.minute == 0]
+    assert zero_window["rows"].sum() == 20  # late row dropped, no re-emit
