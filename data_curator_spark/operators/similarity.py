@@ -146,3 +146,133 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed re-rank
+# ---------------------------------------------------------------------------
+
+
+def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), pure column expression."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec, F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    arr = F.array(*[
+        F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)
+    ])
+    return F.array_min(arr)["i"]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means with deterministic seeded init. Each iteration is
+    one distributed assign (column expression) + one dim-exploded groupBy
+    average; ONLY the (n_centroids × dim) centroid matrix ever reaches
+    the driver — the iterative-algorithm pattern for Spark (no data
+    collect)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # init from a deterministic sample of the corpus
+    sample = corpus.select(vec_col).limit(n_centroids * 20).collect()
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    centroids = [list(map(float, sample[i][0])) for i in idx]
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            _assign_expr(F.col(vec_col), centroids).alias("__c"), F.col(vec_col).alias("__v")
+        )
+        agg = (
+            assigned.select("__c", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__c", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in agg:
+            new.setdefault(r["__c"], [0.0] * dim)
+            new[r["__c"]][r["__pos"]] = float(r["__m"])
+        centroids = [new[i] for i in sorted(new)]
+    return centroids
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: assign the corpus to coarse k-means cells once, probe the
+    ``n_probe`` nearest cells per query, exact cosine re-rank within the
+    probed candidates.
+
+    At 10^12 scale the cell assignment is a write-once partition column
+    (cluster-pruned scans); queries touch n_probe/n_centroids of the
+    corpus instead of all of it."""
+    centroids = train_ivf_centroids(corpus, vec_col, n_centroids, iters, dim, seed)
+
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _assign_expr(F.col(vec_col), centroids).alias("cell"),
+    )
+
+    # per query: the n_probe nearest cells
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    probe_arr = F.slice(
+        F.array_sort(
+            F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)])
+        ),
+        1,
+        n_probe,
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(F.transform(probe_arr, lambda s: s["i"])).alias("cell"),
+    )
+
+    cand = (
+        F.broadcast(probes).join(cells, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1094,3 +1094,20 @@ FROM h
 
 QUERIES["corpus_heuristics"] = q_corpus_heuristics
 ORACLES["corpus_heuristics"] = SQL_CORPUS_HEURISTICS
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse cells (trained distributed, centroids-only
+    on the driver) + probed exact re-rank
+    (operators/similarity.py:ivf_ann_topk). Rows-only check; recall vs
+    the exact baseline pinned by tests/test_similarity.py."""
+    from data_curator_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding",
+        k=3, n_centroids=8, n_probe=3, iters=3,
+    )
+
+
+QUERIES["ann_ivf"] = q_ann_ivf

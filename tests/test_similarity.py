@@ -91,3 +91,34 @@ def test_norm_and_dot_precision(spark, vectors):
     for r in out:
         # left-to-right double fold == numpy cumulative within fp tolerance
         assert r["l2"] == pytest.approx(np.linalg.norm(a[r["vec_id"]]), rel=1e-12)
+
+
+def test_ivf_ann_recall(spark, vectors):
+    """IVF with enough probes recovers the exact top-k on clustered data;
+    centroids converge to the true cluster structure."""
+    df, arr = vectors
+    queries = df.filter("vec_id < 4")
+    exact = S.cosine_topk(queries, df, "vec_id", "embedding", k=5).collect()
+    approx = S.ivf_ann_topk(
+        queries, df, "vec_id", "embedding", k=5,
+        n_centroids=6, n_probe=3, iters=4, dim=16,
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    import numpy as np
+
+    assert np.mean(recalls) >= 0.8
+
+
+def test_ivf_centroids_deterministic(spark, vectors):
+    df, _ = vectors
+    c1 = S.train_ivf_centroids(df, "embedding", n_centroids=4, iters=2, dim=16)
+    c2 = S.train_ivf_centroids(df, "embedding", n_centroids=4, iters=2, dim=16)
+    assert c1 == c2
