@@ -37,14 +37,7 @@ def label_corpus(pdf: pd.DataFrame) -> pd.DataFrame:
     digit_ratio = content.str.count("[0-9]") / n_chars.clip(lower=1)
     distinct_line_ratio = line_lists.map(lambda ls: len(set(ls))) / n_lines
 
-    langid = build_langid_model()
-    lm = build_bigram_lm()
-    docs = content.fillna("").tolist()
-    best, margin = langid.predict(docs)
-    log_ppl = lm.log_perplexity(docs)
-    lang_pred = np.array(langid.langs)[best]
-
-    rules = {
+    heuristic_rules = {
         "too_short": (n_chars < spec.MIN_CHARS).to_numpy(),
         "long_line": (max_line_len > spec.MAX_LINE_LENGTH).to_numpy(),
         "long_avg_line": (avg_line_len > spec.MAX_AVG_LINE_LENGTH).to_numpy(),
@@ -54,10 +47,34 @@ def label_corpus(pdf: pd.DataFrame) -> pd.DataFrame:
             (n_lines >= spec.DISTINCT_LINE_MIN_LINES)
             & (distinct_line_ratio < spec.MIN_DISTINCT_LINE_RATIO)
         ).to_numpy(),
-        "high_perplexity": log_ppl > spec.MAX_LOG_PERPLEXITY,
-        "langid_low_margin": margin < spec.MIN_LANGID_MARGIN,
-        "langid_mismatch": lang_pred != pdf["lang"].to_numpy(),
     }
+    heuristics_pass = ~np.logical_or.reduce(list(heuristic_rules.values()))
+
+    # contract (mirrored by pipeline/stages.py run_stages): model scores
+    # are computed ONLY for heuristic-passing rows; dropped rows carry
+    # null model columns and model rules never fire for them
+    langid = build_langid_model()
+    lm = build_bigram_lm()
+    docs = content.fillna("").tolist()
+    pass_idx = np.where(heuristics_pass)[0]
+    lang_pred = np.full(len(pdf), None, dtype=object)
+    margin = np.full(len(pdf), np.nan)
+    log_ppl = np.full(len(pdf), np.nan)
+    if len(pass_idx):
+        best_p, margin_p = langid.predict([docs[i] for i in pass_idx])
+        ppl_p = lm.log_perplexity([docs[i] for i in pass_idx])
+        lang_pred[pass_idx] = np.array(langid.langs, dtype=object)[best_p]
+        margin[pass_idx] = margin_p
+        log_ppl[pass_idx] = ppl_p
+
+    with np.errstate(invalid="ignore"):
+        rules = {
+            **heuristic_rules,
+            "high_perplexity": np.where(np.isnan(log_ppl), False, log_ppl > spec.MAX_LOG_PERPLEXITY),
+            "langid_low_margin": np.where(np.isnan(margin), False, margin < spec.MIN_LANGID_MARGIN),
+            "langid_mismatch": heuristics_pass
+            & (lang_pred != pdf["lang"].to_numpy().astype(object)),
+        }
     drop_reason = np.full(len(pdf), None, dtype=object)
     for name in reversed(spec.RULE_NAMES):
         drop_reason = np.where(rules[name], name, drop_reason)

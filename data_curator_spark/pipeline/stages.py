@@ -69,12 +69,32 @@ def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def heuristics_pass_expr() -> Column:
+    """True where none of the stage-1 heuristic rules fires (columns from
+    with_heuristics). Rows failing a heuristic already have their
+    drop_reason decided, so model scoring is skipped for them — they
+    carry null model columns. On this corpus that's ~55% of character
+    volume never shipped to Python."""
+    return (
+        (F.col("n_chars") >= spec.MIN_CHARS)
+        & (F.col("max_line_len") <= spec.MAX_LINE_LENGTH)
+        & (F.col("avg_line_len") <= spec.MAX_AVG_LINE_LENGTH)
+        & (F.col("alnum_ratio") >= spec.MIN_ALNUM_RATIO)
+        & (F.col("digit_ratio") <= spec.MAX_DIGIT_RATIO)
+        & ~(
+            (F.col("n_lines") >= spec.DISTINCT_LINE_MIN_LINES)
+            & (F.col("distinct_line_ratio") < spec.MIN_DISTINCT_LINE_RATIO)
+        )
+    )
+
+
 def with_model_scores(
     df: DataFrame,
     spark: SparkSession,
     content: str = "content",
     langid: LangIdModel | None = None,
     lm: BigramLM | None = None,
+    gate: Column | None = None,
 ) -> DataFrame:
     langid = langid or build_langid_model()
     lm = lm or build_bigram_lm()
@@ -85,24 +105,34 @@ def with_model_scores(
     b_logp = sc.broadcast(lm.logp)
 
     @F.pandas_udf("struct<lang_pred:string, langid_margin:double, log_ppl:double>")
-    def score(texts: pd.Series) -> pd.DataFrame:
+    def score(texts: pd.Series, gate_mask: pd.Series) -> pd.DataFrame:
         model = LangIdModel(
             langs=tuple(b_langs.value), weights=b_weights.value, priors=b_priors.value
         )
         lmod = BigramLM(logp=b_logp.value)
-        docs = texts.fillna("").tolist()
-        best, margin = model.predict(docs)
-        ppl = lmod.log_perplexity(docs)
-        langs = np.array(b_langs.value)
+        n = len(texts)
+        keep = gate_mask.fillna(False).to_numpy(dtype=bool)
+        lang_pred = np.full(n, None, dtype=object)
+        margin = np.full(n, np.nan)
+        ppl = np.full(n, np.nan)
+        idx = np.where(keep)[0]
+        if len(idx):
+            docs = texts.iloc[idx].fillna("").tolist()
+            best, m = model.predict(docs)
+            p = lmod.log_perplexity(docs)
+            lang_pred[idx] = np.array(b_langs.value, dtype=object)[best]
+            margin[idx] = m
+            ppl[idx] = p
         return pd.DataFrame(
-            {
-                "lang_pred": langs[best],
-                "langid_margin": margin,
-                "log_ppl": ppl,
-            }
+            {"lang_pred": lang_pred, "langid_margin": margin, "log_ppl": ppl}
         )
 
-    return df.withColumn("__scores", score(F.col(content))).select(
+    # gating happens INSIDE the one-pass UDF: splitting the frame and
+    # re-unioning would recompute the scan+heuristics per branch, which
+    # costs more than shipping the gated rows' bytes to Arrow
+    gate_col = F.lit(True) if gate is None else gate
+    scored = df.withColumn("__scores", score(F.col(content), gate_col))
+    return scored.select(
         "*", "__scores.lang_pred", "__scores.langid_margin", "__scores.log_ppl"
     ).drop("__scores")
 
@@ -164,8 +194,10 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
 
 
 def run_stages(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Full stage chain over the raw corpus table."""
+    """Full stage chain over the raw corpus table. Model scoring is
+    gated on the heuristics (contract: model columns are null for
+    heuristic-dropped rows — reference_labeler.py mirrors this)."""
     out = with_heuristics(df)
-    out = with_model_scores(out, spark)
+    out = with_model_scores(out, spark, gate=heuristics_pass_expr())
     out = with_scrub(out)
     return with_decision(out)
