@@ -1,0 +1,70 @@
+"""CLI entry point — the analog of the reference's ``kaxanuk.data_curator
+run`` console command (services/cli.py:155-203).
+
+    python -m data_curator_spark pipeline --input X --output Y --manifest M
+    python -m data_curator_spark corpus   --output X --files 10000
+    python -m data_curator_spark check    --sf-dir /root/testdata/sf0.01
+
+``pipeline`` runs (or resumes) the quality-filter job; ``corpus``
+materializes a deterministic synthetic corpus; ``check`` runs every
+driver query against its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data_curator_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pipeline", help="run/resume the quality-filter pipeline")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+
+    c = sub.add_parser("corpus", help="write a deterministic synthetic corpus")
+    c.add_argument("--output", required=True)
+    c.add_argument("--files", type=int, default=10000)
+    c.add_argument("--seed", type=int, default=42)
+
+    k = sub.add_parser("check", help="run driver queries vs DuckDB oracles")
+    k.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    k.add_argument("queries", nargs="*", help="subset of query names")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "corpus":
+        from data_curator_spark.pipeline.corpus import write_corpus_parquet
+
+        path = write_corpus_parquet(args.output, args.files, args.seed)
+        print(json.dumps({"written": path, "files": args.files, "seed": args.seed}))
+        return 0
+
+    if args.cmd == "pipeline":
+        from data_curator_spark.pipeline.runner import run_pipeline
+        from data_curator_spark.session import build_session
+
+        spark = build_session("quality-filter-pipeline")
+        stats = run_pipeline(
+            spark, args.input, args.output, args.manifest, n_buckets=args.buckets
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return 0
+
+    if args.cmd == "check":
+        import subprocess
+
+        cmd = [sys.executable, "/root/repo/tools/check_oracle.py", args.sf_dir, *args.queries]
+        return subprocess.call(cmd)
+
+    return 2  # pragma: no cover
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

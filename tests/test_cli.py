@@ -1,0 +1,40 @@
+"""CLI entry point (python -m data_curator_spark) — the reference's
+console-command analog (services/cli.py:155-203)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _run(*args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, "-m", "data_curator_spark", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    return out.stdout.strip().splitlines()[-1]
+
+
+def test_cli_corpus_and_pipeline(tmp_path):
+    corpus = str(tmp_path / "c.parquet")
+    r = json.loads(_run("corpus", "--output", corpus, "--files", "200"))
+    assert r["files"] == 200
+
+    r2 = json.loads(
+        _run(
+            "pipeline", "--input", corpus, "--output", str(tmp_path / "out"),
+            "--manifest", str(tmp_path / "m"), "--buckets", "4",
+        )
+    )
+    assert r2["rows_total"] == 210  # 200 + 5% dups
+    assert r2["buckets_processed"] == 4
+    # resume is a no-op
+    r3 = json.loads(
+        _run(
+            "pipeline", "--input", corpus, "--output", str(tmp_path / "out"),
+            "--manifest", str(tmp_path / "m"), "--buckets", "4",
+        )
+    )
+    assert r3["buckets_skipped"] == 4 and r3["buckets_processed"] == 0
