@@ -274,7 +274,10 @@ def _ema_array(values: np.ndarray, span: int) -> np.ndarray:
             end += 1
         seg = values[idx:end]
         if len(seg) >= span:
-            seed = seg[:span].mean()
+            # sequential left-fold sum (np.cumsum), NOT np.mean: pairwise
+            # summation is numpy-private, while a left fold is exactly
+            # reproducible by any engine's running sum (DuckDB oracle)
+            seed = np.cumsum(seg[:span])[-1] / span
             tail = seg[span - 1 :].copy()
             tail[0] = seed
             ema = pd.Series(tail).ewm(alpha=alpha, adjust=False).mean().to_numpy()
@@ -305,8 +308,9 @@ def _rsi_array(values: np.ndarray, days: int) -> np.ndarray:
         losses = np.where(diffs < 0, -diffs, 0.0)
         m = len(diffs)
         if m >= days:
-            seed_g = gains[:days].mean()
-            seed_l = losses[:days].mean()
+            # sequential left-fold seeds (see _ema_array note)
+            seed_g = np.cumsum(gains[:days])[-1] / days
+            seed_l = np.cumsum(losses[:days])[-1] / days
             tg = gains[days - 1 :].copy()
             tl = losses[days - 1 :].copy()
             tg[0] = seed_g

@@ -95,38 +95,88 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                if row["kind"] == "image":
-                    img = _decode_image(payload, row["width"] or 8, row["height"] or 8)
-                    f = np.concatenate(
-                        [img.mean(axis=(0, 1)), img.std(axis=(0, 1)), [img.min(), img.max()]]
-                    )
-                elif row["kind"] == "audio":
-                    wav = _decode_audio(payload, row["sample_rate"] or 16000)
-                    f = np.array(
-                        [
-                            wav.mean(), wav.std(), np.abs(wav).mean(), np.abs(wav).max(),
-                            float((np.diff(np.signbit(wav)) != 0).mean() if len(wav) > 1 else 0.0),
-                            float(len(wav)), wav[: len(wav) // 2].mean() if len(wav) > 1 else 0.0,
-                            wav[len(wav) // 2 :].mean() if len(wav) > 1 else 0.0,
-                        ]
-                    )
-                else:  # video: frame-sample then per-frame channel means
-                    n = row["n_frames"] or 1
-                    frames = [
-                        _decode_image(payload[i::n] or payload, row["width"] or 8, row["height"] or 8)
-                        for i in range(min(n, 4))
-                    ]
-                    f = np.array([fr.mean() for fr in frames] + [0.0] * (4 - len(frames)) + [float(n)] * 4)
-                feats.append([float(x) for x in f[:8]])
+            n = len(pdf)
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            kinds = pdf["kind"].to_numpy(dtype=object)
+            widths = pdf["width"].fillna(8).to_numpy(dtype=np.int64)
+            heights = pdf["height"].fillna(8).to_numpy(dtype=np.int64)
+            nframes = pdf["n_frames"].fillna(1).to_numpy(dtype=np.int64)
+            feats = np.zeros((n, 8), dtype=np.float64)
+
+            # images: per-item CODEC call only; all statistics are one
+            # vectorized pass per (w,h) shape group
+            img_rows = np.flatnonzero(kinds == "image")
+            if img_rows.size:
+                shapes = np.stack([widths[img_rows], heights[img_rows]], axis=1)
+                for w, h in np.unique(shapes, axis=0):
+                    grp = img_rows[(widths[img_rows] == w) & (heights[img_rows] == h)]
+                    arr = np.stack([_decode_image(payloads[i], w, h) for i in grp])
+                    feats[grp, 0:3] = arr.mean(axis=(1, 2))
+                    feats[grp, 3:6] = arr.std(axis=(1, 2))
+                    feats[grp, 6] = arr.min(axis=(1, 2, 3))
+                    feats[grp, 7] = arr.max(axis=(1, 2, 3))
+
+            # audio: per-item CODEC call; stats via one concatenated
+            # buffer + segment reduceat (variable-length waveforms)
+            au_rows = np.flatnonzero(kinds == "audio")
+            if au_rows.size:
+                wavs = [_decode_audio(payloads[i], 16000) for i in au_rows]
+                lens = np.array([len(w) for w in wavs], dtype=np.int64)
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                cat = np.concatenate(wavs).astype(np.float64)
+                sums = np.add.reduceat(cat, starts)
+                means = sums / lens
+                centered = (cat - np.repeat(means, lens)) ** 2
+                stds = np.sqrt(np.add.reduceat(centered, starts) / lens)
+                acat = np.abs(cat)
+                abs_means = np.add.reduceat(acat, starts) / lens
+                abs_maxs = np.maximum.reduceat(acat, starts)
+                flips = np.diff(np.signbit(cat).astype(np.int8)) != 0
+                # mask segment boundaries out of the global diff
+                flips[starts[1:] - 1] = False
+                n_flips = np.add.reduceat(
+                    np.concatenate([flips, [False]]).astype(np.int64), starts
+                )
+                sign_rate = np.where(lens > 1, n_flips / np.maximum(lens - 1, 1), 0.0)
+                # first/second-half means via prefix-sum differencing
+                halves = lens // 2
+                mids = starts + halves
+                ends = starts + lens
+                csum = np.concatenate([[0.0], np.cumsum(cat)])
+                fh = np.where(lens > 1, (csum[mids] - csum[starts]) / np.maximum(halves, 1), 0.0)
+                sh = np.where(lens > 1, (csum[ends] - csum[mids]) / np.maximum(ends - mids, 1), 0.0)
+                feats[au_rows] = np.stack(
+                    [means, stds, abs_means, abs_maxs, sign_rate, lens.astype(np.float64), fh, sh],
+                    axis=1,
+                )
+
+            # video: per-item frame-sample CODEC calls; frame means
+            # vectorized per (w,h) shape group
+            vid_rows = np.flatnonzero(kinds == "video")
+            if vid_rows.size:
+                frame_of: list[tuple[int, int, np.ndarray]] = []
+                for i in vid_rows:
+                    nf = max(int(nframes[i]), 1)
+                    for j in range(min(nf, 4)):
+                        frame_of.append(
+                            (i, j, _decode_image(payloads[i][j::nf] or payloads[i], widths[i], heights[i]))
+                        )
+                    feats[i, 4:8] = float(nf)
+                by_shape: dict[tuple, list] = {}
+                for i, j, fr in frame_of:
+                    by_shape.setdefault(fr.shape, []).append((i, j, fr))
+                for items in by_shape.values():
+                    arr = np.stack([fr for _, _, fr in items])
+                    ms = arr.mean(axis=(1, 2, 3))
+                    for (i, j, _), m in zip(items, ms):
+                        feats[i, j] = m
+
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "feature": feats,
+                    "n_bytes": np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n),
+                    "feature": [list(map(float, row)) for row in feats],
                 }
             )
 

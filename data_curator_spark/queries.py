@@ -855,7 +855,8 @@ ORACLES.update(
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents -> opaque payloads ->
     mapInPandas decode/feature-extract (operators/multimodal.py). Decode
-    codecs are stubbed (deterministic fake); rows-only check."""
+    codecs are stubbed (deterministic fake), but the projected output
+    (media_id, kind, n_bytes) is pure deterministic byte math — oracled."""
     from data_curator_spark.operators.multimodal import extract_features, media_from_documents
 
     d = _t(spark, sf_dir, "documents")
@@ -863,7 +864,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "kind", "n_bytes")
 
 
+SQL_MULTIMODAL_FEATURES = """
+SELECT
+  'm' || CAST(doc_id AS VARCHAR) AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  COALESCE(CAST(octet_length(encode(text)) AS INT), 0) AS n_bytes
+FROM documents
+"""
+
 QUERIES["multimodal_features"] = q_multimodal_features
+ORACLES["multimodal_features"] = SQL_MULTIMODAL_FEATURES
 
 
 # ---------------------------------------------------------------------------
@@ -995,8 +1005,8 @@ FROM (
 def q_ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA-12 per user over event values — seeded-SMA recursion with
     null reset (features/helpers.py:154-225) via ONE grouped
-    applyInPandas pass. Not SQL-expressible -> rows-only check; exact
-    semantics pinned by tests/test_features.py EMA oracles."""
+    applyInPandas pass. Oracled bit-exactly by a DuckDB recursive CTE
+    replicating the same sequential arithmetic (SQL_EMA_RECURSIVE)."""
     from data_curator_spark.engine.features import apply_recursive_features
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
@@ -1004,14 +1014,124 @@ def q_ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ema12")
 
 
+def _ema_oracle_sql(span: int, out_name: str) -> str:
+    """DuckDB recursive-CTE oracle for the EMA kernel (_ema_array).
+
+    Replicates the kernel's arithmetic EXACTLY, op for op:
+    - seed = sequential left-fold sum of the first ``span`` finite values
+      of a segment, / span (kernel uses np.cumsum — a left fold);
+    - recursion = (1-α)·prev + α·v, skipped when prev == v (pandas
+      ewm(adjust=False) semantics: the update divides by (1-α)+α which is
+      exactly 1.0 for these α, and skips when weighted == cur);
+    - reset on null/±Inf. Bit-identical doubles → no rounding needed.
+    """
+    alpha = 2.0 / (span + 1)
+    # string-cast double literals: bare decimal literals make DuckDB
+    # evaluate the multiply-add in extended decimal precision (observed:
+    # last-ulp divergence vs IEEE double); CAST('…' AS DOUBLE) pins the
+    # exact double and the exact double ops
+    al = f"CAST('{alpha!r}' AS DOUBLE)"
+    om = f"CAST('{1.0 - alpha!r}' AS DOUBLE)"
+    sp = f"CAST('{float(span)!r}' AS DOUBLE)"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         (value IS NOT NULL AND isfinite(value)) AS ok
+  FROM events
+), rec AS (
+  SELECT user_id, rn, event_id,
+         CAST(CASE WHEN ok THEN 1 ELSE 0 END AS INT) AS seg_len,
+         CAST(CASE WHEN ok THEN value ELSE 0.0 END AS DOUBLE) AS run_sum,
+         CAST(CASE WHEN ok AND {span} = 1 THEN value / {sp} END AS DOUBLE) AS ema
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.event_id,
+         CASE WHEN b.ok THEN r.seg_len + 1 ELSE 0 END AS seg_len,
+         CASE WHEN NOT b.ok THEN 0.0
+              WHEN r.seg_len + 1 <= {span} THEN r.run_sum + b.value
+              ELSE r.run_sum END AS run_sum,
+         CASE WHEN NOT b.ok THEN NULL
+              WHEN r.seg_len + 1 < {span} THEN NULL
+              WHEN r.seg_len + 1 = {span} THEN (r.run_sum + b.value) / {sp}
+              WHEN r.ema = b.value THEN r.ema
+              ELSE {om} * r.ema + {al} * b.value END AS ema
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT event_id, ema AS {out_name} FROM rec
+"""
+
+
+SQL_EMA_RECURSIVE = _ema_oracle_sql(12, "ema12")
+
+
 def q_rsi_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilder RSI-14 per user (features/helpers.py:387-474); rows-only
-    check (recursive, not SQL-expressible)."""
+    """Wilder RSI-14 per user (features/helpers.py:387-474). Oracled
+    bit-exactly by a DuckDB recursive CTE (SQL_RSI_RECURSIVE)."""
     from data_curator_spark.engine.features import apply_recursive_features
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = apply_recursive_features(ev, "user_id", "ts", [("rsi14", "rsi", "value", 14)])
     return out.select("event_id", "rsi14")
+
+
+def _rsi_oracle_sql(days: int, out_name: str) -> str:
+    """DuckDB recursive-CTE oracle for the RSI kernel (_rsi_array),
+    replicating its sequential arithmetic exactly (see _ema_oracle_sql):
+    gains/losses from per-row diffs, left-fold seeds, Wilder smoothing as
+    pandas ewm(α=1/days, adjust=False), null while avg loss == 0, reset
+    when either side of a diff is null/±Inf."""
+    alpha = 1.0 / days
+    # string-cast double literals — see _ema_oracle_sql
+    al = f"CAST('{alpha!r}' AS DOUBLE)"
+    om = f"CAST('{1.0 - alpha!r}' AS DOUBLE)"
+    dy = f"CAST('{float(days)!r}' AS DOUBLE)"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         (value IS NOT NULL AND isfinite(value)) AS ok
+  FROM events
+), rec AS (
+  SELECT user_id, rn, event_id, value AS prev_val, ok AS prev_ok,
+         CAST(0 AS INT) AS m,
+         CAST(0.0 AS DOUBLE) AS sum_g, CAST(0.0 AS DOUBLE) AS sum_l,
+         CAST(NULL AS DOUBLE) AS avg_g, CAST(NULL AS DOUBLE) AS avg_l,
+         CAST(NULL AS DOUBLE) AS rsi
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT user_id, rn, event_id, prev_val, prev_ok, m, sum_g, sum_l, avg_g, avg_l,
+         CASE WHEN avg_l IS NULL OR avg_l = 0.0 THEN NULL
+              ELSE CAST('100.0' AS DOUBLE) - CAST('100.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + avg_g / avg_l) END AS rsi
+  FROM (
+    SELECT user_id, rn, event_id, prev_val, prev_ok, m,
+           CASE WHEN m = 0 THEN 0.0 WHEN m <= {days} THEN sum_g0 + g ELSE sum_g0 END AS sum_g,
+           CASE WHEN m = 0 THEN 0.0 WHEN m <= {days} THEN sum_l0 + l ELSE sum_l0 END AS sum_l,
+           CASE WHEN m < {days} THEN NULL
+                WHEN m = {days} THEN (sum_g0 + g) / {dy}
+                WHEN avg_g0 = g THEN avg_g0
+                ELSE {om} * avg_g0 + {al} * g END AS avg_g,
+           CASE WHEN m < {days} THEN NULL
+                WHEN m = {days} THEN (sum_l0 + l) / {dy}
+                WHEN avg_l0 = l THEN avg_l0
+                ELSE {om} * avg_l0 + {al} * l END AS avg_l
+    FROM (
+      SELECT b.user_id, b.rn, b.event_id,
+             b.value AS prev_val, b.ok AS prev_ok,
+             CASE WHEN b.ok AND r.prev_ok THEN r.m + 1 ELSE 0 END AS m,
+             CASE WHEN b.value - r.prev_val > 0 THEN b.value - r.prev_val ELSE 0.0 END AS g,
+             CASE WHEN b.value - r.prev_val < 0 THEN -(b.value - r.prev_val) ELSE 0.0 END AS l,
+             r.sum_g AS sum_g0, r.sum_l AS sum_l0,
+             r.avg_g AS avg_g0, r.avg_l AS avg_l0
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    ) s1
+  ) s2
+)
+SELECT event_id, rsi AS {out_name} FROM rec
+"""
+
+
+SQL_RSI_RECURSIVE = _rsi_oracle_sql(14, "rsi14")
 
 
 QUERIES.update(
@@ -1031,7 +1151,8 @@ ORACLES.update(
         "topk_orders": SQL_TOPK_ORDERS,
         "set_ops": SQL_SET_OPS,
         "scalar_functions": SQL_SCALAR_FUNCTIONS,
-        # ema_recursive / rsi_recursive: recursive kernels, rows-only
+        "ema_recursive": SQL_EMA_RECURSIVE,
+        "rsi_recursive": SQL_RSI_RECURSIVE,
     }
 )
 
