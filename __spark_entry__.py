@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_curator_spark.queries import ORACLES, QUERIES
+from data_curator_spark.queries import QUERIES, get_oracles
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -31,5 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each query (same aliases, same rounding)."""
-    return dict(ORACLES)
+    """DuckDB-equivalent SQL for each query (same aliases, same rounding).
+
+    Data-dependent oracles (ann_ivf's literal centroid matrix) are
+    generated at call time for the driver's sf0.01 check dir."""
+    return get_oracles()

@@ -179,17 +179,27 @@ def train_ivf_centroids(
     iters: int = 5,
     dim: int = 64,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means with deterministic seeded init. Each iteration is
     one distributed assign (column expression) + one dim-exploded groupBy
     average; ONLY the (n_centroids × dim) centroid matrix ever reaches
     the driver — the iterative-algorithm pattern for Spark (no data
-    collect)."""
+    collect).
+
+    Reproducibility contract (lets a non-Spark replica — e.g. the DuckDB
+    oracle generator's train_ivf_centroids_numpy — produce the identical
+    matrix): pass ``id_col`` so the init sample is the first n×20 rows in
+    id order, and note each iteration's centroid means are rounded to 6
+    decimals (Python round, banker's) — the distributed avg and a numpy
+    mean then agree exactly except on ~1e-14-wide rounding-boundary ties.
+    """
     import numpy as np
 
     rng = np.random.default_rng(seed)
     # init from a deterministic sample of the corpus
-    sample = corpus.select(vec_col).limit(n_centroids * 20).collect()
+    sample_src = corpus.orderBy(id_col) if id_col is not None else corpus
+    sample = sample_src.select(vec_col).limit(n_centroids * 20).collect()
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     centroids = [list(map(float, sample[i][0])) for i in idx]
 
@@ -206,7 +216,36 @@ def train_ivf_centroids(
         new = {c: list(cent) for c, cent in enumerate(centroids)}
         for r in agg:
             new.setdefault(r["__c"], [0.0] * dim)
-            new[r["__c"]][r["__pos"]] = float(r["__m"])
+            new[r["__c"]][r["__pos"]] = round(float(r["__m"]), 6)
+        centroids = [new[i] for i in sorted(new)]
+    return centroids
+
+
+def train_ivf_centroids_numpy(
+    arr,  # np.ndarray (n, dim) in id order, float32 or float64
+    n_centroids: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Driver-side replica of train_ivf_centroids for oracle generation:
+    identical seeded init, identical argmin tie-break (first index),
+    identical per-iteration 6-decimal rounding."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    sample = a[: n_centroids * 20]
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    centroids = [list(map(float, sample[i])) for i in idx]
+
+    for _ in range(iters):
+        c = np.array(centroids)
+        d = ((a[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first-min index == Spark's (d, i) struct-min
+        new = {ci: list(cent) for ci, cent in enumerate(centroids)}
+        for ci in np.unique(assign):
+            new[int(ci)] = [round(float(x), 6) for x in a[assign == ci].mean(axis=0)]
         centroids = [new[i] for i in sorted(new)]
     return centroids
 
@@ -230,7 +269,9 @@ def ivf_ann_topk(
     At 10^12 scale the cell assignment is a write-once partition column
     (cluster-pruned scans); queries touch n_probe/n_centroids of the
     corpus instead of all of it."""
-    centroids = train_ivf_centroids(corpus, vec_col, n_centroids, iters, dim, seed)
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_centroids, iters, dim, seed, id_col=id_col
+    )
 
     cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),

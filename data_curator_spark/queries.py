@@ -703,45 +703,131 @@ HAVING COUNT(*) > 1
 """
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs >= 0.5
-    (operators/dedup.py:ngram_jaccard_pairs)."""
-    from data_curator_spark.operators.dedup import ngram_jaccard_pairs
+# --- portable-hash oracle builders (operators/dedup.py uses the same
+# md5-prefix + affine-mod-2^31−1 scheme, so DuckDB reproduces the exact
+# MinHash/SimHash integers) -------------------------------------------------
 
-    d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+_WS_SQL = "'[ \\n\\t\\r]+'"  # same charset as dedup.WS_RE
 
 
-SQL_NGRAM_JACCARD = r"""
-WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '[ 
-	
-]+') AS ws FROM documents
+def _hex_long_sql(col: str, n_hex: int) -> str:
+    """DuckDB expression: first n_hex hex digits of ``col`` as BIGINT."""
+    return (
+        f"list_sum(list_transform(range({n_hex}), i -> "
+        f"(strpos('0123456789abcdef', substr({col}, CAST(i+1 AS INT), 1)) - 1)::BIGINT"
+        f" << (4*({n_hex}-1-i))))"
+    )
+
+
+def _shingle_cte() -> str:
+    """Distinct word-3-gram shingles per doc (matches dedup.word_shingles)."""
+    return f"""w AS (
+  SELECT doc_id, string_split_regex(trim(text), {_WS_SQL}) AS ws FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
   FROM w WHERE len(ws) >= 3
+)"""
+
+
+def _minhash_sig_cte(k: int, seed: int = 42) -> str:
+    """CTE chain ending in sig(doc_id, mh_0..mh_{k-1})."""
+    from data_curator_spark.operators.dedup import P31, minhash_params
+
+    params = minhash_params(k, seed)
+    mins = ",\n         ".join(
+        f"MIN(({a} * x + {b}) % {P31}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"""{_shingle_cte()}, hh AS (
+  SELECT doc_id, md5(s) AS h FROM sh
+), hx AS (
+  SELECT doc_id, ({_hex_long_sql('h', 8)}) % {P31} AS x FROM hh
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM hx GROUP BY doc_id
+)"""
+
+
+def _band_collision_sql(k: int, bands: int) -> str:
+    """OR-of-bands predicate between sig aliases p and q."""
+    r = k // bands
+    terms = []
+    for b in range(bands):
+        conj = " AND ".join(f"p.mh_{b*r+j} = q.mh_{b*r+j}" for j in range(r))
+        terms.append(f"({conj})")
+    return "\n    OR ".join(terms)
+
+
+def _minhash_lsh_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    est = " + ".join(f"CASE WHEN p.mh_{i} = q.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+WITH {_minhash_sig_cte(k)}
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT p.doc_id AS id_a, q.doc_id AS id_b,
+         CAST({est} AS DOUBLE) / CAST('{float(k)!r}' AS DOUBLE) AS est_jaccard
+  FROM sig p JOIN sig q ON p.doc_id < q.doc_id
+  WHERE {_band_collision_sql(k, bands)}
+)
+WHERE est_jaccard >= {threshold}
+"""
+
+
+SQL_MINHASH_LSH = _minhash_lsh_oracle_sql(32, 8, 0.5)
+
+
+def _ngram_jaccard_blocked_oracle_sql(
+    k: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """LSH-candidate pairs (same portable minhash) → exact Jaccard verify."""
+    return f"""
+WITH {_minhash_sig_cte(k)}, cand AS (
+  SELECT p.doc_id AS id_a, q.doc_id AS id_b
+  FROM sig p JOIN sig q ON p.doc_id < q.doc_id
+  WHERE {_band_collision_sql(k, bands)}
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b,
        ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 """
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.5 over LSH candidate pairs — the
+    blocked scale plan (lsh_candidate_pairs blocks, ngram_jaccard_verify
+    confirms), oracled end-to-end: the oracle reproduces the identical
+    portable-minhash candidates, so the composed result matches exactly
+    (VERDICT r1 item #6 — no full shingle self-join in the plan)."""
+    from data_curator_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_verify,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", k=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8)
+    out = ngram_jaccard_verify(d, cands, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = _ngram_jaccard_blocked_oracle_sql(32, 8, 0.5)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate near-dup pairs (shingle -> minhash -> band ->
-    bucket-join). No SQL oracle (hash-function specific) -> rows-only check;
-    exactness of the underlying estimate is pinned by tests/test_dedup.py."""
+    bucket-join). Portable md5+affine hashing -> exact DuckDB oracle
+    (SQL_MINHASH_LSH); estimate quality pinned by tests/test_dedup.py."""
     from data_curator_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
     d = _t(spark, sf_dir, "documents")
@@ -751,13 +837,53 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    from data_curator_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN 1::BIGINT << {j} ELSE 0::BIGINT END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), {_WS_SQL}),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), hh AS (
+  SELECT doc_id, md5(tok) AS m FROM t
+), hx AS (
+  SELECT doc_id, {_hex_long_sql('m', 15)} AS h FROM hh
+), v AS (
+  SELECT doc_id, {votes}
+  FROM hx GROUP BY doc_id
+), f AS (
+  SELECT d.doc_id, COALESCE({fp}, 0::BIGINT) AS fp
+  FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEAR = _simhash_oracle_sql(3)
+
+
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via pigeonhole band blocking.
-    Rows-only check (fingerprint bits are hash-function specific)."""
+    Portable md5 token hashing -> exact DuckDB oracle (SQL_SIMHASH_NEAR:
+    all-pairs + hamming filter — equivalent by the pigeonhole-completeness
+    of the banding, which tests/test_dedup.py pins)."""
     from data_curator_spark.operators.dedup import simhash, simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
+    out = simhash_near_pairs(simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -799,14 +925,81 @@ FROM ranked WHERE rank <= 3
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (operators/similarity.py:lsh_ann_topk).
-    Rows-only check; recall vs the exact baseline is pinned by
-    tests/test_similarity.py."""
+    The hyperplane signatures are plain float arithmetic from a seeded
+    RNG, so the oracle (SQL_ANN_LSH) reproduces the buckets + re-rank
+    with the same plane literals; recall vs the exact baseline is pinned
+    by tests/test_similarity.py."""
     from data_curator_spark.operators.similarity import lsh_ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=3
     )
+
+
+_COS_SQL = """ROUND(
+      list_sum(list_transform(range(1, {dim}+1),
+               j -> CAST({q}[j] AS DOUBLE) * CAST({c}[j] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform({q}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({c}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+    6)"""
+
+
+def _ann_lsh_oracle_sql(
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Oracle for lsh_ann_topk: per-table hyperplane sign buckets with the
+    SAME seeded plane matrix as the Spark operator, OR-of-tables candidate
+    join, exact cosine re-rank rounded to 6."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    tables = [
+        [list(rng.standard_normal(dim)) for _ in range(n_planes)] for _ in range(n_tables)
+    ]
+
+    def plane_lit(p: list[float]) -> str:
+        return "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for i, p in enumerate(tables[t]):
+            dot = (
+                f"list_sum(list_transform(range(1, {dim}+1), j -> "
+                f"CAST(embedding[j] AS DOUBLE) * ({plane_lit(p)})[j]))"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+        return "(" + "\n     + ".join(bits) + ")"
+
+    buckets = ",\n  ".join(f"{bucket_expr(t)} AS b{t}" for t in range(n_tables))
+    or_pred = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    cos = _COS_SQL.format(dim=dim, q="q.embedding", c="c.embedding")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+  {buckets}
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {cos} AS sim
+  FROM b q JOIN b c ON ({or_pred})
+  WHERE q.{query_pred} AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_oracle_sql()
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,10 +1037,11 @@ ORACLES.update(
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_lsh": SQL_MINHASH_LSH,
+        "simhash_near": SQL_SIMHASH_NEAR,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "ann_lsh": SQL_ANN_LSH,
         "embedding_norms": SQL_EMBEDDING_NORMS,
-        # minhash_lsh, simhash_near, ann_lsh: intentionally no oracle
-        # (hash-function-specific internals) -> driver rows-only check
     }
 )
 
@@ -1220,8 +1414,12 @@ ORACLES["corpus_heuristics"] = SQL_CORPUS_HEURISTICS
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse cells (trained distributed, centroids-only
     on the driver) + probed exact re-rank
-    (operators/similarity.py:ivf_ann_topk). Rows-only check; recall vs
-    the exact baseline pinned by tests/test_similarity.py."""
+    (operators/similarity.py:ivf_ann_topk). Training is deterministic
+    (seeded init over id-ordered sample, 6-decimal centroid rounding per
+    iteration), so the oracle regenerates the identical centroid matrix
+    with train_ivf_centroids_numpy and interpolates it as SQL literals
+    (_ann_ivf_oracle_sql) — cell assignment + probe + re-rank verified
+    end-to-end. Recall vs exact pinned by tests/test_similarity.py."""
     from data_curator_spark.operators.similarity import ivf_ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1232,3 +1430,87 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf"] = q_ann_ivf
+
+
+def _ann_ivf_oracle_sql(
+    sf_dir: str,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    iters: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Generate the IVF oracle at call time: replicate the deterministic
+    k-means on the actual embeddings (numpy replica of the Spark
+    training), then emit assignment/probe/re-rank SQL with the centroid
+    matrix as literals."""
+    import duckdb
+
+    import numpy as np
+
+    from data_curator_spark.operators.similarity import train_ivf_centroids_numpy
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    arr = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = train_ivf_centroids_numpy(arr, n_centroids, iters, dim, seed)
+    vals = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    cos = _COS_SQL.format(dim=dim, q="p.qemb", c="c.cemb")
+    return f"""
+WITH cents(ci, cv) AS (
+  VALUES
+    {vals}
+), d AS (
+  SELECT e.vec_id, e.embedding, c.ci,
+         list_sum(list_transform(range(1, {dim}+1),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - cv[j]) * (CAST(e.embedding[j] AS DOUBLE) - cv[j]))) AS dist
+  FROM embeddings e CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id AS neighbor_id, embedding AS cemb, ci AS cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d)
+  WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qemb, ci AS cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+        FROM d WHERE {query_pred})
+  WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, c.neighbor_id,
+    {cos} AS sim
+  FROM probes p JOIN cells c USING (cell)
+  WHERE p.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def get_oracles() -> dict[str, str]:
+    """Assemble the oracle dict, adding data-dependent oracles lazily.
+
+    The ann_ivf oracle interpolates the trained centroid matrix from the
+    sf dir the driver checks at (sf0.01 by default; override with
+    SPARK_GRAFT_ORACLE_SF for local runs at other scales). If the data
+    is unreadable the entry is omitted → driver falls back to the
+    rows-only check."""
+    import os
+
+    out = dict(ORACLES)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    try:
+        out["ann_ivf"] = _ann_ivf_oracle_sql(sf_dir)
+    except Exception:  # noqa: BLE001 — missing testdata: rows-only fallback
+        pass
+    return out

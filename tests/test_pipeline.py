@@ -134,3 +134,41 @@ def test_empty_corpus_through_all_stages(spark):
     out = run_stages(empty, spark)
     assert out.count() == 0
     assert "keep" in out.columns and "content_scrubbed" in out.columns
+
+
+def test_runner_metrics_scan_prunes_completed_buckets(spark, corpus_path, tmp_path):
+    """The lineage/metrics read must partition-prune to the just-written
+    buckets — a resume at 100 TB must never re-scan completed history
+    (VERDICT r1, wrong #2)."""
+    out_dir = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    run_pipeline(spark, corpus_path, out_dir, manifest, n_buckets=8, fail_buckets={3})
+    # the exact scan shape the runner uses for metrics on the resume run
+    df = spark.read.parquet(out_dir).filter(F.col("bucket").isin([3]))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    # the bucket predicate lands in PartitionFilters (metadata pruning),
+    # not as a post-scan Filter over all history
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "bucket" in pf_line and ("IN" in pf_line or "= 3" in pf_line)
+
+
+def test_bucket_rewrite_idempotent_after_lost_manifest(spark, corpus_path, tmp_path):
+    """Crash in the write→manifest-commit gap: the bucket's data exists
+    but is not marked done, so the resume reprocesses it. Dynamic
+    partition overwrite must REPLACE the partition (no duplicate rows) —
+    ADVICE r1 (runner atomicity)."""
+    out_dir = str(tmp_path / "out")
+    m1 = str(tmp_path / "manifest1")
+    m2 = str(tmp_path / "manifest2")
+    r1 = run_pipeline(spark, corpus_path, out_dir, m1, n_buckets=4)
+    # simulate total manifest loss (worst case of the gap): every bucket
+    # re-runs against the already-written output
+    r2 = run_pipeline(spark, corpus_path, out_dir, m2, n_buckets=4)
+    total = spark.read.parquet(corpus_path).count()
+    assert r1["rows_total"] == total and r2["rows_total"] == total
+    written = spark.read.parquet(out_dir)
+    assert written.count() == total
+    assert written.groupBy("repo", "path", "commit").count().filter("count > 1").isEmpty()

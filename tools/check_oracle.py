@@ -46,6 +46,10 @@ def multiset(rows, colnames):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import os
+
+    # data-dependent oracles (ann_ivf) must train on the same sf dir
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     only = set(sys.argv[2:]) or None
 
     import __spark_entry__ as entry_mod
