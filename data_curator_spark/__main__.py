@@ -59,8 +59,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "check":
         import subprocess
+        from pathlib import Path
 
-        cmd = [sys.executable, "/root/repo/tools/check_oracle.py", args.sf_dir, *args.queries]
+        script = Path(__file__).resolve().parents[1] / "tools" / "check_oracle.py"
+        cmd = [sys.executable, str(script), args.sf_dir, *args.queries]
         return subprocess.call(cmd)
 
     return 2  # pragma: no cover

@@ -218,8 +218,12 @@ def build_features(
             elif period == "annual":
                 out = out.withColumn(name, F.col(value_col).cast("double"))
             elif period == "quarterly":
+                # null_replacement='' matches DataColumn.concatenate's
+                # default: a row with one null fiscal column still gets a
+                # usable key (reference modules/data_column.py concatenate)
                 key = C.concat_with_null_replacement(
-                    "", F.col("f_fiscal_year"), F.col("f_fiscal_period")
+                    "", F.col("f_fiscal_year"), F.col("f_fiscal_period"),
+                    null_replacement="",
                 )
                 out = out.withColumn("__ltm_key", key)
                 rolled = FT.indexed_rolling_sum(

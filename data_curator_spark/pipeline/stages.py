@@ -151,10 +151,16 @@ def scrub_expr(content: Column) -> Column:
 
 def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
     c = F.col(content)
-    fired = [
-        F.when(c.rlike(pattern), F.lit(name)) for name, pattern, _ in spec.SCRUB_RULES
-    ]
-    scrubbed = scrub_expr(c)
+    # fire flags test each rule against the PROGRESSIVELY-scrubbed text —
+    # the same intermediate the replacement chain (and the reference
+    # labeler) sees, so a rule whose match is destroyed/created by an
+    # earlier replacement reports consistently (ADVICE r1)
+    fired = []
+    cur = c
+    for name, pattern, repl in spec.SCRUB_RULES:
+        fired.append(F.when(cur.rlike(pattern), F.lit(name)))
+        cur = F.regexp_replace(cur, pattern, repl)
+    scrubbed = cur
     return df.select(
         "*",
         scrubbed.alias("content_scrubbed"),

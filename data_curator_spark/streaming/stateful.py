@@ -9,6 +9,7 @@ concatenated history. State is O(span) floats per key — bounded.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -61,7 +62,10 @@ def streaming_ema(df: DataFrame, span: int) -> DataFrame:
         for pdf in pdfs:
             pdf = pdf.sort_values("seq")
             for seq, v in zip(pdf["seq"], pdf["value"]):
-                if pd.isna(v):
+                # reset on null AND ±Inf — _ema_array treats any
+                # non-finite value as a segment boundary; feeding Inf
+                # into the recursion would poison the key's state forever
+                if pd.isna(v) or not math.isfinite(float(v)):
                     cur, window = None, []
                     out_rows.append((key[0], int(seq), None, None))
                     continue

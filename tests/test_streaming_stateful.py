@@ -78,3 +78,42 @@ def test_streaming_ema_state_across_batches(spark, tmp_path):
             assert pd.isna(g)
         else:
             assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_streaming_ema_inf_resets_like_batch(spark, tmp_path):
+    """±Inf must reset per-key state exactly like the batch kernel's
+    non-finite segment boundaries (_ema_array) — an Inf fed into the
+    recursion would poison the state forever (ADVICE r1)."""
+    import numpy as np
+
+    from data_curator_spark.engine.features import _ema_array
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    vals = [10.0, 11.0, 12.0, float("inf"), 14.0, 15.0, 16.0, 17.0]
+    pdf = pd.DataFrame({"key": "A", "seq": range(len(vals)), "value": vals})
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(land / "b1.parquet"))
+
+    stream = spark.readStream.schema("key string, seq long, value double").parquet(str(land))
+    q = (
+        streaming_ema(stream, SPAN)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir).orderBy("seq").toPandas()
+    want = _ema_array(np.array(vals), SPAN)
+    assert len(got) == len(vals)
+    for g, w in zip(got["ema"], want):
+        if np.isnan(w):
+            assert pd.isna(g)
+        else:
+            assert g == pytest.approx(w, rel=1e-12)
