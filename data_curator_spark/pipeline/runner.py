@@ -7,11 +7,18 @@ Scale design (north_rule):
   mega-repo's files spread over all buckets instead of hot-spotting one
   partition (the skew defusal the reference never needed at its
   single-process scale).
-- **Lineage manifest**: one row per completed bucket with counts and
-  timings appended to a parquet manifest (Iceberg manifest analog). A
-  restart reads the manifest, anti-joins completed buckets, and only
-  processes the remainder — the distributed rewrite of the reference's
-  per-identifier log-and-continue loop (data_curator.py:177-213).
+- **Lineage manifest (Iceberg-analog, two tables)**: the manifest root
+  holds ``entries/`` (one row per completed bucket with counts/timings —
+  Iceberg's manifest-entry role) and ``snapshots/`` (one row per run
+  with parent-snapshot linkage and summary counts — Iceberg's snapshot
+  log role). A restart reads entries, anti-joins completed buckets, and
+  only processes the remainder — the distributed rewrite of the
+  reference's per-identifier log-and-continue loop
+  (data_curator.py:177-213). Real Iceberg catalog jars are absent in
+  this sandbox (install attempt recorded in BASELINE.md); the layout
+  mirrors Iceberg's metadata architecture so swapping in
+  ``writeTo(...).append()`` + the real snapshot log is a sink change,
+  not a redesign.
 - **Idempotent bucket rewrites**: output parquet is partitioned by
   bucket and written with dynamic partition overwrite, so a bucket that
   was written but not committed to the manifest (crash in the gap) is
@@ -56,9 +63,17 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int]:
+def _entries_path(manifest_root: str) -> str:
+    return f"{manifest_root}/entries"
+
+
+def _snapshots_path(manifest_root: str) -> str:
+    return f"{manifest_root}/snapshots"
+
+
+def completed_buckets(spark: SparkSession, manifest_root: str) -> list[int]:
     try:
-        m = spark.read.parquet(manifest_path)
+        m = spark.read.parquet(_entries_path(manifest_root))
     except AnalysisException:  # first run: no manifest yet
         return []
     return [
@@ -67,14 +82,32 @@ def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int]:
     ]
 
 
-def _latest_manifest_rows(spark: SparkSession, manifest_path: str) -> DataFrame:
+def _latest_manifest_rows(spark: SparkSession, manifest_root: str) -> DataFrame:
     """One row per bucket: the most recently committed 'done' row wins
     (a bucket can be legitimately rewritten after a crash in the
     write→commit gap — dynamic partition overwrite makes the rewrite
     idempotent, and this picks the matching lineage row)."""
-    m = spark.read.parquet(manifest_path).filter(F.col("status") == "done")
+    m = spark.read.parquet(_entries_path(manifest_root)).filter(F.col("status") == "done")
     w = Window.partitionBy("bucket").orderBy(F.desc("committed_at"))
     return m.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def latest_snapshot_id(spark: SparkSession, manifest_root: str) -> str | None:
+    """Most recent snapshot id, or None on a fresh manifest — the parent
+    pointer for the next run's snapshot row (Iceberg snapshot-log
+    analog)."""
+    try:
+        s = spark.read.parquet(_snapshots_path(manifest_root))
+    except AnalysisException:
+        return None
+    rows = s.orderBy(F.desc("committed_at")).limit(1).collect()
+    return rows[0]["snapshot_id"] if rows else None
+
+
+def snapshot_lineage(spark: SparkSession, manifest_root: str) -> DataFrame:
+    """The snapshot chain (snapshot_id, parent_snapshot_id, operation,
+    summary counts, committed_at) — Iceberg's snapshot history analog."""
+    return spark.read.parquet(_snapshots_path(manifest_root))
 
 
 def run_pipeline(
@@ -94,6 +127,7 @@ def run_pipeline(
     t0 = time.time()
 
     raw = with_bucket(spark.read.parquet(input_path), n_buckets)
+    parent_snapshot = latest_snapshot_id(spark, manifest_path)
     done = completed_buckets(spark, manifest_path)
     todo = raw.filter(~F.col("bucket").isin(done)) if done else raw
     if fail_buckets:
@@ -141,7 +175,7 @@ def run_pipeline(
             F.lit(time.time()).alias("committed_at"),
         )
     )
-    metrics.write.mode("append").parquet(manifest_path)
+    metrics.write.mode("append").parquet(_entries_path(manifest_path))
 
     # run totals: incremental from the manifest (latest row per bucket),
     # not a scan of the output
@@ -150,6 +184,27 @@ def run_pipeline(
         .agg(F.sum("rows").alias("rows"), F.sum("kept").alias("kept"))
         .collect()[0]
     )
+    # snapshot row: run-level lineage with parent linkage (Iceberg
+    # snapshot-log analog; the entries table holds the per-bucket rows)
+    snapshot = spark.createDataFrame(
+        [
+            (
+                run_id,
+                parent_snapshot,
+                "append" if not done else "append-resume",
+                len(new_buckets),
+                len(done),
+                int(totals["rows"] or 0),
+                int(totals["kept"] or 0),
+                float(time.time()),
+            )
+        ],
+        "snapshot_id string, parent_snapshot_id string, operation string, "
+        "buckets_processed int, buckets_skipped int, rows_total long, "
+        "rows_kept long, committed_at double",
+    )
+    snapshot.write.mode("append").parquet(_snapshots_path(manifest_path))
+
     return {
         "run_id": run_id,
         "buckets_processed": len(new_buckets),

@@ -172,3 +172,23 @@ def test_bucket_rewrite_idempotent_after_lost_manifest(spark, corpus_path, tmp_p
     written = spark.read.parquet(out_dir)
     assert written.count() == total
     assert written.groupBy("repo", "path", "commit").count().filter("count > 1").isEmpty()
+
+
+def test_snapshot_lineage_chain(spark, corpus_path, tmp_path):
+    """Iceberg-analog snapshot log: each run appends a snapshot row whose
+    parent_snapshot_id points at the previous run; a crash+resume pair
+    forms a 2-link chain with correct summary counts."""
+    from data_curator_spark.pipeline.runner import snapshot_lineage
+
+    out_dir = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    r1 = run_pipeline(spark, corpus_path, out_dir, manifest, n_buckets=8, fail_buckets={1, 2})
+    r2 = run_pipeline(spark, corpus_path, out_dir, manifest, n_buckets=8)
+    snaps = {s["snapshot_id"]: s for s in snapshot_lineage(spark, manifest).collect()}
+    assert len(snaps) == 2
+    assert snaps[r1["run_id"]]["parent_snapshot_id"] is None
+    assert snaps[r2["run_id"]]["parent_snapshot_id"] == r1["run_id"]
+    assert snaps[r2["run_id"]]["operation"] == "append-resume"
+    assert snaps[r2["run_id"]]["rows_total"] == spark.read.parquet(corpus_path).count()
+    assert snaps[r1["run_id"]]["buckets_processed"] == 6
+    assert snaps[r2["run_id"]]["buckets_processed"] == 2
