@@ -1,0 +1,61 @@
+"""Entity-hierarchy packing: flat prefixed columns ↔ nested structs.
+
+The reference nests fundamental statements inside the row entity
+(entities/fundamental_data_row.py:31-33: balance_sheet / cash_flow /
+income_statement dataclasses); this engine works in the flattened
+``fbs_* / fcf_* / fis_*`` namespace (SURVEY §1.2 choice — flat columns
+keep every expression whole-stage-codegen-able and prunable). These two
+helpers are the lossless bridge: pack for entity-shaped output (or
+nested-parquet interchange), unpack to return to the compute-friendly
+flat form. Pure projections — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# reference entities/fundamental_data_row.py:31-33
+ENTITY_PREFIXES: dict[str, str] = {
+    "fbs_": "balance_sheet",
+    "fcf_": "cash_flow",
+    "fis_": "income_statement",
+}
+
+
+def pack_entities(
+    df: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Nest every ``<prefix>x`` column into a ``struct_name.x`` field;
+    columns matching no prefix stay flat."""
+    prefixes = ENTITY_PREFIXES if prefixes is None else prefixes
+    flat, nested = [], {name: [] for name in prefixes.values()}
+    for c in df.columns:
+        for pre, name in prefixes.items():
+            if c.startswith(pre):
+                nested[name].append(F.col(c).alias(c[len(pre):]))
+                break
+        else:
+            flat.append(F.col(c))
+    structs = [
+        F.struct(*cols).alias(name) for name, cols in nested.items() if cols
+    ]
+    return df.select(*flat, *structs)
+
+
+def unpack_entities(
+    df: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Inverse of pack_entities: flatten each struct back to its
+    prefixed columns (original names restored)."""
+    prefixes = ENTITY_PREFIXES if prefixes is None else prefixes
+    by_name = {name: pre for pre, name in prefixes.items()}
+    cols = []
+    for f_ in df.schema.fields:
+        if f_.name in by_name:
+            pre = by_name[f_.name]
+            for sub in f_.dataType.fieldNames():  # type: ignore[union-attr]
+                cols.append(F.col(f"{f_.name}.{sub}").alias(f"{pre}{sub}"))
+        else:
+            cols.append(F.col(f_.name))
+    return df.select(*cols)

@@ -1,0 +1,96 @@
+"""Declarative provider adapters: field maps as data, wired end-to-end.
+
+The reference declares per-endpoint field maps from entity fields to
+provider tags, optionally with preprocess chains
+(data_providers/financial_modeling_prep.py:266-301
+``PreprocessedFieldMapping(['date'], [cast_datetime_to_date])``), and the
+toolkit turns raw endpoint payloads into entity-named columns
+(services/data_provider_toolkit.py:1745-1816). The Spark analog keeps
+the same declaration shape — (source tag → target entity columns,
+preprocess fns) — but compiles the whole map to ONE ``select`` of column
+expressions, so remap + 1→N duplication + preprocessing is a single
+narrow projection (no per-field passes, no Python per row).
+
+``curate`` then chains the §3.2 lifecycle: load every endpoint →
+consolidate_with_repair (discrepancy scan, null-out, coalescing merge) —
+the distributed rewrite of the reference's per-identifier
+download/validate/homogenize/combine loop (data_curator.py:136-233).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_curator_spark.engine.consolidate import consolidate_with_repair
+from data_curator_spark.sources import readers as R
+
+Preprocess = Callable[[Column], Column]
+
+
+@dataclass(frozen=True)
+class FieldMapping:
+    """source provider tag → target entity column(s), with an optional
+    preprocess chain applied left-to-right (the reference's
+    PreprocessedFieldMapping, financial_modeling_prep.py:268-271)."""
+
+    source: str
+    targets: tuple[str, ...]
+    preprocess: tuple[Preprocess, ...] = ()
+
+    def exprs(self) -> list[Column]:
+        c: Column = F.col(self.source)
+        for fn in self.preprocess:
+            c = fn(c)
+        return [c.alias(t) for t in self.targets]
+
+
+@dataclass(frozen=True)
+class EndpointSpec:
+    """One provider endpoint: explicit schema (inference is banned at
+    scale), declared field map, source format."""
+
+    name: str
+    schema: str
+    fields: tuple[FieldMapping, ...]
+    fmt: str = "json"
+
+
+@dataclass(frozen=True)
+class ProviderAdapter:
+    """A named provider with its endpoint field maps — the analog of a
+    DataProviderInterface subclass (data_provider_interface.py:30-181)."""
+
+    name: str
+    endpoints: dict[str, EndpointSpec] = field(default_factory=dict)
+
+
+def load_endpoint(
+    spark: SparkSession, adapter: ProviderAdapter, endpoint: str, path: str, **opts
+) -> DataFrame:
+    """Raw payload → entity-named columns in one projection."""
+    spec = adapter.endpoints[endpoint]
+    raw = R.read(spark, spec.fmt, path, schema=spec.schema, **opts)
+    cols = [e for fm in spec.fields for e in fm.exprs()]
+    return raw.select(*cols)
+
+
+def curate(
+    spark: SparkSession,
+    adapter: ProviderAdapter,
+    endpoint_paths: dict[str, str],
+    pk: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Load every endpoint and consolidate: returns (merged, quarantine).
+
+    Endpoint order in ``endpoint_paths`` is the coalesce priority
+    (first-non-null wins), matching the reference's endpoint precedence
+    (data_provider_toolkit.py:478-529)."""
+    eps = [
+        load_endpoint(spark, adapter, name, path)
+        for name, path in endpoint_paths.items()
+    ]
+    return consolidate_with_repair(eps, pk)

@@ -43,6 +43,34 @@ def read(spark: SparkSession, fmt: str, path: str, schema: StructType | str | No
     return _READERS[fmt](spark, path, schema=schema, **opts)
 
 
+EXTENSION_GROUP = "data_curator_spark.extensions"
+
+
+def discover_extensions(group: str = EXTENSION_GROUP) -> list[str]:
+    """Entry-point extension discovery — the packaging-native analog of
+    the reference's ``kaxanuk.data_curator_extensions`` namespace-package
+    loader (modules/extension_handler.py:12-105).
+
+    Any installed distribution exposing an entry point in ``group`` is
+    loaded; the entry point must resolve to a zero-arg callable that
+    performs its own registrations (register_reader / register_sink /
+    calculation registry). Returns the loaded entry-point names; a
+    failing extension raises (same fail-fast posture as the reference's
+    NotFoundDataProvider)."""
+    import importlib.metadata as md
+
+    try:
+        eps = md.entry_points(group=group)
+    except TypeError:  # pragma: no cover — older entry_points() signature
+        eps = md.entry_points().get(group, [])  # type: ignore[call-arg]
+    loaded = []
+    for ep in eps:
+        register = ep.load()
+        register()
+        loaded.append(ep.name)
+    return loaded
+
+
 @register_reader("parquet")
 def read_parquet(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
     r = spark.read

@@ -1,0 +1,127 @@
+"""Provider adapter (declared field maps) end-to-end, entity struct
+round-trip, and entry-point extension discovery (VERDICT r1 missing
+#3/#4/#5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from data_curator_spark.engine.entities import pack_entities, unpack_entities
+from data_curator_spark.sources import readers as R
+from data_curator_spark.sources.provider import (
+    EndpointSpec,
+    FieldMapping,
+    ProviderAdapter,
+    curate,
+    load_endpoint,
+)
+
+ADAPTER = ProviderAdapter(
+    name="fixture_provider",
+    endpoints={
+        "daily_adjusted": EndpointSpec(
+            name="daily_adjusted",
+            schema="symbol string, date string, adjClose double, volume long",
+            fields=(
+                FieldMapping("symbol", ("main_identifier",)),
+                FieldMapping("date", ("m_date",), (lambda c: F.to_date(c),)),
+                # 1→N duplication + unit preprocess, like the reference's
+                # PreprocessedFieldMapping (financial_modeling_prep.py:268)
+                FieldMapping("adjClose", ("m_close", "m_vwap_proxy"), (lambda c: c * 1.0,)),
+                FieldMapping("volume", ("m_volume",)),
+            ),
+        ),
+        "daily_raw": EndpointSpec(
+            name="daily_raw",
+            schema="symbol string, date string, close double",
+            fields=(
+                FieldMapping("symbol", ("main_identifier",)),
+                FieldMapping("date", ("m_date",), (lambda c: F.to_date(c),)),
+                FieldMapping("close", ("m_close",)),
+            ),
+        ),
+    },
+)
+
+
+@pytest.fixture(scope="module")
+def endpoint_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("provider_fixture")
+    adjusted = [
+        {"symbol": "AAA", "date": f"2024-02-0{i}", "adjClose": 100.0 + i, "volume": 10 * i}
+        for i in range(1, 5)
+    ]
+    raw = [
+        {"symbol": "AAA", "date": f"2024-02-0{i}",
+         "close": (100.0 + i) if i != 2 else 555.0}  # conflict on day 2
+        for i in range(1, 6)  # day 5 exists only here
+    ]
+    p1, p2 = str(d / "adjusted.json"), str(d / "raw.json")
+    for p, rows in ((p1, adjusted), (p2, raw)):
+        with open(p, "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows)
+    return {"daily_adjusted": p1, "daily_raw": p2}
+
+
+def test_load_endpoint_single_projection(spark, endpoint_paths):
+    df = load_endpoint(spark, ADAPTER, "daily_adjusted", endpoint_paths["daily_adjusted"])
+    assert df.columns == ["main_identifier", "m_date", "m_close", "m_vwap_proxy", "m_volume"]
+    rows = {str(r["m_date"]): r for r in df.collect()}
+    assert rows["2024-02-01"]["m_close"] == 101.0
+    assert rows["2024-02-01"]["m_vwap_proxy"] == 101.0  # 1→N duplication
+
+
+def test_curate_end_to_end(spark, endpoint_paths):
+    merged, quarantine = curate(
+        spark, ADAPTER, endpoint_paths, pk=["main_identifier", "m_date"]
+    )
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0]["field"] == "m_close"
+    got = {str(r["m_date"]): r for r in merged.collect()}
+    assert len(got) == 5  # union of endpoint PKs (day 5 only in raw)
+    assert got["2024-02-02"]["m_close"] is None  # conflict nulled by repair
+    assert got["2024-02-03"]["m_close"] == 103.0
+    assert got["2024-02-05"]["m_volume"] is None  # absent from adjusted
+
+
+def test_entity_struct_roundtrip(spark):
+    flat = spark.createDataFrame(
+        [("AAA", 2024, 10.0, 3.0, 7.0)],
+        "id string, f_fiscal_year int, fbs_assets double, fcf_capex double, fis_net_income double",
+    )
+    packed = pack_entities(flat)
+    names = {f.name for f in packed.schema.fields}
+    assert names == {"id", "f_fiscal_year", "balance_sheet", "cash_flow", "income_statement"}
+    bs = packed.schema["balance_sheet"].dataType
+    assert isinstance(bs, StructType) and bs.fieldNames() == ["assets"]
+    back = unpack_entities(packed)
+    # lossless round-trip: same columns (order may differ), same values
+    assert sorted(back.columns) == sorted(flat.columns)
+    assert back.select(*flat.columns).collect() == flat.collect()
+
+
+def test_extension_discovery(monkeypatch):
+    calls = []
+
+    class FakeEp:
+        name = "my_ext"
+
+        @staticmethod
+        def load():
+            def register():
+                R.register_reader("fixture_fmt")(lambda spark, path, schema=None, **o: None)
+                calls.append("registered")
+
+            return register
+
+    import importlib.metadata as md
+
+    monkeypatch.setattr(md, "entry_points", lambda group=None: [FakeEp()] if group == R.EXTENSION_GROUP else [])
+    loaded = R.discover_extensions()
+    assert loaded == ["my_ext"] and calls == ["registered"]
+    assert "fixture_fmt" in R._READERS
+    R._READERS.pop("fixture_fmt", None)
