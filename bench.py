@@ -26,6 +26,11 @@ HEADLINE = [
     "indexed_rolling",
     "null_semantics",
     "discrepancy_scan",
+    # training-data operators (added r2 — headline_total_sec therefore
+    # covers 3 more queries than BENCH_r01; compare per-query for trends)
+    "dedup_exact",
+    "minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))
@@ -42,14 +47,21 @@ def main() -> None:
     # warm the JVM/readers so per-query timings measure the plan, not JIT
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # the sandbox host is shared and run-to-run noise reaches 4×; report
+    # the min of REPS identical passes (standard noisy-host practice)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full materialization without driver collect
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(reps):
+            spark.catalog.clearCache()  # queries that persist() start cold
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # full materialization without driver collect
+            best = min(best, time.time() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
 
     # quality-filter pipeline throughput
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
@@ -79,11 +91,13 @@ def main() -> None:
         return row["kept"]
 
     # warm Python UDF workers + codegen with one identical full pass, then
-    # time the steady-state run (measures throughput, not worker spin-up)
+    # time steady-state runs (min of reps+1 — throughput, not spin-up/noise)
     full_pass()
-    t0 = time.time()
-    kept = full_pass()
-    pipe_sec = time.time() - t0
+    pipe_sec = float("inf")
+    for _ in range(reps + 1):
+        t0 = time.time()
+        kept = full_pass()
+        pipe_sec = min(pipe_sec, time.time() - t0)
     timings["quality_filter_pipeline"] = round(pipe_sec, 3)
 
     total = round(sum(timings.values()), 3)

@@ -110,22 +110,20 @@ def minhash_signatures(
     return hx.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_candidate_ids(
     signatures: DataFrame, id_col: str, k: int = 32, bands: int = 8
 ) -> DataFrame:
     """Band the signature into ``bands`` buckets and self-join on
     (band_idx, band_key) — near-duplicate candidates collide in ≥1 band.
-
-    Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is
-    the fraction of equal minhash components (unbiased Jaccard estimate).
+    Output: (id_a, id_b) with id_a < id_b, deduplicated.
 
     Scale shape: the band self-join carries ONLY (id, band, band_key) —
-    ids and r×8B keys, never the full k-column signature; signatures are
-    re-attached once per side after the pair dedup (VERDICT r1 item #9).
-    Skewed buckets (boilerplate shingles) split under AQE skew handling.
+    ids and r×8B keys, never the full k-column signature (VERDICT r1
+    item #9); skewed buckets (boilerplate shingles) split under AQE skew
+    handling. Callers that only need the pair set (e.g. exact-verify
+    blocking) use this and skip the signature re-attach entirely.
     """
     r = k // bands
-    mh_cols = [f"mh_{i}" for i in range(k)]
     banded = signatures.select(
         id_col,
         F.explode(
@@ -143,12 +141,22 @@ def lsh_candidate_pairs(
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
-    pairs = (
+    return (
         a.join(b, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, k: int = 32, bands: int = 8
+) -> DataFrame:
+    """lsh_candidate_ids + the Jaccard estimate: signatures are
+    re-attached once per side AFTER the pair dedup, and est_jaccard is
+    the fraction of equal minhash components (unbiased estimate)."""
+    mh_cols = [f"mh_{i}" for i in range(k)]
+    pairs = lsh_candidate_ids(signatures, id_col, k, bands)
     sig_a = signatures.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols]
     )
@@ -232,10 +240,13 @@ def ngram_jaccard_verify(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # the shingle set feeds three consumers (sizes, a-side, b-side);
+    # persist so the semi-join + explode runs once, like a materialized
+    # signature table would at cluster scale
     sh = (
         df.join(ids, on=id_col, how="semi")
         .select(F.col(id_col), F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s"))
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")

@@ -83,8 +83,11 @@ def label_corpus(pdf: pd.DataFrame) -> pd.DataFrame:
     fired_any = np.zeros(len(pdf), dtype=bool)
     for _, pattern, repl in spec.SCRUB_RULES:
         rx = re.compile(pattern)
-        fired_any |= scrubbed.str.contains(rx).to_numpy()
-        scrubbed = scrubbed.str.replace(rx, repl, regex=True)
+        # change detection, matching stages.with_scrub: a rule fired iff
+        # its replacement modified the (progressively-scrubbed) text
+        new = scrubbed.str.replace(rx, repl, regex=True)
+        fired_any |= (new != scrubbed).to_numpy()
+        scrubbed = new
 
     out = pdf.copy()
     out["keep"] = pd.isna(drop_reason)

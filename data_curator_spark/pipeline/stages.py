@@ -151,15 +151,20 @@ def scrub_expr(content: Column) -> Column:
 
 def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
     c = F.col(content)
-    # fire flags test each rule against the PROGRESSIVELY-scrubbed text —
-    # the same intermediate the replacement chain (and the reference
-    # labeler) sees, so a rule whose match is destroyed/created by an
-    # earlier replacement reports consistently (ADVICE r1)
+    # fire flag = CHANGE DETECTION on the progressively-scrubbed chain
+    # (rule fired ⟺ its replacement modified the text), the same
+    # intermediate the labeler tests (ADVICE r1). This both removes the
+    # earlier original-vs-progressive divergence when rules interact AND
+    # drops every per-rule rlike scan — the string inequality reuses the
+    # replace outputs the chain computes anyway. It also makes
+    # "scrub_rules_fired is empty ⟺ sha256 unchanged" exact by
+    # construction.
     fired = []
     cur = c
     for name, pattern, repl in spec.SCRUB_RULES:
-        fired.append(F.when(cur.rlike(pattern), F.lit(name)))
-        cur = F.regexp_replace(cur, pattern, repl)
+        nxt = F.regexp_replace(cur, pattern, repl)
+        fired.append(F.when(nxt != cur, F.lit(name)))
+        cur = nxt
     scrubbed = cur
     return df.select(
         "*",
