@@ -148,6 +148,66 @@ def lsh_ann_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    blocks the corpus against itself (ids + bucket keys only through the
+    self-join), exact cosine verifies candidates at ``threshold``.
+
+    Output: (id_a, id_b, sim) with id_a < id_b, sim rounded to 6.
+    Recall at threshold t grows with n_tables: a pair at angle θ
+    collides in one table with p=(1−θ/π)^n_planes; defaults give
+    ≥ 0.999 for cosine ≥ 0.95. At 10^12 scale this is the standard
+    embedding-dedup shape: no all-pairs scan, vectors shuffle once for
+    the verify re-attach, candidates shuffle on bucket keys."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    tables = [
+        [list(rng.standard_normal(dim)) for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+    buckets = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "tb.table", "tb.bucket")
+    a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    pairs = (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed re-rank
 # ---------------------------------------------------------------------------

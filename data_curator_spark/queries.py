@@ -963,6 +963,38 @@ _COS_SQL = """ROUND(
     6)"""
 
 
+def _plane_tables(n_planes: int, n_tables: int, dim: int, seed: int) -> list:
+    """The SAME seeded hyperplane matrix the Spark operators generate."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [list(rng.standard_normal(dim)) for _ in range(n_planes)] for _ in range(n_tables)
+    ]
+
+
+def _bucket_exprs_sql(tables: list, dim: int, col: str = "embedding") -> tuple[str, str]:
+    """(bucket column definitions 'expr AS b{t}', OR-of-tables predicate
+    between aliases q and c) for a seeded hyperplane table set."""
+
+    def plane_lit(p: list[float]) -> str:
+        return "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for i, p in enumerate(tables[t]):
+            dot = (
+                f"list_sum(list_transform(range(1, {dim}+1), j -> "
+                f"CAST({col}[j] AS DOUBLE) * ({plane_lit(p)})[j]))"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+        return "(" + "\n     + ".join(bits) + ")"
+
+    buckets = ",\n  ".join(f"{bucket_expr(t)} AS b{t}" for t in range(len(tables)))
+    or_pred = " OR ".join(f"q.b{t} = c.b{t}" for t in range(len(tables)))
+    return buckets, or_pred
+
+
 def _ann_lsh_oracle_sql(
     k: int = 3,
     n_planes: int = 8,
@@ -974,28 +1006,8 @@ def _ann_lsh_oracle_sql(
     """Oracle for lsh_ann_topk: per-table hyperplane sign buckets with the
     SAME seeded plane matrix as the Spark operator, OR-of-tables candidate
     join, exact cosine re-rank rounded to 6."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    tables = [
-        [list(rng.standard_normal(dim)) for _ in range(n_planes)] for _ in range(n_tables)
-    ]
-
-    def plane_lit(p: list[float]) -> str:
-        return "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
-
-    def bucket_expr(t: int) -> str:
-        bits = []
-        for i, p in enumerate(tables[t]):
-            dot = (
-                f"list_sum(list_transform(range(1, {dim}+1), j -> "
-                f"CAST(embedding[j] AS DOUBLE) * ({plane_lit(p)})[j]))"
-            )
-            bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
-        return "(" + "\n     + ".join(bits) + ")"
-
-    buckets = ",\n  ".join(f"{bucket_expr(t)} AS b{t}" for t in range(n_tables))
-    or_pred = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    tables = _plane_tables(n_planes, n_tables, dim, seed)
+    buckets, or_pred = _bucket_exprs_sql(tables, dim)
     cos = _COS_SQL.format(dim=dim, q="q.embedding", c="c.embedding")
     return f"""
 WITH b AS (
@@ -1018,6 +1030,72 @@ FROM ranked WHERE rank <= {k}
 
 
 SQL_ANN_LSH = _ann_lsh_oracle_sql()
+
+
+def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic perturbed copies (every 50th vector,
+    first component +0.1, id +100000): the raw table is unit-normalized
+    pairs (max ≈ 0.51, all norms 1), so known near-dups (cos ≈ 0.995)
+    are synthesized the same way
+    in Spark and the oracle. The +0.1 literal is float32 on BOTH sides
+    (float+float rounds the exact sum once — identical in any IEEE
+    engine), so the perturbed vectors are bit-equal across engines."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.1).cast("float")).otherwise(x),
+        ).cast("array<float>").alias("embedding"),
+    )
+    return e.unionByName(pert)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95): hyperplane-LSH
+    blocking + exact cosine verify
+    (operators/similarity.py:embedding_near_dup_pairs). Oracle reproduces
+    the seeded plane buckets and the verify filter exactly."""
+    from data_curator_spark.operators.similarity import embedding_near_dup_pairs
+
+    u = _embeddings_with_near_dups(spark, sf_dir)
+    return embedding_near_dup_pairs(u, "vec_id", "embedding", threshold=0.95)
+
+
+def _embedding_near_dup_oracle_sql(
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    tables = _plane_tables(n_planes, n_tables, dim, seed)
+    buckets, or_pred = _bucket_exprs_sql(tables, dim)
+    cos = _COS_SQL.format(dim=dim, q="q.embedding", c="c.embedding")
+    return f"""
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(1, {dim}+1),
+           j -> CASE WHEN j = 1 THEN CAST(embedding[j] + CAST('0.1' AS FLOAT) AS FLOAT)
+                     ELSE embedding[j] END)
+  FROM embeddings WHERE vec_id % 50 = 0
+), b AS (
+  SELECT vec_id, embedding,
+  {buckets}
+  FROM u
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+    {cos} AS sim
+  FROM b q JOIN b c ON q.vec_id < c.vec_id AND ({or_pred})
+)
+WHERE sim >= {threshold}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _embedding_near_dup_oracle_sql()
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,6 +1123,7 @@ QUERIES.update(
         "simhash_near": q_simhash_near,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_norms": q_embedding_norms,
     }
 )
@@ -1059,6 +1138,7 @@ ORACLES.update(
         "simhash_near": SQL_SIMHASH_NEAR,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ann_lsh": SQL_ANN_LSH,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_norms": SQL_EMBEDDING_NORMS,
     }
 )

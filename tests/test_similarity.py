@@ -122,3 +122,33 @@ def test_ivf_centroids_deterministic(spark, vectors):
     c1 = S.train_ivf_centroids(df, "embedding", n_centroids=4, iters=2, dim=16)
     c2 = S.train_ivf_centroids(df, "embedding", n_centroids=4, iters=2, dim=16)
     assert c1 == c2
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    """LSH-blocked cosine near-dup: perturbed copies are found, far
+    pairs excluded; candidates verified by exact cosine."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df, arr = vectors
+    # append near-dups of vectors 0..2 (tiny perturbation of one coord)
+    pert = df.filter("vec_id < 3").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).cast("array<float>").alias("embedding"),
+    )
+    u = df.unionByName(pert)
+    out = S.embedding_near_dup_pairs(
+        u, "vec_id", "embedding", threshold=0.999, n_planes=8, n_tables=8, dim=16
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    for i in range(3):
+        assert (i, i + 1000) in got
+    # verify step bounds sims: everything reported really is >= threshold
+    a = arr.astype(np.float64)
+    norms = np.linalg.norm(a, axis=1)
+    sims = (a @ a.T) / np.outer(norms, norms)
+    for pa, pb in got:
+        if pa < 1000 and pb < 1000:
+            assert sims[pa, pb] >= 0.999 - 1e-6
