@@ -1,0 +1,76 @@
+"""North-rule launch path: the pipeline ships as a zip via
+``spark-submit --py-files`` and resumes from the manifest on re-submit.
+Runs the real spark-submit binary in a subprocess from a neutral cwd
+(the package is ONLY available through --py-files)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import zipfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _spark_submit() -> str | None:
+    cand = shutil.which("spark-submit")
+    if cand:
+        return cand
+    import pyspark
+
+    p = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    return str(p) if p.exists() else None
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_launch_and_resume(tmp_path):
+    submit = _spark_submit()
+    if submit is None:  # pragma: no cover
+        pytest.skip("no spark-submit on PATH")
+
+    # package the engine exactly as the documented cluster deploy does
+    zip_path = tmp_path / "dcs.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for f in (REPO / "data_curator_spark").rglob("*.py"):
+            zf.write(f, f.relative_to(REPO))
+    job = tmp_path / "job.py"
+    shutil.copy(REPO / "tools" / "run_pipeline_job.py", job)
+
+    corpus = tmp_path / "corpus.parquet"
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from data_curator_spark.pipeline.corpus import write_corpus_parquet
+
+    write_corpus_parquet(str(corpus), 200, seed=7)
+
+    def submit_once() -> dict:
+        out = subprocess.run(
+            [
+                submit, "--master", "local[4]", "--py-files", str(zip_path),
+                str(job),
+                "--input", str(corpus),
+                "--output", str(tmp_path / "out"),
+                "--manifest", str(tmp_path / "manifest"),
+                "--buckets", "4",
+            ],
+            cwd=str(tmp_path),  # neutral cwd: package only via --py-files
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_table(str(corpus)).num_rows
+    r1 = submit_once()
+    assert r1["buckets_processed"] == 4 and r1["buckets_skipped"] == 0
+    r2 = submit_once()  # identical re-submit = manifest resume no-op
+    assert r2["buckets_processed"] == 0 and r2["buckets_skipped"] == 4
+    assert r2["rows_total"] == r1["rows_total"] == n_rows
