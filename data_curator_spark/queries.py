@@ -900,7 +900,10 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_curator_spark.operators.dedup import simhash, simhash_near_pairs
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    out = simhash_near_pairs(simhash(d, "doc_id", "text"), "doc_id", max_hamming=3)
+    # fingerprints feed the band explode (×2) and the hamming re-attach
+    # (×2): persist = compute the token-explode + 60-vote groupBy once
+    fps = simhash(d, "doc_id", "text").persist()
+    out = simhash_near_pairs(fps, "doc_id", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 

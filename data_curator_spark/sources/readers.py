@@ -97,6 +97,35 @@ def read_csv(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
     return spark.read.schema(schema).options(**opts).csv(path)
 
 
+@register_reader("orc")
+def read_orc(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    """ORC scan (columnar, pushdown-capable like parquet). Schema is
+    optional — ORC files carry one; passing a schema enforces it."""
+    r = spark.read.options(**opts)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+@register_reader("text")
+def read_text(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    """Line-oriented text scan → (value string); wholetext=True yields
+    one row per file (raw-document ingestion)."""
+    # .text() re-sets wholetext from its keyword, so it must be passed
+    # there, not via .options()
+    wholetext = str(opts.pop("wholetext", False)).lower() == "true"
+    return spark.read.options(**opts).text(path, wholetext=wholetext)
+
+
+@register_reader("binary")
+def read_binary(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
+    """Opaque file ingestion via the binaryFile source → (path,
+    modificationTime, length, content binary) — the real ingest path for
+    multimodal media payloads (operators/multimodal.py consumes the
+    content column); use pathGlobFilter to select extensions."""
+    return spark.read.format("binaryFile").options(**opts).load(path)
+
+
 @register_reader("iceberg")
 def read_iceberg(spark: SparkSession, table: str, schema=None, **opts) -> DataFrame:
     """Iceberg table scan (the north-rule's storage layer). Falls back

@@ -305,3 +305,61 @@ def test_macd_composition(spark):
             assert g is None
         else:
             assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_recursive_oracle_sql_matches_kernel_with_nulls(spark, tmp_path):
+    """The DuckDB recursive-CTE oracles (queries._ema_oracle_sql /
+    _rsi_oracle_sql) must reproduce the kernels BIT-EXACTLY including
+    the reset paths (nulls, ±Inf) — the driver's sf0.01 events table has
+    no nulls, so this pins the oracle's segment logic on data that does."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_curator_spark.queries import _ema_oracle_sql, _rsi_oracle_sql
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for u in range(6):
+        n = int(rng.integers(30, 80))
+        vals = np.round(rng.uniform(10, 500, n), 2)
+        # inject nulls and infs at random positions
+        for _ in range(int(rng.integers(1, 6))):
+            vals[int(rng.integers(0, n))] = np.nan
+        for _ in range(int(rng.integers(0, 3))):
+            vals[int(rng.integers(0, n))] = np.inf
+        for i, v in enumerate(vals):
+            rows.append((eid, f"u{u}", i, None if np.isnan(v) else float(v)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+    from data_curator_spark.engine.features import apply_recursive_features
+
+    ev = spark.read.parquet(path)
+    out = apply_recursive_features(
+        ev, "user_id", "ts", [("ema12", "ema", "value", 12), ("rsi14", "rsi", "value", 14)]
+    )
+    got = {r["event_id"]: (r["ema12"], r["rsi14"]) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    ema = dict(con.execute(_ema_oracle_sql(12, "ema12")).fetchall())
+    rsi = dict(con.execute(_rsi_oracle_sql(14, "rsi14")).fetchall())
+
+    n_ema = n_rsi = 0
+    for eid, (ge, gr) in got.items():
+        we, wr = ema[eid], rsi[eid]
+        assert (ge is None) == (we is None), f"ema null mismatch at {eid}"
+        assert (gr is None) == (wr is None), f"rsi null mismatch at {eid}"
+        if ge is not None:
+            assert ge == we, f"ema bits differ at {eid}: {ge!r} vs {we!r}"
+            n_ema += 1
+        if gr is not None:
+            assert gr == wr, f"rsi bits differ at {eid}: {gr!r} vs {wr!r}"
+            n_rsi += 1
+    # the reset paths actually produced post-reset values to compare
+    assert n_ema > 50 and n_rsi > 50

@@ -93,3 +93,47 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_orc_reader_roundtrip(spark, tmp_path):
+    from data_curator_spark.sources import readers as R
+
+    p = str(tmp_path / "t.orc")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").write.orc(p)
+    got = R.read(spark, "orc", p).orderBy("id").collect()
+    assert [(r["id"], r["s"]) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_text_reader_lines_and_wholetext(spark, tmp_path):
+    from data_curator_spark.sources import readers as R
+
+    f = tmp_path / "doc.txt"
+    f.write_text("line one\nline two\n")
+    lines = R.read(spark, "text", str(f)).collect()
+    assert sorted(r["value"] for r in lines) == ["line one", "line two"]
+    whole = R.read(spark, "text", str(f), wholetext="true").collect()
+    assert len(whole) == 1 and whole[0]["value"].startswith("line one\n")
+
+
+def test_binary_reader_media_ingest(spark, tmp_path):
+    """binaryFile source feeds the multimodal operator: bytes arrive
+    opaque with per-file metadata, and extract_features consumes them."""
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.operators.multimodal import extract_features
+    from data_curator_spark.sources import readers as R
+
+    payload = bytes(range(48))
+    (tmp_path / "a.bin").write_bytes(payload)
+    (tmp_path / "b.bin").write_bytes(payload * 2)
+    df = R.read(spark, "binary", str(tmp_path), pathGlobFilter="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["a.bin"]["length"] == 48 and bytes(rows["a.bin"]["content"]) == payload
+    media = df.select(
+        F.col("path").alias("media_id"), F.lit("image").alias("kind"),
+        F.col("content").alias("payload"), F.lit(None).cast("string").alias("mime"),
+        F.lit(4).alias("width"), F.lit(4).alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"), F.lit(None).cast("int").alias("n_frames"),
+    )
+    feats = extract_features(media).collect()
+    assert len(feats) == 2 and all(len(r["feature"]) == 8 for r in feats)
