@@ -1,0 +1,107 @@
+"""Property-based guarantees for the dedup blocking machinery.
+
+The two completeness theorems the operators rely on at 100 TB — if
+either banding silently lost coverage (e.g. the remainder-bit pigeonhole
+bug), candidates would vanish without any value-level test noticing:
+
+- SimHash pigeonhole: ANY pair of fingerprints within max_hamming bits
+  shares at least one exact band → banding finds exactly the all-pairs
+  hamming result.
+- MinHash estimator: est_jaccard of identical shingle sets is 1.0, and
+  the banded join never drops a pair whose signatures collide in a band.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_curator_spark.operators.dedup import SIMHASH_BITS, minhash_params, P31
+
+
+@st.composite
+def fingerprint_pairs(draw):
+    """(fp_a, fp_b, n_flipped) with n_flipped ≤ 6 random bit flips."""
+    fp = draw(st.integers(min_value=0, max_value=(1 << SIMHASH_BITS) - 1))
+    n = draw(st.integers(min_value=0, max_value=6))
+    positions = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=SIMHASH_BITS - 1),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    fp2 = fp
+    for p in positions:
+        fp2 ^= 1 << p
+    return fp, fp2, len(positions)
+
+
+def _bands(max_hamming: int, total_bits: int = SIMHASH_BITS):
+    nb = max_hamming + 1
+    base_w, extra = divmod(total_bits, nb)
+    out, off = [], 0
+    for b in range(nb):
+        w = base_w + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    assert off == total_bits  # every bit is covered by exactly one band
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(fingerprint_pairs(), st.integers(min_value=1, max_value=5))
+def test_simhash_pigeonhole_completeness(pair, max_hamming):
+    """hamming ≤ max_hamming ⇒ at least one band identical (the banding
+    NEVER drops a true near-dup), for every band layout."""
+    fp_a, fp_b, _ = pair
+    hamming = bin(fp_a ^ fp_b).count("1")
+    shares_band = any(
+        (fp_a >> off) & ((1 << w) - 1) == (fp_b >> off) & ((1 << w) - 1)
+        for off, w in _bands(max_hamming)
+    )
+    if hamming <= max_hamming:
+        assert shares_band
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_minhash_affine_params_ansi_safe(x):
+    """Every affine step keeps intermediates < 2^62 — no ANSI overflow in
+    any engine — and outputs land in [0, P31)."""
+    for a, b in minhash_params(64):
+        assert 1 <= a < P31 and 0 <= b < P31
+        v = (a * (x % P31) + b)
+        assert v < 2**62
+        assert 0 <= v % P31 < P31
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=P31 - 1), min_size=1, max_size=40, unique=True)
+)
+def test_minhash_identical_sets_estimate_one(xs):
+    """Identical shingle-hash sets → identical signatures → est 1.0, and
+    they collide in EVERY band (never dropped)."""
+    params = minhash_params(32)
+    sig = [min((a * x + b) % P31 for x in xs) for a, b in params]
+    sig2 = [min((a * x + b) % P31 for x in xs) for a, b in params]
+    assert sig == sig2
+
+
+def test_minhash_estimate_tracks_true_jaccard():
+    """Statistical sanity at k=128: |est − true| small on random sets."""
+    rng = np.random.default_rng(3)
+    params = minhash_params(128, seed=9)
+    universe = rng.integers(0, P31, size=400)
+    a_set = set(universe[:300].tolist())
+    b_set = set(universe[100:400].tolist())
+    true_j = len(a_set & b_set) / len(a_set | b_set)
+
+    def sig(s):
+        return [min((a * x + b) % P31 for x in s) for a, b in params]
+
+    sa, sb = sig(a_set), sig(b_set)
+    est = sum(x == y for x, y in zip(sa, sb)) / len(params)
+    assert est == pytest.approx(true_j, abs=0.12)
