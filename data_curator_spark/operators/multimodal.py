@@ -98,8 +98,14 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             n = len(pdf)
             payloads = [p if p is not None else b"" for p in pdf["payload"]]
             kinds = pdf["kind"].to_numpy(dtype=object)
+            # null OR non-positive metadata falls back to defaults, like
+            # the per-row `row["width"] or 8` this replaced
             widths = pdf["width"].fillna(8).to_numpy(dtype=np.int64)
+            widths = np.where(widths <= 0, 8, widths)
             heights = pdf["height"].fillna(8).to_numpy(dtype=np.int64)
+            heights = np.where(heights <= 0, 8, heights)
+            rates = pdf["sample_rate"].fillna(16000).to_numpy(dtype=np.int64)
+            rates = np.where(rates <= 0, 16000, rates)
             nframes = pdf["n_frames"].fillna(1).to_numpy(dtype=np.int64)
             feats = np.zeros((n, 8), dtype=np.float64)
 
@@ -120,7 +126,7 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             # buffer + segment reduceat (variable-length waveforms)
             au_rows = np.flatnonzero(kinds == "audio")
             if au_rows.size:
-                wavs = [_decode_audio(payloads[i], 16000) for i in au_rows]
+                wavs = [_decode_audio(payloads[i], int(rates[i])) for i in au_rows]
                 lens = np.array([len(w) for w in wavs], dtype=np.int64)
                 starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
                 cat = np.concatenate(wavs).astype(np.float64)

@@ -75,6 +75,23 @@ def cosine_topk(
     )
 
 
+def plane_tables(
+    n_planes: int, n_tables: int, dim: int, seed: int
+) -> list[list[list[float]]]:
+    """THE seeded hyperplane matrix — single source of truth shared by
+    lsh_ann_topk, embedding_near_dup_pairs AND the DuckDB oracle
+    generators (queries._bucket_exprs_sql): the rng draw order here IS
+    the contract; changing it in one consumer would silently desynchronize
+    Spark buckets from oracle buckets."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [list(rng.standard_normal(dim)) for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: sign pattern of dot products with fixed random
     hyperplanes, packed into a long (pure column expression)."""
@@ -107,12 +124,7 @@ def lsh_ann_topk(
 
     At 10^12 scale this replaces the linear scan with a bucket-key
     shuffle; recall grows with n_tables (union of candidate sets)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    tables = [
-        [list(rng.standard_normal(dim)) for _ in range(n_planes)] for _ in range(n_tables)
-    ]
+    tables = plane_tables(n_planes, n_tables, dim, seed)
 
     def with_buckets(df: DataFrame, side: str) -> DataFrame:
         return df.select(
@@ -168,13 +180,7 @@ def embedding_near_dup_pairs(
     ≥ 0.999 for cosine ≥ 0.95. At 10^12 scale this is the standard
     embedding-dedup shape: no all-pairs scan, vectors shuffle once for
     the verify re-attach, candidates shuffle on bucket keys."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    tables = [
-        [list(rng.standard_normal(dim)) for _ in range(n_planes)]
-        for _ in range(n_tables)
-    ]
+    tables = plane_tables(n_planes, n_tables, dim, seed)
     buckets = corpus.select(
         F.col(id_col),
         F.explode(

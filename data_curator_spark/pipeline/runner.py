@@ -155,25 +155,27 @@ def run_pipeline(
     written_new = spark.read.parquet(output_path).filter(
         F.col("bucket").isin(new_buckets)
     )
-    metrics = (
-        written_new.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("keep").cast("long")).alias("kept"),
-            F.sum((~F.col("keep")).cast("long")).alias("dropped"),
-            F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
-        )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            "bucket",
-            "rows",
-            "kept",
-            "dropped",
-            "scrubbed",
-            F.lit("done").alias("status"),
-            F.lit(time.time() - t0).alias("elapsed_sec"),
-            F.lit(time.time()).alias("committed_at"),
-        )
+    agg = written_new.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+        F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
+    )
+    # EVERY attempted bucket gets a 'done' entry, including input-less
+    # ones (zero rows) — otherwise empty buckets are 'reprocessed' on
+    # every resume forever and the snapshot chain never converges to a
+    # no-op re-submit
+    expected = spark.createDataFrame([(int(b),) for b in new_buckets], "bucket bigint")
+    metrics = expected.join(agg, "bucket", "left").select(
+        F.lit(run_id).alias("run_id"),
+        "bucket",
+        F.coalesce("rows", F.lit(0)).alias("rows"),
+        F.coalesce("kept", F.lit(0)).alias("kept"),
+        F.coalesce("dropped", F.lit(0)).alias("dropped"),
+        F.coalesce("scrubbed", F.lit(0)).alias("scrubbed"),
+        F.lit("done").alias("status"),
+        F.lit(time.time() - t0).alias("elapsed_sec"),
+        F.lit(time.time()).alias("committed_at"),
     )
     metrics.write.mode("append").parquet(_entries_path(manifest_path))
 

@@ -967,13 +967,11 @@ _COS_SQL = """ROUND(
 
 
 def _plane_tables(n_planes: int, n_tables: int, dim: int, seed: int) -> list:
-    """The SAME seeded hyperplane matrix the Spark operators generate."""
-    import numpy as np
+    """The SAME seeded hyperplane matrix the Spark operators generate —
+    one source of truth (operators/similarity.py:plane_tables)."""
+    from data_curator_spark.operators.similarity import plane_tables
 
-    rng = np.random.default_rng(seed)
-    return [
-        [list(rng.standard_normal(dim)) for _ in range(n_planes)] for _ in range(n_tables)
-    ]
+    return plane_tables(n_planes, n_tables, dim, seed)
 
 
 def _bucket_exprs_sql(tables: list, dim: int, col: str = "embedding") -> tuple[str, str]:
@@ -981,7 +979,10 @@ def _bucket_exprs_sql(tables: list, dim: int, col: str = "embedding") -> tuple[s
     between aliases q and c) for a seeded hyperplane table set."""
 
     def plane_lit(p: list[float]) -> str:
-        return "CAST([" + ", ".join(repr(x) for x in p) + "] AS DOUBLE[])"
+        # string-element list cast: bare 17-digit literals parse as
+        # DECIMAL(18,17) whose DOUBLE conversion is 1 ulp off (verified);
+        # VARCHAR→DOUBLE casts round-trip repr exactly
+        return "CAST(['" + "', '".join(repr(x) for x in p) + "'] AS DOUBLE[])"
 
     def bucket_expr(t: int) -> str:
         bits = []
@@ -1061,7 +1062,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seeded plane buckets and the verify filter exactly."""
     from data_curator_spark.operators.similarity import embedding_near_dup_pairs
 
-    u = _embeddings_with_near_dups(spark, sf_dir)
+    # the union feeds the bucket explode + both verify sides (×3):
+    # persist = compute the scan + perturbation + union once
+    u = _embeddings_with_near_dups(spark, sf_dir).persist()
     return embedding_near_dup_pairs(u, "vec_id", "embedding", threshold=0.95)
 
 
@@ -1560,8 +1563,10 @@ def _ann_ivf_oracle_sql(
     con.close()
     arr = np.array([r[0] for r in rows], dtype=np.float64)
     cents = train_ivf_centroids_numpy(arr, n_centroids, iters, dim, seed)
+    # string-element list cast — see _bucket_exprs_sql.plane_lit (the
+    # 6-decimal centroids are DECIMAL-safe today, but keep one convention)
     vals = ",\n    ".join(
-        f"({i}, CAST([{', '.join(repr(float(x)) for x in c)}] AS DOUBLE[]))"
+        "({}, CAST(['{}'] AS DOUBLE[]))".format(i, "', '".join(repr(float(x)) for x in c))
         for i, c in enumerate(cents)
     )
     cos = _COS_SQL.format(dim=dim, q="p.qemb", c="c.cemb")
@@ -1608,10 +1613,17 @@ def get_oracles() -> dict[str, str]:
     rows-only check."""
     import os
 
+    import duckdb
+
     out = dict(ORACLES)
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     try:
         out["ann_ivf"] = _ann_ivf_oracle_sql(sf_dir)
-    except Exception:  # noqa: BLE001 — missing testdata: rows-only fallback
-        pass
+    except (FileNotFoundError, OSError, duckdb.IOException) as e:
+        # ONLY missing/unreadable testdata downgrades to the rows-only
+        # check; a bug in the oracle generator must surface, not silently
+        # weaken the gate
+        import sys
+
+        print(f"ann_ivf oracle skipped ({sf_dir} unreadable): {e}", file=sys.stderr)
     return out

@@ -192,3 +192,26 @@ def test_snapshot_lineage_chain(spark, corpus_path, tmp_path):
     assert snaps[r2["run_id"]]["rows_total"] == spark.read.parquet(corpus_path).count()
     assert snaps[r1["run_id"]]["buckets_processed"] == 6
     assert snaps[r2["run_id"]]["buckets_processed"] == 2
+
+
+def test_empty_buckets_commit_and_resume_converges(spark, tmp_path):
+    """A corpus smaller than n_buckets leaves input-less buckets; they
+    must still be committed 'done' (zero rows) so an identical re-submit
+    is a true no-op (buckets_processed == 0)."""
+    import pandas as pd
+
+    small = str(tmp_path / "small.parquet")
+    pd.DataFrame(
+        {
+            "repo": ["r1", "r2"], "path": ["a.py", "b.py"],
+            "commit": ["c1", "c2"], "lang": ["python", "python"],
+            "content": ["print('hello world')\n" * 5, "def f():\n    return 1\n" * 5],
+        }
+    ).to_parquet(small)
+    out_dir = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    r1 = run_pipeline(spark, small, out_dir, manifest, n_buckets=16)
+    assert r1["buckets_processed"] == 16 and r1["rows_total"] == 2
+    r2 = run_pipeline(spark, small, out_dir, manifest, n_buckets=16)
+    assert r2["buckets_processed"] == 0 and r2["buckets_skipped"] == 16
+    assert r2["rows_total"] == 2
