@@ -1,0 +1,128 @@
+"""Temporal operators Spark lacks natively: interval (range) join and
+hypertable-style cascading rollups.
+
+Both are built so the physical plan is an EQUI-join / re-aggregation of
+partials — the shapes that survive 100 TB — instead of the naive
+non-equi join (BroadcastNestedLoop) or re-scanning raw data per rollup
+level.
+
+- interval_join: bin both sides into fixed-width time buckets; intervals
+  explode over the buckets they cover, points land in exactly one; the
+  join is a hash equi-join on (key, bin) followed by an exact
+  containment filter. Long intervals fan out over more bins (bounded by
+  interval_length/bin_width) — pick bin_width near the typical interval
+  length; AQE splits skewed bins.
+- hypertable_rollup: the finest level aggregates raw data ONCE; every
+  coarser level re-aggregates the previous level's partials (sum of
+  sums, sum of counts) — the continuous-aggregate cascade, expressed as
+  plain decimal-exact groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _epoch(ts: Column) -> Column:
+    return F.unix_timestamp(ts)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_width_sec: int,
+    how: str = "inner",
+) -> DataFrame:
+    """All (point, interval) pairs with the same ``key`` where
+    start ≤ point_ts ≤ end, as an equi-join on (key, time bin).
+
+    Returns points' columns + intervals' non-key columns. ``how`` may be
+    'inner' or 'left' ('left' keeps points matching no interval)."""
+    w = bin_width_sec
+    p = points.withColumn("__bin", (F.floor(_epoch(F.col(point_ts)) / w)).cast("long"))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(F.col(start_col)) / w).cast("long"),
+                F.floor(_epoch(F.col(end_col)) / w).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, on=[key, "__bin"], how=how)
+    contained = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) <= F.col(end_col)
+    )
+    if how == "inner":
+        out = joined.filter(contained)
+    else:  # left: keep unmatched points; null out non-contained matches
+        iv_cols = [c for c in intervals.columns if c != key]
+        out = joined.select(
+            *[F.col(c) for c in points.columns],
+            *[
+                F.when(contained, F.col(c)).alias(c)
+                for c in iv_cols
+            ],
+        )
+    return out.drop("__bin")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    widths_sec: list[int],
+) -> DataFrame:
+    """Cascading time-bucket rollup: one row per (level, key, bucket)
+    with decimal-exact sum, count and avg. ``widths_sec`` must be
+    ascending and each width a multiple of the previous — the cascade
+    re-aggregates level N−1's partials, never the raw data.
+
+    Buckets are epoch seconds (integers): no timezone/timestamp-type
+    hazards across engines, and trivially partition-prunable."""
+    for a, b in zip(widths_sec, widths_sec[1:]):
+        if b % a != 0:
+            raise ValueError(f"widths must nest: {b} not a multiple of {a}")
+
+    w0 = widths_sec[0]
+    level = (
+        df.select(
+            F.col(key),
+            ((F.floor(_epoch(F.col(ts_col)) / w0) * w0).cast("long")).alias("bucket_start"),
+            F.col(value_col).cast("decimal(18,2)").alias("__v"),
+        )
+        .groupBy(key, "bucket_start")
+        .agg(F.sum("__v").alias("__sum"), F.count(F.lit(1)).alias("n_events"))
+    )
+    out = level.select(
+        F.lit(0).alias("level"), key, "bucket_start",
+        F.col("__sum").cast("double").alias("sum_value"),
+        "n_events",
+        (F.col("__sum").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+    for lvl, w in enumerate(widths_sec[1:], start=1):
+        level = (
+            level.select(
+                F.col(key),
+                ((F.floor(F.col("bucket_start") / w) * w).cast("long")).alias("bucket_start"),
+                "__sum",
+                "n_events",
+            )
+            .groupBy(key, "bucket_start")
+            .agg(F.sum("__sum").alias("__sum"), F.sum("n_events").alias("n_events"))
+        )
+        out = out.unionByName(
+            level.select(
+                F.lit(lvl).alias("level"), key, "bucket_start",
+                F.col("__sum").cast("double").alias("sum_value"),
+                "n_events",
+                (F.col("__sum").cast("double") / F.col("n_events")).alias("avg_value"),
+            )
+        )
+    return out

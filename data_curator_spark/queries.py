@@ -1455,6 +1455,82 @@ ORACLES.update(
 )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join as a bin-bucketed EQUI-join (operators/
+    temporal.py:interval_join): every click within 2 days after a view
+    by the same user. The naive formulation is a non-equi join
+    (BroadcastNestedLoop at scale); binning turns it into a hash join on
+    (user_id, day-bin) + exact containment filter."""
+    from data_curator_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    intervals = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("end_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    out = interval_join(
+        points, intervals, "user_id", "ts", "start_ts", "end_ts", bin_width_sec=86400
+    )
+    return out.select("click_id", "view_id")
+
+
+SQL_INTERVAL_JOIN = """
+SELECT c.event_id AS click_id, v.event_id AS view_id
+FROM events c
+JOIN events v
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 DAY
+"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (operators/temporal.py:
+    hypertable_rollup): 15-min/hour/day per-user continuous aggregates,
+    each coarser level re-aggregating the finer level's partials —
+    decimal-exact sums make the cascade bit-equal to direct grouping."""
+    from data_curator_spark.operators.temporal import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return hypertable_rollup(ev, "user_id", "ts", "value", [900, 3600, 86400])
+
+
+def _rollup_level_sql(level: int, width: int) -> str:
+    return f"""
+SELECT {level} AS level, user_id,
+       CAST(FLOOR(epoch(ts) / {width}) * {width} AS BIGINT) AS bucket_start,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY user_id, FLOOR(epoch(ts) / {width}) * {width}
+"""
+
+
+SQL_HYPERTABLE_ROLLUP = "\nUNION ALL\n".join(
+    _rollup_level_sql(i, w) for i, w in enumerate([900, 3600, 86400])
+)
+
+
+QUERIES.update(
+    {
+        "interval_join": q_interval_join,
+        "hypertable_rollup": q_hypertable_rollup,
+    }
+)
+ORACLES.update(
+    {
+        "interval_join": SQL_INTERVAL_JOIN,
+        "hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
+    }
+)
+
+
 def q_corpus_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-filter pipeline's heuristic stage (pipeline/stages.py:
     with_heuristics) + rule decisions, oracle-verified over documents —

@@ -1,0 +1,102 @@
+"""Temporal operators: bin-bucketed interval join (vs a naive non-equi
+join) and cascading hypertable rollup (vs direct grouping)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.operators.temporal import hypertable_rollup, interval_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+@pytest.fixture()
+def pts_and_ivs(spark):
+    points = spark.createDataFrame(
+        [("u1", _ts(1), 1), ("u1", _ts(5), 2), ("u1", _ts(23, 59), 3), ("u2", _ts(5), 4)],
+        "key string, ts timestamp, pid int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", _ts(0), _ts(2), 10),     # covers pid 1
+            ("u1", _ts(4, 30), _ts(23, 59), 11),  # covers pid 2 and 3 (inclusive end)
+            ("u2", _ts(6), _ts(7), 12),     # covers nothing (pid 4 at 5:00)
+        ],
+        "key string, start timestamp, end timestamp, iid int",
+    )
+    return points, intervals
+
+
+def test_interval_join_matches_naive(spark, pts_and_ivs):
+    points, intervals = pts_and_ivs
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "key", "ts", "start", "end", bin_width_sec=3600
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.key == intervals.key)
+            & (points.ts >= intervals.start)
+            & (points.ts <= intervals.end),
+        ).collect()
+    }
+    assert got == naive == {(1, 10), (2, 11), (3, 11)}
+
+
+def test_interval_join_left_keeps_unmatched(spark, pts_and_ivs):
+    points, intervals = pts_and_ivs
+    out = interval_join(
+        points, intervals, "key", "ts", "start", "end", bin_width_sec=3600, how="left"
+    )
+    rows = {r["pid"]: r["iid"] for r in out.collect()}
+    assert rows[4] is None  # u2's point matches no interval but survives
+    assert rows[1] == 10
+
+
+def test_interval_join_equijoin_plan(spark, pts_and_ivs):
+    """The whole point: the plan must be a hash EQUI-join on the bin,
+    not a BroadcastNestedLoopJoin."""
+    points, intervals = pts_and_ivs
+    plan = interval_join(
+        points, intervals, "key", "ts", "start", "end", bin_width_sec=3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_hypertable_cascade_equals_direct(spark):
+    rng_rows = [
+        ("u1", dt.datetime(2024, 3, 1, h, m), float(h * 60 + m) / 7.0)
+        for h in range(0, 24, 3)
+        for m in (0, 16, 31, 46)  # one event per quarter-hour bucket
+    ]
+    df = spark.createDataFrame(rng_rows, "user_id string, ts timestamp, value double")
+    out = hypertable_rollup(df, "user_id", "ts", "value", [900, 3600, 86400])
+    # direct day-level aggregation must equal the cascaded level-2 row
+    day = out.filter("level = 2").collect()
+    assert len(day) == 1
+    direct = df.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert day[0]["sum_value"] == direct["s"]
+    assert day[0]["n_events"] == direct["n"]
+    assert day[0]["avg_value"] == direct["s"] / direct["n"]
+    # level sizes: 32 quarter-hours -> 8 hours -> 1 day
+    assert out.filter("level = 0").count() == 32
+    assert out.filter("level = 1").count() == 8
+
+
+def test_hypertable_widths_must_nest(spark):
+    df = spark.createDataFrame([("u", dt.datetime(2024, 1, 1), 1.0)],
+                               "user_id string, ts timestamp, value double")
+    with pytest.raises(ValueError):
+        hypertable_rollup(df, "user_id", "ts", "value", [900, 1000])
