@@ -1,0 +1,152 @@
+"""Streaming near-duplicate detection (SimHash + stateful band buckets).
+
+The batch pipeline finds near-dups with SimHash banding
+(operators/dedup.py); this is its continuous counterpart for a corpus
+that ARRIVES as a stream: each micro-batch row gets a 60-bit fingerprint
+(one Arrow-vectorized pandas UDF, numpy batch math), the fingerprint is
+exploded over pigeonhole bands, and an ``applyInPandasWithState`` stage
+per (band, band_key) bucket compares each arriving fingerprint against
+the bucket's retained fingerprints — emitting hamming-VERIFIED pairs the
+moment the second document arrives, across micro-batch boundaries.
+
+Scale notes:
+- State per bucket = the last ``state_cap`` (id, fingerprint) pairs —
+  buckets only collect near-identical band slices, and the cap bounds
+  state for degenerate buckets (e.g. empty-text fingerprints).
+- Emitted pairs are verified inside the stateful step (no false
+  positives); a pair can surface from several bands, so downstream
+  consumers ``dropDuplicates(["id_a","id_b"])`` (cheap: pairs are rare).
+- The token hash is pandas' vectorized hash, not the batch operator's
+  md5 (which exists for DuckDB-oracle portability); a stream has no
+  oracle, so the cheaper hash wins. Banding/verify semantics (pigeonhole
+  completeness within the radius) are identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SIMHASH_BITS = 60
+_MASK = (1 << SIMHASH_BITS) - 1
+
+PAIR_OUTPUT = StructType(
+    [
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
+        StructField("hamming", IntegerType(), False),
+    ]
+)
+BUCKET_STATE = StructType([StructField("seen", StringType(), True)])  # "id:fp;…"
+
+
+def _sim60_batch(texts: pd.Series) -> pd.Series:
+    """60-bit SimHash per row, batch-vectorized (token hash + bit votes
+    over the whole Arrow batch at once). Wrapped as a pandas UDF at call
+    time (decorating at import time would require an active session)."""
+    docs = texts.fillna("").tolist()
+    tok_lists = [d.split() for d in docs]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    all_toks = np.array([t for toks in tok_lists for t in toks] or [""], dtype=object)
+    hs = pd.util.hash_array(all_toks, categorize=False)
+    doc_ids = np.repeat(np.arange(len(docs)), counts)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    votes = np.zeros((len(docs), SIMHASH_BITS), dtype=np.int64)
+    if counts.sum() > 0:
+        bits = ((hs[: counts.sum(), None] >> shifts) & np.uint64(1)).astype(np.int64)
+        np.add.at(votes, doc_ids, 2 * bits - 1)
+    fp = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    return pd.Series((fp & np.uint64(_MASK)).astype(np.int64))
+
+
+def _band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    nb = max_hamming + 1
+    base_w, extra = divmod(SIMHASH_BITS, nb)
+    out, off = [], 0
+    for b in range(nb):
+        w = base_w + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def streaming_simhash_pairs(
+    stream: DataFrame,
+    id_col: str,
+    content_col: str,
+    max_hamming: int = 3,
+    state_cap: int = 64,
+) -> DataFrame:
+    """content stream → verified near-dup pairs, continuously.
+
+    Input: a streaming DataFrame with (id_col long, content_col string).
+    Output stream: (id_a, id_b, hamming) with id_a < id_b — possibly
+    repeated across bands; dropDuplicates downstream if needed."""
+    layout = _band_layout(max_hamming)
+    sim60 = F.pandas_udf(_sim60_batch, "long")
+    fps = stream.select(
+        F.col(id_col).alias("doc_id"), sim60(F.col(content_col)).alias("fp")
+    )
+    banded = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("key"),
+                    )
+                    for b, (off, w) in enumerate(layout)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.key")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: list[tuple[int, int]] = []
+        if state.exists and state.get[0]:
+            seen = [
+                (int(p.split(":")[0]), int(p.split(":")[1]))
+                for p in state.get[0].split(";")
+            ]
+        out: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for did, fp in zip(pdf["doc_id"], pdf["fp"]):
+                did, fp = int(did), int(fp)
+                for sid, sfp in seen:
+                    if sid == did:
+                        continue
+                    h = bin(fp ^ sfp).count("1")
+                    if h <= max_hamming:
+                        out.append((min(did, sid), max(did, sid), h))
+                seen.append((did, fp))
+        seen = seen[-state_cap:]
+        state.update((";".join(f"{i}:{f}" for i, f in seen),))
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        update,
+        outputStructType=PAIR_OUTPUT,
+        stateStructType=BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,68 @@
+"""Streaming SimHash near-dup: pairs surface across micro-batch
+boundaries (state carries bucket fingerprints), verified hamming only."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_curator_spark.streaming.near_dup import streaming_simhash_pairs
+
+
+def _docs():
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 60)) for _ in range(6)]
+    near = []
+    for i in range(3):  # near-dups of docs 0..2 (2 of 60 words changed)
+        words = base[i].split()
+        words[5] = "CHANGEDX"
+        words[25] = "CHANGEDY"
+        near.append(" ".join(words))
+    return base, near
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    base, near = _docs()
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(land / name))
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(land))
+        q = (
+            streaming_simhash_pairs(stream, "doc_id", "text", max_hamming=15)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: originals only -> no pairs yet
+    land_batch("b1.parquet", [(i, t) for i, t in enumerate(base)])
+    drain()
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 0
+
+    # batch 2: near-dups arrive later; pairs need batch-1 state
+    land_batch("b2.parquet", [(100 + i, t) for i, t in enumerate(near)])
+    drain()
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in spark.read.parquet(out_dir).dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    for i in range(3):
+        assert (i, 100 + i) in pairs, pairs
+        assert pairs[(i, 100 + i)] <= 15
+    # unrelated originals never pair with each other
+    assert not any(a < 100 and b < 100 for a, b in pairs)
