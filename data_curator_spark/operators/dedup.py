@@ -297,6 +297,39 @@ def simhash(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def band_layout(total_bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, covering ALL bits: the first
+    (total_bits % nb) bands are one bit wider, so the pigeonhole
+    guarantee (≤max_hamming flips ⇒ ≥1 untouched band) actually holds —
+    a plain total_bits//nb split leaves remainder bits outside every
+    band and silently loses it. Single source of truth for the batch
+    operator AND streaming/near_dup.py (pinned by
+    tests/test_dedup_properties.py)."""
+    nb = max_hamming + 1
+    base_w, extra = divmod(total_bits, nb)
+    out, off = [], 0
+    for b in range(nb):
+        w = base_w + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def band_key_structs(fp: Column, max_hamming: int, total_bits: int) -> Column:
+    """explode-ready array of (band, key) structs for a fingerprint."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(fp, off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
+            for b, (off, w) in enumerate(band_layout(total_bits, max_hamming))
+        ]
+    )
+
+
 def simhash_near_pairs(
     fps: DataFrame, id_col: str, max_hamming: int = 3, total_bits: int = SIMHASH_BITS
 ) -> DataFrame:
@@ -306,33 +339,9 @@ def simhash_near_pairs(
     pigeonhole, any pair within ``max_hamming`` bits shares at least
     one exact band. Join per band (ids + band key only), then verify
     with bit_count(xor)."""
-    nb = max_hamming + 1
-    # cover ALL bits: the first (total_bits % nb) bands are one bit
-    # wider, so the pigeonhole guarantee (≤max_hamming flips ⇒ ≥1
-    # untouched band) actually holds — a plain total_bits//nb split
-    # leaves remainder bits outside every band and silently loses it
-    base_w, extra = divmod(total_bits, nb)
-    offsets, widths, off = [], [], 0
-    for b in range(nb):
-        w = base_w + (1 if b < extra else 0)
-        offsets.append(off)
-        widths.append(w)
-        off += w
     bands = fps.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(nb)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(band_key_structs(F.col("simhash"), max_hamming, total_bits)).alias("bb"),
     ).select(id_col, "bb.band", "bb.key")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "key")

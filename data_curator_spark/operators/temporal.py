@@ -42,7 +42,15 @@ def interval_join(
     start ≤ point_ts ≤ end, as an equi-join on (key, time bin).
 
     Returns points' columns + intervals' non-key columns. ``how`` may be
-    'inner' or 'left' ('left' keeps points matching no interval)."""
+    'inner' or 'left' ('left' additionally keeps each point that matches
+    no interval, once, with null interval columns). Column names must
+    not overlap between the two inputs except ``key``."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    overlap = (set(points.columns) & set(intervals.columns)) - {key}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)} — rename one side")
+
     w = bin_width_sec
     p = points.withColumn("__bin", (F.floor(_epoch(F.col(point_ts)) / w)).cast("long"))
     iv = intervals.withColumn(
@@ -54,22 +62,26 @@ def interval_join(
             )
         ),
     )
-    joined = p.join(iv, on=[key, "__bin"], how=how)
     contained = (F.col(point_ts) >= F.col(start_col)) & (
         F.col(point_ts) <= F.col(end_col)
     )
+    matched = p.join(iv, on=[key, "__bin"], how="inner").filter(contained).drop("__bin")
     if how == "inner":
-        out = joined.filter(contained)
-    else:  # left: keep unmatched points; null out non-contained matches
-        iv_cols = [c for c in intervals.columns if c != key]
-        out = joined.select(
-            *[F.col(c) for c in points.columns],
-            *[
-                F.when(contained, F.col(c)).alias(c)
-                for c in iv_cols
-            ],
-        )
-    return out.drop("__bin")
+        return matched
+    # left: one null row per point with NO containing interval — anti-join
+    # the matched points back against the input (null-safe equality so
+    # points with null attribute columns still pair up with themselves)
+    iv_cols = [c for c in intervals.columns if c != key]
+    mp = matched.select(*points.columns).dropDuplicates()
+    cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(mp[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(mp, on=cond, how="left_anti").select(
+        *[F.col(c) for c in points.columns],
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
+    )
+    return matched.unionByName(unmatched)
 
 
 def hypertable_rollup(

@@ -56,31 +56,24 @@ BUCKET_STATE = StructType([StructField("seen", StringType(), True)])  # "id:fp;â
 def _sim60_batch(texts: pd.Series) -> pd.Series:
     """60-bit SimHash per row, batch-vectorized (token hash + bit votes
     over the whole Arrow batch at once). Wrapped as a pandas UDF at call
-    time (decorating at import time would require an active session)."""
+    time (decorating at import time would require an active session).
+
+    Memory: votes accumulate bit-by-bit over the T-token hash array
+    (peak extra â‰ˆ 9Â·T bytes), never a (T, 60) matrix (~960Â·T bytes, an
+    executor-OOM hazard on large document batches)."""
     docs = texts.fillna("").tolist()
     tok_lists = [d.split() for d in docs]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     all_toks = np.array([t for toks in tok_lists for t in toks] or [""], dtype=object)
-    hs = pd.util.hash_array(all_toks, categorize=False)
+    hs = pd.util.hash_array(all_toks, categorize=False)[: counts.sum()]
     doc_ids = np.repeat(np.arange(len(docs)), counts)
-    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    votes = np.zeros((len(docs), SIMHASH_BITS), dtype=np.int64)
-    if counts.sum() > 0:
-        bits = ((hs[: counts.sum(), None] >> shifts) & np.uint64(1)).astype(np.int64)
-        np.add.at(votes, doc_ids, 2 * bits - 1)
-    fp = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    fp = np.zeros(len(docs), dtype=np.uint64)
+    if hs.size:
+        for j in range(SIMHASH_BITS):
+            signs = (((hs >> np.uint64(j)) & np.uint64(1)).astype(np.int8) * 2 - 1)
+            votes_j = np.bincount(doc_ids, weights=signs, minlength=len(docs))
+            fp |= (votes_j > 0).astype(np.uint64) << np.uint64(j)
     return pd.Series((fp & np.uint64(_MASK)).astype(np.int64))
-
-
-def _band_layout(max_hamming: int) -> list[tuple[int, int]]:
-    nb = max_hamming + 1
-    base_w, extra = divmod(SIMHASH_BITS, nb)
-    out, off = [], 0
-    for b in range(nb):
-        w = base_w + (1 if b < extra else 0)
-        out.append((off, w))
-        off += w
-    return out
 
 
 def streaming_simhash_pairs(
@@ -95,7 +88,8 @@ def streaming_simhash_pairs(
     Input: a streaming DataFrame with (id_col long, content_col string).
     Output stream: (id_a, id_b, hamming) with id_a < id_b â€” possibly
     repeated across bands; dropDuplicates downstream if needed."""
-    layout = _band_layout(max_hamming)
+    from data_curator_spark.operators.dedup import band_key_structs
+
     sim60 = F.pandas_udf(_sim60_batch, "long")
     fps = stream.select(
         F.col(id_col).alias("doc_id"), sim60(F.col(content_col)).alias("fp")
@@ -103,30 +97,24 @@ def streaming_simhash_pairs(
     banded = fps.select(
         "doc_id",
         "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("fp"), off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("key"),
-                    )
-                    for b, (off, w) in enumerate(layout)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(band_key_structs(F.col("fp"), max_hamming, SIMHASH_BITS)).alias("bb"),
     ).select("doc_id", "fp", "bb.band", "bb.key")
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen: list[tuple[int, int]] = []
+        from collections import deque
+
+        # deque(maxlen=cap): the cap bounds BOTH retained state and the
+        # per-document comparison work inside a micro-batch â€” a
+        # degenerate bucket (thousands of identical fingerprints in one
+        # batch) stays O(batchÂ·cap), not O(batchÂ²)
+        seen: deque[tuple[int, int]] = deque(maxlen=state_cap)
         if state.exists and state.get[0]:
-            seen = [
+            seen.extend(
                 (int(p.split(":")[0]), int(p.split(":")[1]))
                 for p in state.get[0].split(";")
-            ]
+            )
         out: list[tuple[int, int, int]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
@@ -139,7 +127,6 @@ def streaming_simhash_pairs(
                     if h <= max_hamming:
                         out.append((min(did, sid), max(did, sid), h))
                 seen.append((did, fp))
-        seen = seen[-state_cap:]
         state.update((";".join(f"{i}:{f}" for i, f in seen),))
         yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 

@@ -39,14 +39,11 @@ def fingerprint_pairs(draw):
 
 
 def _bands(max_hamming: int, total_bits: int = SIMHASH_BITS):
-    nb = max_hamming + 1
-    base_w, extra = divmod(total_bits, nb)
-    out, off = [], 0
-    for b in range(nb):
-        w = base_w + (1 if b < extra else 0)
-        out.append((off, w))
-        off += w
-    assert off == total_bits  # every bit is covered by exactly one band
+    # pin the PRODUCTION layout (shared by batch + streaming operators)
+    from data_curator_spark.operators.dedup import band_layout
+
+    out = band_layout(total_bits, max_hamming)
+    assert sum(w for _, w in out) == total_bits  # every bit covered
     return out
 
 

@@ -100,3 +100,36 @@ def test_hypertable_widths_must_nest(spark):
                                "user_id string, ts timestamp, value double")
     with pytest.raises(ValueError):
         hypertable_rollup(df, "user_id", "ts", "value", [900, 1000])
+
+
+def test_interval_join_left_no_spurious_rows(spark):
+    """Left semantics: a point matched by one interval but bin-colliding
+    with another emits ONLY the real match; a fully unmatched point
+    emits exactly one null row regardless of bin collisions."""
+    points = spark.createDataFrame(
+        [("u1", _ts(5), 1), ("u1", _ts(5, 45), 2)], "key string, ts timestamp, pid int"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("u1", _ts(4, 50), _ts(5, 10), 10),  # contains pid 1 only
+            ("u1", _ts(5, 20), _ts(5, 40), 11),  # same hour-bin, contains neither
+        ],
+        "key string, start timestamp, end timestamp, iid int",
+    )
+    out = interval_join(
+        points, intervals, "key", "ts", "start", "end", bin_width_sec=3600, how="left"
+    ).collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r["iid"])
+    assert by_pid[1] == [10]          # exactly the real match, no null row
+    assert by_pid[2] == [None]        # one null row, not one per collision
+
+
+def test_interval_join_validates_inputs(spark, pts_and_ivs):
+    points, intervals = pts_and_ivs
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, "key", "ts", "start", "end", 3600, how="full")
+    clash = intervals.withColumnRenamed("iid", "pid")  # overlaps points.pid
+    with pytest.raises(ValueError):
+        interval_join(points, clash, "key", "ts", "start", "end", 3600)
