@@ -141,7 +141,17 @@ def run_pipeline(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        result.write.partitionBy("bucket").mode("overwrite").parquet(output_path)
+        # sortWithinPartitions(bucket, repo, path): each task writes one
+        # contiguous run per bucket (one open writer at a time instead of
+        # one per bucket value) and row groups land sorted by (repo,
+        # path) — better compression + min/max skipping on the columns
+        # downstream jobs filter by
+        (
+            result.sortWithinPartitions("bucket", "repo", "path")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(output_path)
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
