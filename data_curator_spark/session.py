@@ -55,6 +55,53 @@ def build_session(
     return builder.getOrCreate()
 
 
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """spark-submit conf set for a real N-executor run of this engine —
+    the knobs (and the reasoning) that replace the local defaults above.
+
+    Usage: ``spark-submit $(python -c "from data_curator_spark.session
+    import cluster_conf; print(' '.join(f'--conf {k}={v}' for k,v in
+    cluster_conf().items()))") --py-files dcs.zip tools/run_pipeline_job.py …``
+
+    Sizing logic (100 TB corpus, 1000 × 4-core executors = 4000 slots):
+    - shuffle.partitions = 3× total cores: enough granularity for AQE to
+      coalesce DOWN (cheap) while never leaving cores idle; going
+      finer-grained than AQE's advisory size is wasted scheduling.
+    - files.maxPartitionBytes = 128 MB: scan tasks sized to fit decode +
+      the vectorized UDF batch comfortably inside
+      executor_mem/cores ≈ 4 GB per slot.
+    - adaptive advisory size 64 MB: post-shuffle partitions land big
+      enough to amortize task overhead, small enough to spill rarely.
+    - skewJoin thresholds default (5× median, 256 MB): the salted
+      bucketing already spreads mega-repos; AQE is the backstop.
+    - maxRecordsPerBatch 10k: bounds Arrow batch memory in the model
+      UDF (10k rows × ~8 KB content ≈ 80 MB peak per batch).
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the testdata tables as a DataFrame.
 

@@ -38,3 +38,16 @@ def test_cli_corpus_and_pipeline(tmp_path):
         )
     )
     assert r3["buckets_skipped"] == 4 and r3["buckets_processed"] == 0
+
+
+def test_cluster_conf_shapes():
+    """cluster_conf scales with fleet size and keeps the invariants the
+    engine relies on (AQE, Arrow, dynamic partition overwrite)."""
+    from data_curator_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4)
+    assert c["spark.sql.shuffle.partitions"] == str(3 * 4000)
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.sources.partitionOverwriteMode"] == "dynamic"
+    small = cluster_conf(executors=8, cores_per_executor=8)
+    assert small["spark.sql.shuffle.partitions"] == str(3 * 64)
