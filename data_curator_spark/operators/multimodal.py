@@ -54,18 +54,68 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP (pure numpy, no codec
+    library): parses the BITMAPINFOHEADER, honors 4-byte row padding and
+    bottom-up row order, returns HxWx3 uint8 RGB."""
+    import struct
+
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    ).reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def _decode_wav_pcm16(payload: bytes) -> np.ndarray:
+    """REAL decoder for RIFF/WAVE PCM-16 (pure numpy): walks the chunk
+    list to the data chunk, returns a float32 waveform in [-1, 1)
+    (channels interleaved, matching the mono-mixdown-free raw stream)."""
+    import struct
+
+    pos = 12  # past RIFF size + WAVE
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if data is None:
+        raise ValueError("no data chunk in WAV payload")
+    return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+
+
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode an encoded image to an HxWx3 uint8 array.
 
-    Real implementation requires an image codec (PIL/opencv), absent in
-    this container. DETERMINISTIC FAKE: bytes are tiled into the target
-    shape — preserves the pipeline contract (shape, dtype) for tests.
+    REAL path: uncompressed 24-bit BMP is decoded natively (_decode_bmp —
+    its own header dimensions win over the metadata). Compressed formats
+    need a codec (PIL/opencv), absent in this container — those fall to
+    the DETERMINISTIC FAKE: bytes tiled into the metadata shape, which
+    preserves the pipeline contract (shape, dtype) for tests.
     """
+    if payload[:2] == b"BM":
+        try:
+            return _decode_bmp(payload)
+        except Exception:  # noqa: BLE001 — corrupt/truncated header: fake path
+            pass
     try:  # pragma: no cover - codec not installed here
         import PIL.Image  # noqa: F401
 
         raise NotImplementedError(
-            "real image decode path: PIL.Image.open(io.BytesIO(payload))"
+            "real compressed-image decode path: PIL.Image.open(io.BytesIO(payload))"
         )
     except ImportError:
         buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
@@ -75,11 +125,17 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
-    """Decode audio to a float32 waveform. DETERMINISTIC FAKE (see above)."""
+    """Decode audio to a float32 waveform.
+
+    REAL path: RIFF/WAVE PCM-16 is decoded natively (_decode_wav_pcm16).
+    Compressed audio needs a codec (librosa/ffmpeg), absent here — falls
+    to the DETERMINISTIC FAKE byte mapping."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav_pcm16(payload)
     try:  # pragma: no cover
         import librosa  # noqa: F401
 
-        raise NotImplementedError("real audio decode path: librosa.load(...)")
+        raise NotImplementedError("real compressed-audio decode path: librosa.load(...)")
     except ImportError:
         buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
         return (buf.astype(np.float32) - 127.5) / 127.5
@@ -110,13 +166,20 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             feats = np.zeros((n, 8), dtype=np.float64)
 
             # images: per-item CODEC call only; all statistics are one
-            # vectorized pass per (w,h) shape group
+            # vectorized pass per DECODED-shape group (a real BMP's own
+            # header dimensions win over the metadata columns)
             img_rows = np.flatnonzero(kinds == "image")
             if img_rows.size:
-                shapes = np.stack([widths[img_rows], heights[img_rows]], axis=1)
-                for w, h in np.unique(shapes, axis=0):
-                    grp = img_rows[(widths[img_rows] == w) & (heights[img_rows] == h)]
-                    arr = np.stack([_decode_image(payloads[i], w, h) for i in grp])
+                decoded = [
+                    (i, _decode_image(payloads[i], widths[i], heights[i]))
+                    for i in img_rows
+                ]
+                by_shape: dict[tuple, list] = {}
+                for i, img in decoded:
+                    by_shape.setdefault(img.shape, []).append((i, img))
+                for items in by_shape.values():
+                    grp = np.array([i for i, _ in items])
+                    arr = np.stack([img for _, img in items])
                     feats[grp, 0:3] = arr.mean(axis=(1, 2))
                     feats[grp, 3:6] = arr.std(axis=(1, 2))
                     feats[grp, 6] = arr.min(axis=(1, 2, 3))

@@ -3,6 +3,8 @@ batch shape through mapInPandas."""
 
 from __future__ import annotations
 
+import pytest
+
 from data_curator_spark.operators.multimodal import (
     FEATURE_SCHEMA,
     extract_features,
@@ -41,3 +43,80 @@ def test_feature_extraction_null_payload(spark):
     out = extract_features(media).collect()
     assert out[0]["n_bytes"] == 0
     assert len(out[0]["feature"]) == 8
+
+
+def _bmp_bytes(pixels):
+    """Minimal uncompressed 24-bit BMP: pixels = HxWx3 uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_bytes), dtype=np.uint8)
+    img[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = img.tobytes()
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+def _wav_bytes(samples_i16):
+    import struct
+
+    data = samples_i16.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_bmp_decode(spark):
+    """REAL codec path: a genuine 24-bit BMP decodes to exact pixels
+    (padding + bottom-up + BGR handled) and its channel stats flow
+    through extract_features."""
+    import numpy as np
+
+    from data_curator_spark.operators.multimodal import _decode_bmp
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # W=5 forces row padding
+    assert np.array_equal(_decode_bmp(_bmp_bytes(px)), px)
+
+    media = spark.createDataFrame(
+        [("bmp1", "image", bytearray(_bmp_bytes(px)), "image/bmp", 999, 999, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, sample_rate int, n_frames int",
+    )
+    row = extract_features(media).collect()[0]
+    # decoded-header dims win over the bogus metadata (999x999)
+    assert row["feature"][:3] == [
+        pytest.approx(float(px[:, :, c].mean())) for c in range(3)
+    ]
+    assert row["feature"][6] == float(px.min()) and row["feature"][7] == float(px.max())
+
+
+def test_real_wav_decode(spark):
+    import numpy as np
+
+    from data_curator_spark.operators.multimodal import _decode_wav_pcm16
+
+    samples = np.array([0, 16384, -16384, 32767, -32768, 0], dtype=np.int16)
+    wav = _wav_bytes(samples)
+    got = _decode_wav_pcm16(wav)
+    assert got.dtype == np.float32
+    assert got == pytest.approx(samples.astype(np.float64) / 32768.0)
+
+    media = spark.createDataFrame(
+        [("wav1", "audio", bytearray(wav), "audio/wav", None, None, 16000, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, sample_rate int, n_frames int",
+    )
+    row = extract_features(media).collect()[0]
+    want = samples.astype(np.float64) / 32768.0
+    assert row["feature"][0] == pytest.approx(want.mean())
+    assert row["feature"][3] == pytest.approx(np.abs(want).max())
+    assert row["feature"][5] == float(len(samples))
