@@ -103,6 +103,10 @@ def hypertable_rollup(
             raise ValueError(f"widths must nest: {b} not a multiple of {a}")
 
     w0 = widths_sec[0]
+    # each level's partials feed BOTH its output branch and the next
+    # level; persist makes the cascade physically real (one raw scan,
+    # coarser levels aggregate cached partials — verified: without this,
+    # every union branch re-scans and re-aggregates the raw table)
     level = (
         df.select(
             F.col(key),
@@ -111,7 +115,7 @@ def hypertable_rollup(
         )
         .groupBy(key, "bucket_start")
         .agg(F.sum("__v").alias("__sum"), F.count(F.lit(1)).alias("n_events"))
-    )
+    ).persist()
     out = level.select(
         F.lit(0).alias("level"), key, "bucket_start",
         F.col("__sum").cast("double").alias("sum_value"),
@@ -128,7 +132,7 @@ def hypertable_rollup(
             )
             .groupBy(key, "bucket_start")
             .agg(F.sum("__sum").alias("__sum"), F.sum("n_events").alias("n_events"))
-        )
+        ).persist()
         out = out.unionByName(
             level.select(
                 F.lit(lvl).alias("level"), key, "bucket_start",
