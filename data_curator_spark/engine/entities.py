@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 # reference entities/fundamental_data_row.py:31-33
 ENTITY_PREFIXES: dict[str, str] = {
@@ -52,9 +53,11 @@ def unpack_entities(
     by_name = {name: pre for pre, name in prefixes.items()}
     cols = []
     for f_ in df.schema.fields:
-        if f_.name in by_name:
+        # only unpack genuine structs — a plain column that merely shares
+        # an entity name passes through flat
+        if f_.name in by_name and isinstance(f_.dataType, StructType):
             pre = by_name[f_.name]
-            for sub in f_.dataType.fieldNames():  # type: ignore[union-attr]
+            for sub in f_.dataType.fieldNames():
                 cols.append(F.col(f"{f_.name}.{sub}").alias(f"{pre}{sub}"))
         else:
             cols.append(F.col(f_.name))

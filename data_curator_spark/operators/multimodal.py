@@ -78,22 +78,32 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def _decode_wav_pcm16(payload: bytes) -> np.ndarray:
-    """REAL decoder for RIFF/WAVE PCM-16 (pure numpy): walks the chunk
-    list to the data chunk, returns a float32 waveform in [-1, 1)
-    (channels interleaved, matching the mono-mixdown-free raw stream)."""
+    """REAL decoder for RIFF/WAVE PCM-16 (pure numpy): validates the fmt
+    chunk (integer PCM, 16-bit — everything else raises, like the BMP
+    decoder's bpp check), walks the chunk list to the data chunk, and
+    returns a float32 waveform in [-1, 1) (channels interleaved)."""
     import struct
 
     pos = 12  # past RIFF size + WAVE
     data = None
+    fmt_ok = False
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"data":
+        if cid == b"fmt " and size >= 16:
+            audio_format, _nch = struct.unpack_from("<HH", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
+            if audio_format != 1 or bits != 16:
+                raise ValueError(f"only integer PCM-16 WAV supported (fmt={audio_format}, bits={bits})")
+            fmt_ok = True
+        elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + size]
             break
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
-    if data is None:
-        raise ValueError("no data chunk in WAV payload")
+    if data is None or not fmt_ok:
+        raise ValueError("missing fmt/data chunk in WAV payload")
+    if len(data) % 2:
+        raise ValueError("truncated PCM-16 data chunk")
     return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
 
 
@@ -128,10 +138,17 @@ def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
     """Decode audio to a float32 waveform.
 
     REAL path: RIFF/WAVE PCM-16 is decoded natively (_decode_wav_pcm16).
-    Compressed audio needs a codec (librosa/ffmpeg), absent here — falls
-    to the DETERMINISTIC FAKE byte mapping."""
+    Corrupt/truncated/non-PCM16 RIFF payloads fall through to the fake
+    (one dirty media file must degrade, not kill the task — text bytes
+    can even sniff as RIFF by accident). Compressed audio needs a codec
+    (librosa/ffmpeg), absent here — falls to the DETERMINISTIC FAKE."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav_pcm16(payload)
+        try:
+            wav = _decode_wav_pcm16(payload)
+            if wav.size:
+                return wav
+        except Exception:  # noqa: BLE001 — corrupt/unsupported: fake path
+            pass
     try:  # pragma: no cover
         import librosa  # noqa: F401
 

@@ -307,7 +307,14 @@ def train_ivf_centroids_numpy(
 
     for _ in range(iters):
         c = np.array(centroids)
-        d = ((a[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # SEQUENTIAL left-fold over dimensions (d += term_j in j order),
+        # bit-matching Spark's F.aggregate fold and DuckDB's list_sum —
+        # numpy's pairwise .sum() could ulp-diverge and flip a near-tie
+        # argmin, desynchronizing the cascade from the Spark training
+        d = np.zeros((len(a), len(c)))
+        for j in range(c.shape[1]):
+            t = a[:, j, None] - c[None, :, j]
+            d += t * t
         assign = d.argmin(axis=1)  # first-min index == Spark's (d, i) struct-min
         new = {ci: list(cent) for ci, cent in enumerate(centroids)}
         for ci in np.unique(assign):

@@ -50,6 +50,8 @@ def interval_join(
     overlap = (set(points.columns) & set(intervals.columns)) - {key}
     if overlap:
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)} — rename one side")
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        raise ValueError("'__bin' is reserved by interval_join — rename that column")
 
     w = bin_width_sec
     p = points.withColumn("__bin", (F.floor(_epoch(F.col(point_ts)) / w)).cast("long"))

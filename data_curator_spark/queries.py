@@ -816,11 +816,13 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard >= 0.5 over LSH candidate pairs — the
-    blocked scale plan (lsh_candidate_pairs blocks, ngram_jaccard_verify
-    confirms), oracled end-to-end: the oracle reproduces the identical
+    """Word-3-gram Jaccard >= 0.5 over LSH-RECALLED candidate pairs —
+    the blocked scale plan (lsh_candidate_ids blocks at ~0.99 recall for
+    J>=0.5 with r=2 bands, ngram_jaccard_verify computes the exact
+    Jaccard), oracled end-to-end: the oracle reproduces the identical
     portable-minhash candidates, so the composed result matches exactly
-    (VERDICT r1 item #6 — no full shingle self-join in the plan)."""
+    (VERDICT r1 item #6 — no full shingle self-join in the plan). The
+    all-pairs exact form remains available as ngram_jaccard_pairs."""
     from data_curator_spark.operators.dedup import (
         lsh_candidate_ids,
         minhash_signatures,
@@ -830,14 +832,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     # persist = the query-level analog of materializing the signature /
     # candidate tables at cluster scale: each is computed once even
-    # though the band self-join and the verify stage consume them twice
+    # though the band self-join and the verify stage consume them twice.
+    # bands=16 (r=2) is the right operating point for a 0.5 threshold:
+    # band-collision recall at J=0.5 is 1-(1-0.5^2)^16 ~ 0.990 (vs 0.40
+    # at r=4); the exact-verify stage discards the extra candidates.
     sigs = minhash_signatures(d, "doc_id", "text", k=32).persist()
-    cands = lsh_candidate_ids(sigs, "doc_id", k=32, bands=8).persist()
+    cands = lsh_candidate_ids(sigs, "doc_id", k=32, bands=16).persist()
     out = ngram_jaccard_verify(d, cands, "doc_id", "text", shingle_n=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-SQL_NGRAM_JACCARD = _ngram_jaccard_blocked_oracle_sql(32, 8, 0.5)
+SQL_NGRAM_JACCARD = _ngram_jaccard_blocked_oracle_sql(32, 16, 0.5)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

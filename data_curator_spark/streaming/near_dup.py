@@ -40,7 +40,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-SIMHASH_BITS = 60
+from data_curator_spark.operators.dedup import SIMHASH_BITS  # single source
+
 _MASK = (1 << SIMHASH_BITS) - 1
 
 PAIR_OUTPUT = StructType(

@@ -70,6 +70,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # queries persist() multi-consumer intermediates (signatures,
+        # candidate pairs, rollup partials) and return lazy frames, so
+        # the harness owns the cache lifecycle: release between queries
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
