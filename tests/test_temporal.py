@@ -133,3 +133,54 @@ def test_interval_join_validates_inputs(spark, pts_and_ivs):
     clash = intervals.withColumnRenamed("iid", "pid")  # overlaps points.pid
     with pytest.raises(ValueError):
         interval_join(points, clash, "key", "ts", "start", "end", 3600)
+
+
+def test_interval_join_randomized_equivalence(spark):
+    """Seeded random points/intervals (spanning bin boundaries AND
+    pre-1970 negative-epoch timestamps): the bin-bucketed equi-join must
+    equal the naive non-equi join exactly, inner and left."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    base = dt.datetime(1969, 12, 30)  # straddles epoch 0
+    points = spark.createDataFrame(
+        [
+            (f"u{int(rng.integers(0, 4))}", base + dt.timedelta(minutes=int(m)), i)
+            for i, m in enumerate(rng.integers(0, 8000, size=200))
+        ],
+        "key string, ts timestamp, pid int",
+    )
+    ivs = []
+    for j in range(60):
+        s = base + dt.timedelta(minutes=int(rng.integers(0, 7800)))
+        ivs.append(
+            (f"u{int(rng.integers(0, 4))}", s, s + dt.timedelta(minutes=int(rng.integers(1, 600))), j)
+        )
+    intervals = spark.createDataFrame(ivs, "key string, start timestamp, end timestamp, iid int")
+
+    naive_inner = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.key == intervals.key)
+            & (points.ts >= intervals.start)
+            & (points.ts <= intervals.end),
+        ).collect()
+    }
+    for w in (3600, 86400, 60):
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                points, intervals, "key", "ts", "start", "end", bin_width_sec=w
+            ).collect()
+        }
+        assert got == naive_inner, f"bin width {w}"
+
+    left = interval_join(
+        points, intervals, "key", "ts", "start", "end", bin_width_sec=3600, how="left"
+    ).collect()
+    matched_pids = {p for p, _ in naive_inner}
+    left_pairs = {(r["pid"], r["iid"]) for r in left if r["iid"] is not None}
+    left_nulls = {r["pid"] for r in left if r["iid"] is None}
+    assert left_pairs == naive_inner
+    assert left_nulls == {r["pid"] for r in points.collect()} - matched_pids
