@@ -66,3 +66,24 @@ def test_dedup_shuffles_hashes_not_content(spark):
     ex = [l for l in plan.splitlines() if "Exchange" in l or "hashpartitioning" in l]
     assert ex, plan
     assert not re.search(r"hashpartitioning\(text", plan)
+
+
+def test_interval_join_is_equijoin_not_nested_loop(spark):
+    plan = _plan(spark, "interval_join")
+    assert "NestedLoop" not in plan
+    assert "Join" in plan  # hash/sort-merge equi-join on (key, bin)
+
+
+def test_hypertable_cascade_reuses_partials(spark):
+    """Coarser rollup levels must aggregate CACHED partials, not re-scan
+    the raw table per union branch (persist inside hypertable_rollup)."""
+    plan = _plan(spark, "hypertable_rollup")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_blocked_ngram_uses_cached_candidates(spark):
+    """The blocked ngram query must show the persisted signature /
+    candidate intermediates (the materialized-table analog), not a
+    recomputed shingle self-join per consumer."""
+    plan = _plan(spark, "ngram_jaccard")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
