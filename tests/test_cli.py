@@ -51,3 +51,17 @@ def test_cluster_conf_shapes():
     assert c["spark.sql.sources.partitionOverwriteMode"] == "dynamic"
     small = cluster_conf(executors=8, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == str(3 * 64)
+
+
+def test_driver_contract_alignment():
+    """Every queries() entry has an oracle_sql() entry (the round-2
+    contract: zero rows-only checks) and the callables/SQL are non-empty."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as m
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(oracles) == set(qs), sorted(set(qs) ^ set(oracles))
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
