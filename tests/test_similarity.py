@@ -152,3 +152,30 @@ def test_embedding_near_dup_pairs(spark, vectors):
     for pa, pb in got:
         if pa < 1000 and pb < 1000:
             assert sims[pa, pb] >= 0.999 - 1e-6
+
+
+def test_ivf_cells_partition_pruned_storage(spark, vectors, tmp_path):
+    """The IVF docstring's scale claim made real: cells written as a
+    partition column let a probed query scan ONLY the probed cells
+    (PartitionFilters metadata pruning), not the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.operators.similarity import _assign_expr, train_ivf_centroids
+
+    df, _ = vectors
+    cents = train_ivf_centroids(df, "embedding", n_centroids=4, iters=2, dim=16, id_col="vec_id")
+    out = str(tmp_path / "ivf_cells")
+    df.withColumn("cell", _assign_expr(F.col("embedding"), cents)).write.partitionBy(
+        "cell"
+    ).parquet(out)
+    probed = spark.read.parquet(out).filter(F.col("cell").isin([0, 2]))
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line
+    # and the probed scan reads only the probed cells' files
+    files = {f for f in probed.inputFiles()} if hasattr(probed, "inputFiles") else set()
+    # inputFiles is pre-pruning on some versions; the PartitionFilters
+    # assertion above is the load-bearing check
+    assert probed.count() > 0
