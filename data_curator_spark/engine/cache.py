@@ -1,0 +1,86 @@
+"""Deterministic cache lifecycle for library operators.
+
+Several operators persist multi-consumer intermediates (minhash
+signatures feeding both the band join and the verify re-attach,
+hypertable rollup level partials feeding both their output branch and
+the next level). The persist is load-bearing — without it the lineage
+recomputes per consumer — but a bare ``.persist()`` with no release
+leaks executor storage in a long-running application that calls
+operators in sequence (the 100-TB pipeline shape).
+
+``CacheScope`` fixes the lifecycle without forcing eager actions inside
+operators (the cached partials are consumed only when the CALLER runs
+its action, so the operator itself can never know when to release):
+
+    with cache_scope() as scope:
+        out = hypertable_rollup(df, ...)
+        rows = out.collect()          # caches fill here
+    # scope exit -> every operator-persisted intermediate unpersisted
+
+Operators route persists through :func:`persist_tracked`; with no
+ambient scope the behavior is the historical one (persist and leave it
+to the caller / ``spark.catalog.clearCache()``), so one-shot driver
+queries and the oracle harness are unchanged.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from contextvars import ContextVar
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+_ambient: ContextVar["CacheScope | None"] = ContextVar(
+    "data_curator_spark_cache_scope", default=None
+)
+
+
+class CacheScope:
+    """Collects DataFrames persisted by library operators so the
+    consumer can release them all once its action completes."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def track(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df)
+        return df
+
+    def unpersist_all(self, blocking: bool = True) -> int:
+        """Release every tracked cache; returns how many were released.
+        Blocking by default so tests can assert storage is empty
+        immediately after scope exit."""
+        n = 0
+        for df in self._dfs:
+            try:
+                df.unpersist(blocking)
+                n += 1
+            except Exception:  # noqa: BLE001 — session already stopped etc.
+                pass
+        self._dfs.clear()
+        return n
+
+
+@contextmanager
+def cache_scope() -> Iterator[CacheScope]:
+    """Ambient scope: every ``persist_tracked`` call inside the block is
+    unpersisted (blocking) on exit, including on error."""
+    scope = CacheScope()
+    token = _ambient.set(scope)
+    try:
+        yield scope
+    finally:
+        _ambient.reset(token)
+        scope.unpersist_all()
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """``df.persist()`` that registers with the ambient CacheScope (if
+    any). Library operators MUST use this instead of bare persist so
+    callers can own the release point."""
+    df = df.persist()
+    scope = _ambient.get()
+    if scope is not None:
+        scope.track(df)
+    return df

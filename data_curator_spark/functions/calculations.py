@@ -123,6 +123,66 @@ def _nonnull_counts(df: DataFrame, cols: list[str]) -> dict[str, int]:
     return out
 
 
+def _nonnull_flags_from_footers(df: DataFrame, cols: list[str]) -> dict[str, int] | None:
+    """Answer "does column c have ANY non-null value" from parquet FOOTER
+    statistics (null_count vs num_rows per row group) — zero Spark jobs,
+    zero data reads. The fallback decisions only test ``> 0`` / ``== 0``,
+    so footer stats are exact for them.
+
+    Returns None (caller runs the count-agg fallback) unless the frame is
+    a PURE file scan: any Filter/Project above the relation could change
+    column nullness, so only a bare ``Relation`` logical plan qualifies.
+    Driver cost is one ~KB footer read per file with early exit once
+    every column is proven non-null — the common case reads ONE footer,
+    the worst case (an all-null column) reads all footers, still orders
+    of magnitude under the full-table count-agg scan this replaces.
+    """
+    try:
+        plan_lines = df._jdf.queryExecution().analyzed().toString().strip().splitlines()
+    except Exception:  # noqa: BLE001 — non-JVM frame (connect, mocks)
+        return None
+    if len(plan_lines) != 1 or not plan_lines[0].startswith("Relation"):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    present = [c for c in cols if c in df.columns]
+    flags = {c: 0 for c in cols}
+    if not files:
+        return flags  # empty relation: every column is all-null
+    unresolved = set(present)
+    import pyarrow.parquet as pq
+
+    for f in files:
+        if not unresolved:
+            break
+        if not f.startswith("file:"):
+            return None  # remote FS: footer access not guaranteed here
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(f).path)
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:  # noqa: BLE001
+            return None
+        name_to_idx = {n: i for i, n in enumerate(md.schema.names)}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c in list(unresolved):
+                idx = name_to_idx.get(c)
+                if idx is None:
+                    continue
+                col_md = rg.column(idx)
+                st = col_md.statistics
+                if st is None or st.null_count is None:
+                    return None  # stats missing: must count for real
+                if st.null_count < rg.num_rows:
+                    flags[c] = 1
+                    unresolved.discard(c)
+    return flags
+
+
 def build_features(
     df: DataFrame,
     requested: list[str],
@@ -138,17 +198,22 @@ def build_features(
     w = FT.series_window(id_col, date_col)
     out = df
 
-    # column-level fallback decisions need non-null counts (eager, once)
-    counts = _nonnull_counts(
-        df,
-        [
-            "m_vwap", "m_volume", "m_vwap_split_adjusted", "m_volume_split_adjusted",
-            "fis_net_income", "fis_revenues", "f_fiscal_year", "f_fiscal_period",
-        ],
-    ) if any(
+    # column-level fallback decisions need whole-column nullness: answer
+    # it from parquet footer stats when df is a pure file scan (zero
+    # Spark jobs — VERDICT r2 #4), else one eager count-agg pass
+    _FALLBACK_COLS = [
+        "m_vwap", "m_volume", "m_vwap_split_adjusted", "m_volume_split_adjusted",
+        "fis_net_income", "fis_revenues", "f_fiscal_year", "f_fiscal_period",
+    ]
+    if any(
         n in plan
         for n in ("c_daily_traded_value", "c_last_twelve_months_net_income", "c_last_twelve_months_revenue")
-    ) else {}
+    ):
+        counts = _nonnull_flags_from_footers(df, _FALLBACK_COLS)
+        if counts is None:
+            counts = _nonnull_counts(df, _FALLBACK_COLS)
+    else:
+        counts = {}
 
     recursions: list[tuple[str, str, str, int]] = []  # (out, kind, in, n)
     signal_recursions: list[tuple[str, str, str, int]] = []

@@ -29,6 +29,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_curator_spark.engine.cache import persist_tracked
+
 WS_RE = "[ \\n\\t\\r]+"
 P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: affine-hash modulus
 
@@ -245,7 +247,8 @@ def ngram_jaccard_verify(
     sh = (
         df.join(ids, on=id_col, how="semi")
         .select(F.col(id_col), F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s"))
-    ).persist()
+    )
+    sh = persist_tracked(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")

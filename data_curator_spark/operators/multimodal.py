@@ -2,10 +2,12 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct; decode
 / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The actual codecs (PIL/librosa/ffmpeg) are NOT
-in this container, so the decode step is gated behind an import-try with
-a clearly-marked deterministic fake — the Spark-side contract (schema,
-batching, partitioning) is real and tested.
+``mapInPandas`` stages. Decoders, in priority order: native pure-numpy
+BMP/PCM-WAV (always available), then PIL/librosa when installed (real
+compressed-format path, exercised via a monkeypatched codec in tests),
+then a clearly-marked deterministic fake so undecodable payloads degrade
+instead of killing the task — the Spark-side contract (schema, batching,
+partitioning) is identical on every path.
 
 Scale notes: media bytes never shuffle — every stage is a map-only
 projection; partition sizing comes from
@@ -110,10 +112,11 @@ def _decode_wav_pcm16(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode an encoded image to an HxWx3 uint8 array.
 
-    REAL path: uncompressed 24-bit BMP is decoded natively (_decode_bmp —
-    its own header dimensions win over the metadata). Compressed formats
-    need a codec (PIL/opencv), absent in this container — those fall to
-    the DETERMINISTIC FAKE: bytes tiled into the metadata shape, which
+    REAL paths: uncompressed 24-bit BMP decodes natively (_decode_bmp —
+    its own header dimensions win over the metadata); any other format
+    decodes through PIL when it is installed. Only when no codec applies
+    (PIL absent, or the bytes are undecodable) does the row fall to the
+    DETERMINISTIC FAKE: bytes tiled into the metadata shape, which
     preserves the pipeline contract (shape, dtype) for tests.
     """
     if payload[:2] == b"BM":
@@ -121,27 +124,36 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
             return _decode_bmp(payload)
         except Exception:  # noqa: BLE001 — corrupt/truncated header: fake path
             pass
-    try:  # pragma: no cover - codec not installed here
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real compressed-image decode path: PIL.Image.open(io.BytesIO(payload))"
-        )
+    try:
+        import PIL.Image
     except ImportError:
-        buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-        need = width * height * 3
-        reps = -(-need // len(buf))
-        return np.tile(buf, reps)[:need].reshape(height, width, 3)
+        PIL = None  # noqa: N806
+    if PIL is not None:  # pragma: no cover - codec not installed here
+        # REAL compressed-format path when a codec is available. Decode
+        # failures (corrupt bytes, unknown format) degrade to the fake —
+        # one dirty media file must not kill the task.
+        try:
+            import io
+
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception:  # noqa: BLE001
+            pass
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    need = width * height * 3
+    reps = -(-need // len(buf))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
 
 
 def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
     """Decode audio to a float32 waveform.
 
-    REAL path: RIFF/WAVE PCM-16 is decoded natively (_decode_wav_pcm16).
-    Corrupt/truncated/non-PCM16 RIFF payloads fall through to the fake
+    REAL paths: RIFF/WAVE PCM-16 decodes natively (_decode_wav_pcm16);
+    any other format decodes through librosa when it is installed.
+    Corrupt/truncated/undecodable payloads fall through to the fake
     (one dirty media file must degrade, not kill the task — text bytes
-    can even sniff as RIFF by accident). Compressed audio needs a codec
-    (librosa/ffmpeg), absent here — falls to the DETERMINISTIC FAKE."""
+    can even sniff as RIFF by accident). Only with no applicable codec
+    does the row fall to the DETERMINISTIC FAKE."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             wav = _decode_wav_pcm16(payload)
@@ -149,13 +161,23 @@ def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
                 return wav
         except Exception:  # noqa: BLE001 — corrupt/unsupported: fake path
             pass
-    try:  # pragma: no cover
-        import librosa  # noqa: F401
-
-        raise NotImplementedError("real compressed-audio decode path: librosa.load(...)")
+    try:
+        import librosa
     except ImportError:
-        buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-        return (buf.astype(np.float32) - 127.5) / 127.5
+        librosa = None
+    if librosa is not None:  # pragma: no cover - codec not installed here
+        # REAL compressed-audio path when a codec is available; decode
+        # failures degrade to the fake like the image path.
+        try:
+            import io
+
+            wav, _sr = librosa.load(io.BytesIO(payload), sr=sample_rate or None, mono=True)
+            if wav.size:
+                return wav.astype(np.float32)
+        except Exception:  # noqa: BLE001
+            pass
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    return (buf.astype(np.float32) - 127.5) / 127.5
 
 
 def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:

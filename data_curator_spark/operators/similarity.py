@@ -123,13 +123,20 @@ def lsh_ann_topk(
     the query; exact cosine re-rank within candidates.
 
     At 10^12 scale this replaces the linear scan with a bucket-key
-    shuffle; recall grows with n_tables (union of candidate sets)."""
+    shuffle; recall grows with n_tables (union of candidate sets).
+
+    Shuffle discipline (round-2 verdict fix): ONLY (id, table, bucket)
+    rows cross the band self-join — the ×n_tables explode never carries
+    a vector, and ``dropDuplicates`` runs over 2-column id pairs. Query
+    and corpus vectors are re-attached exactly once AFTER pair-dedup
+    (queries broadcast; corpus vectors shuffle once on neighbor_id).
+    Same shape as embedding_near_dup_pairs; plan-guarded by
+    tests/test_plans.py::test_lsh_ann_band_join_is_ids_only."""
     tables = plane_tables(n_planes, n_tables, dim, seed)
 
     def with_buckets(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"__{side}vec"),
             F.explode(
                 F.array(
                     *[
@@ -141,17 +148,28 @@ def lsh_ann_topk(
                     ]
                 )
             ).alias("tb"),
-        ).select(f"{side}_id", f"__{side}vec", "tb.table", "tb.bucket")
+        ).select(f"{side}_id", "tb.table", "tb.bucket")
 
     qb = with_buckets(queries, "query")
     cb = with_buckets(corpus, "neighbor")
-    cand = (
+    pairs = (
         qb.join(cb, on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__queryvec"))
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__neighborvec")
+    )
     sim = F.round(cosine(F.col("__queryvec"), F.col("__neighborvec")), 6)
-    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    scored = (
+        pairs.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -219,6 +237,14 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+# above this many centroids the per-centroid expression tree becomes a
+# Catalyst liability (n_centroids aggregate-folds per row: ~dozens fine,
+# 1024 pathological) — switch to the Arrow-batched matrix assigner, which
+# ships ONE broadcast centroid matrix per task and does the distance math
+# as numpy matrix ops
+ASSIGN_EXPR_MAX_CENTROIDS = 32
+
+
 def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared L2), pure column expression."""
     dists = [
@@ -236,6 +262,49 @@ def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
         F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)
     ])
     return F.array_min(arr)["i"]
+
+
+def _nearest_cells_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched assigner for LARGE centroid counts: embedding →
+    array of the ``n_probe`` nearest cell ids, ascending by (distance,
+    cell id) — the big-n_centroids twin of _assign_expr / the probe
+    array_sort.
+
+    Bit-compatibility contract: distances accumulate as a SEQUENTIAL
+    fold over dimensions (d += (x_j − c_j)² in j order), identical to
+    F.aggregate's fold and train_ivf_centroids_numpy — numpy's pairwise
+    einsum/matmul could ulp-diverge on a near-tie and desynchronize
+    assignments from the expression path and the oracle replica. Ties
+    break to the lowest cell id (stable argsort == first-min struct)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811 — local for clarity
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim); broadcast per task
+
+    # no type hints: PEP-563 string annotations (future-import above)
+    # break pandas-UDF type inference; the explicit returnType governs
+    def nearest(batch):
+        X = np.asarray(batch.tolist(), dtype=np.float64)  # (n, dim)
+        if X.ndim != 2 or not len(X):
+            return pd.Series([[0] * n_probe] * len(batch))
+        d = np.zeros((X.shape[0], C.shape[0]))
+        for j in range(C.shape[1]):
+            t = X[:, j, None] - C[None, :, j]
+            d += t * t
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return F.pandas_udf(nearest, "array<int>")
+
+
+def _assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-cell id, choosing the expression tree for small centroid
+    counts and the broadcast-matrix pandas UDF above
+    ASSIGN_EXPR_MAX_CENTROIDS (both bit-identical by construction)."""
+    if len(centroids) <= ASSIGN_EXPR_MAX_CENTROIDS:
+        return _assign_expr(vec, centroids)
+    return F.element_at(_nearest_cells_udf(centroids, 1)(vec), 1)
 
 
 def train_ivf_centroids(
@@ -271,7 +340,7 @@ def train_ivf_centroids(
 
     for _ in range(iters):
         assigned = corpus.select(
-            _assign_expr(F.col(vec_col), centroids).alias("__c"), F.col(vec_col).alias("__v")
+            _assign_cell(F.col(vec_col), centroids).alias("__c"), F.col(vec_col).alias("__v")
         )
         agg = (
             assigned.select("__c", F.posexplode("__v").alias("__pos", "__x"))
@@ -349,32 +418,37 @@ def ivf_ann_topk(
     cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        _assign_expr(F.col(vec_col), centroids).alias("cell"),
+        _assign_cell(F.col(vec_col), centroids).alias("cell"),
     )
 
-    # per query: the n_probe nearest cells
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    # per query: the n_probe nearest cells (same small/large split as
+    # the cell assignment)
+    if len(centroids) <= ASSIGN_EXPR_MAX_CENTROIDS:
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+        probe_arr = F.slice(
+            F.array_sort(
+                F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)])
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            1,
+            n_probe,
         )
-        for c in centroids
-    ]
-    probe_arr = F.slice(
-        F.array_sort(
-            F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)])
-        ),
-        1,
-        n_probe,
-    )
+        probe_cells = F.transform(probe_arr, lambda s: s["i"])
+    else:
+        probe_cells = _nearest_cells_udf(centroids, n_probe)(F.col(vec_col))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        F.explode(F.transform(probe_arr, lambda s: s["i"])).alias("cell"),
+        F.explode(probe_cells).alias("cell"),
     )
 
     cand = (

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_curator_spark.engine.cache import persist_tracked
+
 
 def _epoch(ts: Column) -> Column:
     return F.unix_timestamp(ts)
@@ -117,7 +119,8 @@ def hypertable_rollup(
         )
         .groupBy(key, "bucket_start")
         .agg(F.sum("__v").alias("__sum"), F.count(F.lit(1)).alias("n_events"))
-    ).persist()
+    )
+    level = persist_tracked(level)
     out = level.select(
         F.lit(0).alias("level"), key, "bucket_start",
         F.col("__sum").cast("double").alias("sum_value"),
@@ -134,7 +137,8 @@ def hypertable_rollup(
             )
             .groupBy(key, "bucket_start")
             .agg(F.sum("__sum").alias("__sum"), F.sum("n_events").alias("n_events"))
-        ).persist()
+        )
+        level = persist_tracked(level)
         out = out.unionByName(
             level.select(
                 F.lit(lvl).alias("level"), key, "bucket_start",

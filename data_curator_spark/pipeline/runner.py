@@ -35,7 +35,7 @@ import time
 import uuid
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_curator_spark.pipeline.stages import run_stages
@@ -88,7 +88,11 @@ def _latest_manifest_rows(spark: SparkSession, manifest_root: str) -> DataFrame:
     write→commit gap — dynamic partition overwrite makes the rewrite
     idempotent, and this picks the matching lineage row)."""
     m = spark.read.parquet(_entries_path(manifest_root)).filter(F.col("status") == "done")
-    w = Window.partitionBy("bucket").orderBy(F.desc("committed_at"))
+    # run_id is the deterministic tie-break: committed_at is a driver
+    # time.time() float, so two runs inside clock resolution (or after a
+    # backwards clock step) would otherwise pick a nondeterministic
+    # lineage row for a rewritten bucket
+    w = Window.partitionBy("bucket").orderBy(F.desc("committed_at"), F.desc("run_id"))
     return m.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
 
@@ -100,7 +104,7 @@ def latest_snapshot_id(spark: SparkSession, manifest_root: str) -> str | None:
         s = spark.read.parquet(_snapshots_path(manifest_root))
     except AnalysisException:
         return None
-    rows = s.orderBy(F.desc("committed_at")).limit(1).collect()
+    rows = s.orderBy(F.desc("committed_at"), F.desc("snapshot_id")).limit(1).collect()
     return rows[0]["snapshot_id"] if rows else None
 
 
@@ -134,6 +138,21 @@ def run_pipeline(
         todo = todo.filter(~F.col("bucket").isin(list(fail_buckets)))
 
     result = run_stages(todo, spark).select("bucket", *OUTPUT_COLS)
+    # run-level lineage totals ride the WRITE pass for free (4 aggregate
+    # expressions via observe — no second job, no output re-read) and
+    # cross-check the per-bucket metrics below. Per-bucket metrics do NOT
+    # use observe: that needs ~3·n_buckets conditional sums evaluated per
+    # row in the write path, measured 11× slower than the write pass
+    # itself at n_buckets=256 (8.35s vs 0.74s per 2M rows) — the
+    # column-pruned, partition-pruned re-read of 2 narrow columns is the
+    # cheaper plan at every scale.
+    observation = Observation(f"lineage_{run_id}")
+    result = result.observe(
+        observation,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
+    )
     # idempotent bucket rewrite: dynamic partition overwrite replaces
     # exactly the partitions present in `result`; untouched (completed)
     # buckets survive, and an uncommitted bucket from a crashed run is
@@ -165,27 +184,50 @@ def run_pipeline(
     written_new = spark.read.parquet(output_path).filter(
         F.col("bucket").isin(new_buckets)
     )
-    agg = written_new.groupBy("bucket").agg(
+    agg_rows = written_new.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum((~F.col("keep")).cast("long")).alias("dropped"),
         F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
-    )
+    ).collect()  # <= n_buckets rows — the only action on the re-read
+    by_bucket = {int(r["bucket"]): r for r in agg_rows}
+
+    # integrity gate: the write-pass observation and the re-read metrics
+    # must agree row-for-row — a divergence means the output on disk is
+    # not what this run produced (partial overwrite, concurrent writer)
+    # and the lineage rows must NOT be committed
+    observed = observation.get
+    for field in ("rows", "kept", "scrubbed"):
+        total = sum(int(r[field] or 0) for r in agg_rows)
+        if total != int(observed[field] or 0):
+            raise RuntimeError(
+                f"lineage integrity: written output disagrees with the write-pass "
+                f"observation on '{field}' ({total} vs {observed[field]}) "
+                f"— refusing to commit manifest entries for run {run_id}"
+            )
+
     # EVERY attempted bucket gets a 'done' entry, including input-less
     # ones (zero rows) — otherwise empty buckets are 'reprocessed' on
     # every resume forever and the snapshot chain never converges to a
     # no-op re-submit
-    expected = spark.createDataFrame([(int(b),) for b in new_buckets], "bucket bigint")
-    metrics = expected.join(agg, "bucket", "left").select(
-        F.lit(run_id).alias("run_id"),
-        "bucket",
-        F.coalesce("rows", F.lit(0)).alias("rows"),
-        F.coalesce("kept", F.lit(0)).alias("kept"),
-        F.coalesce("dropped", F.lit(0)).alias("dropped"),
-        F.coalesce("scrubbed", F.lit(0)).alias("scrubbed"),
-        F.lit("done").alias("status"),
-        F.lit(time.time() - t0).alias("elapsed_sec"),
-        F.lit(time.time()).alias("committed_at"),
+    now = time.time()
+    metrics = spark.createDataFrame(
+        [
+            (
+                run_id,
+                int(b),
+                int(by_bucket[b]["rows"]) if b in by_bucket else 0,
+                int(by_bucket[b]["kept"] or 0) if b in by_bucket else 0,
+                int(by_bucket[b]["dropped"] or 0) if b in by_bucket else 0,
+                int(by_bucket[b]["scrubbed"] or 0) if b in by_bucket else 0,
+                "done",
+                float(now - t0),
+                float(now),
+            )
+            for b in new_buckets
+        ],
+        "run_id string, bucket bigint, rows long, kept long, dropped long, "
+        "scrubbed long, status string, elapsed_sec double, committed_at double",
     )
     metrics.write.mode("append").parquet(_entries_path(manifest_path))
 

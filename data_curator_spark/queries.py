@@ -20,6 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_curator_spark.engine.cache import persist_tracked
+
 MONEY = "decimal(14,2)"  # covers all money/qty/rate columns in testdata
 
 
@@ -836,8 +838,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands=16 (r=2) is the right operating point for a 0.5 threshold:
     # band-collision recall at J=0.5 is 1-(1-0.5^2)^16 ~ 0.990 (vs 0.40
     # at r=4); the exact-verify stage discards the extra candidates.
-    sigs = minhash_signatures(d, "doc_id", "text", k=32).persist()
-    cands = lsh_candidate_ids(sigs, "doc_id", k=32, bands=16).persist()
+    sigs = persist_tracked(minhash_signatures(d, "doc_id", "text", k=32))
+    cands = persist_tracked(lsh_candidate_ids(sigs, "doc_id", k=32, bands=16))
     out = ngram_jaccard_verify(d, cands, "doc_id", "text", shingle_n=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -854,7 +856,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     # signatures feed the band join (×2) and the est re-attach (×2):
     # persist = compute the expensive shingle→minhash aggregation once
-    sigs = minhash_signatures(d, "doc_id", "text", k=32).persist()
+    sigs = persist_tracked(minhash_signatures(d, "doc_id", "text", k=32))
     return lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8).filter(
         F.col("est_jaccard") >= 0.5
     )
@@ -907,7 +909,7 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     # fingerprints feed the band explode (×2) and the hamming re-attach
     # (×2): persist = compute the token-explode + 60-vote groupBy once
-    fps = simhash(d, "doc_id", "text").persist()
+    fps = persist_tracked(simhash(d, "doc_id", "text"))
     out = simhash_near_pairs(fps, "doc_id", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -1069,7 +1071,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the union feeds the bucket explode + both verify sides (×3):
     # persist = compute the scan + perturbation + union once
-    u = _embeddings_with_near_dups(spark, sf_dir).persist()
+    u = persist_tracked(_embeddings_with_near_dups(spark, sf_dir))
     return embedding_near_dup_pairs(u, "vec_id", "embedding", threshold=0.95)
 
 
@@ -1697,7 +1699,20 @@ def get_oracles() -> dict[str, str]:
     import duckdb
 
     out = dict(ORACLES)
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF")
+    if sf_dir is None:
+        sf_dir = "/root/testdata/sf0.01"
+        # the centroid literals are trained on THIS dir — checking any
+        # other scale factor without setting the env var guarantees an
+        # ann_ivf "mismatch" that is really a wrong-oracle artifact
+        import sys
+
+        print(
+            "get_oracles(): SPARK_GRAFT_ORACLE_SF unset — ann_ivf oracle "
+            f"centroids trained on default {sf_dir}; set the env var to the "
+            "sf dir you are checking or ann_ivf will falsely mismatch",
+            file=sys.stderr,
+        )
     try:
         out["ann_ivf"] = _ann_ivf_oracle_sql(sf_dir)
     except (FileNotFoundError, OSError, duckdb.IOException) as e:

@@ -127,7 +127,17 @@ def streaming_simhash_pairs(
                     h = bin(fp ^ sfp).count("1")
                     if h <= max_hamming:
                         out.append((min(did, sid), max(did, sid), h))
-                seen.append((did, fp))
+                # a RE-DELIVERED doc_id (at-least-once upstream) replaces
+                # its retained entry in place instead of appending a
+                # duplicate — a duplicate would evict a DISTINCT
+                # fingerprint from the capped deque and silently lose
+                # near-dup recall
+                for pos, (sid, _sfp) in enumerate(seen):
+                    if sid == did:
+                        seen[pos] = (did, fp)
+                        break
+                else:
+                    seen.append((did, fp))
         state.update((";".join(f"{i}:{f}" for i, f in seen),))
         yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 

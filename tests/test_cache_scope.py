@@ -1,0 +1,84 @@
+"""Cache lifecycle: library operators persist multi-consumer
+intermediates, and a CacheScope releases them after the consuming
+action — a long-lived session driving operators in sequence must not
+accumulate cached blocks (round-2 verdict item #3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_curator_spark.engine.cache import CacheScope, cache_scope, persist_tracked
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_sequential_operators_leave_no_cached_blocks(spark):
+    """Two persist-using operators back-to-back on one session: storage
+    is empty after each scope closes."""
+    from data_curator_spark.operators.dedup import ngram_jaccard_verify
+    from data_curator_spark.operators.temporal import hypertable_rollup
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i % 3} epsilon zeta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 5)], "id_a long, id_b long"
+    )
+    with cache_scope():
+        out = ngram_jaccard_verify(docs, pairs, "doc_id", "text")
+        assert out.count() >= 0
+        assert _n_persisted(spark) >= 1  # the shingle cache is live inside
+    assert _n_persisted(spark) == 0
+
+    ev = spark.createDataFrame(
+        [(i % 4, 1_700_000_000 + i * 37, float(i)) for i in range(200)],
+        "k int, epoch long, v double",
+    ).select("k", F.timestamp_seconds(F.col("epoch")).alias("ts"), "v")
+    with cache_scope():
+        roll = hypertable_rollup(ev, "k", "ts", "v", [60, 300, 3600])
+        assert roll.count() > 0
+        assert _n_persisted(spark) >= 3  # one partial per level
+    assert _n_persisted(spark) == 0
+
+
+def test_scope_releases_on_error_and_without_scope_caller_owns(spark):
+    spark.catalog.clearCache()
+    df = spark.range(10)
+    try:
+        with cache_scope():
+            persist_tracked(df).count()
+            assert _n_persisted(spark) == 1
+            raise RuntimeError("consumer failed")
+    except RuntimeError:
+        pass
+    assert _n_persisted(spark) == 0  # released even on error
+
+    # no ambient scope -> historical behavior: persist stays until the
+    # caller releases (documented: caller owns the lifecycle)
+    d2 = persist_tracked(spark.range(5))
+    d2.count()
+    assert _n_persisted(spark) == 1
+    d2.unpersist(True)
+    assert _n_persisted(spark) == 0
+
+
+def test_explicit_scope_object_tracks_and_reports():
+    scope = CacheScope()
+
+    class _Fake:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self, blocking):
+            self.released = True
+
+    a, b = _Fake(), _Fake()
+    scope.track(a)
+    scope.track(b)
+    assert scope.unpersist_all() == 2
+    assert a.released and b.released
+    assert scope.unpersist_all() == 0  # idempotent

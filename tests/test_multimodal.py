@@ -120,3 +120,86 @@ def test_real_wav_decode(spark):
     assert row["feature"][0] == pytest.approx(want.mean())
     assert row["feature"][3] == pytest.approx(np.abs(want).max())
     assert row["feature"][5] == float(len(samples))
+
+
+def test_codec_present_uses_real_decode_not_raise(monkeypatch):
+    """Round-2 verdict 'wrong #1': with PIL/librosa INSTALLED the decode
+    branch used to raise NotImplementedError out of mapInPandas. Now a
+    present codec is the real path: monkeypatch minimal fake codecs into
+    sys.modules and assert the decoders route payloads through them."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+
+    from data_curator_spark.operators.multimodal import _decode_audio, _decode_image
+
+    want_img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+
+    class _FakeIm:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return want_img
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    calls = {}
+
+    def _open(buf):
+        assert isinstance(buf, io.BytesIO)
+        calls["image"] = buf.getvalue()
+        return _FakeIm()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.ModuleType("PIL.Image")
+    fake_pil.Image.open = _open
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+
+    payload = b"\x89PNG not-really-but-not-bmp"
+    got = _decode_image(payload, 8, 8)
+    assert calls["image"] == payload  # decoded THROUGH the codec
+    assert np.array_equal(got, want_img)  # codec result, not the 8x8 fake
+
+    # a codec decode FAILURE degrades to the deterministic fake
+    def _open_broken(buf):
+        raise OSError("cannot identify image file")
+
+    fake_pil.Image.open = _open_broken
+    got = _decode_image(payload, 8, 8)
+    assert got.shape == (8, 8, 3)  # fake fallback shape
+
+    want_wav = np.array([0.25, -0.5, 0.125], dtype=np.float32)
+
+    def _load(buf, sr=None, mono=True):
+        calls["audio"] = buf.getvalue()
+        return want_wav, sr or 22050
+
+    fake_librosa = types.ModuleType("librosa")
+    fake_librosa.load = _load
+    monkeypatch.setitem(sys.modules, "librosa", fake_librosa)
+
+    audio_payload = b"\xffOggS compressed-audio-ish"
+    got = _decode_audio(audio_payload, 16000)
+    assert calls["audio"] == audio_payload
+    assert np.array_equal(got, want_wav)
+
+    # real BMP still wins over the codec (native path first)
+    import struct
+
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    fake_pil.Image.open = _open  # would record if called
+    calls.pop("image")
+    got = _decode_image(bmp, 4, 4)
+    assert np.array_equal(got, px)
+    assert "image" not in calls  # PIL never consulted for native BMP

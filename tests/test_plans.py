@@ -87,3 +87,18 @@ def test_blocked_ngram_uses_cached_candidates(spark):
     recomputed shingle self-join per consumer."""
     plan = _plan(spark, "ngram_jaccard")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_lsh_ann_band_join_is_ids_only(spark):
+    """Round-2 verdict 'wrong #2': lsh_ann_topk used to carry full
+    vectors through the ×n_tables band-exploded self-join. Guard the
+    restructure: every plan node that outputs a band `bucket` attribute
+    must NOT also output an embedding/vector column — vectors re-attach
+    only after pair-dedup."""
+    plan = _plan(spark, "ann_lsh")
+    bucket_outputs = [
+        l for l in plan.splitlines() if "Output" in l and "bucket#" in l
+    ]
+    assert bucket_outputs, plan  # the banded structure must exist
+    for line in bucket_outputs:
+        assert "embedding" not in line and "__queryvec" not in line and "__neighborvec" not in line, line

@@ -179,3 +179,70 @@ def test_ivf_cells_partition_pruned_storage(spark, vectors, tmp_path):
     # inputFiles is pre-pruning on some versions; the PartitionFilters
     # assertion above is the load-bearing check
     assert probed.count() > 0
+
+
+def test_pandas_assigner_bit_matches_expression_path(spark, vectors):
+    """The broadcast-matrix pandas assigner (large-centroid path) must
+    produce IDENTICAL cell ids to the expression tree — same sequential
+    fold over dimensions, same first-min tie-break — or the trained
+    cascade and the oracle replica desynchronize."""
+    from pyspark.sql import functions as F
+
+    df, arr = vectors
+    cents = S.train_ivf_centroids_numpy(arr, n_centroids=8, iters=2, dim=16)
+    expr = df.select(
+        "vec_id", S._assign_expr(F.col("embedding"), cents).alias("cell")
+    ).collect()
+    udf = df.select(
+        "vec_id",
+        F.element_at(S._nearest_cells_udf(cents, 1)(F.col("embedding")), 1).alias("cell"),
+    ).collect()
+    assert {r["vec_id"]: r["cell"] for r in expr} == {
+        r["vec_id"]: r["cell"] for r in udf
+    }
+    # probe lists too: top-3 cells per vector, same order
+    dists = np.zeros((len(arr), len(cents)))
+    C = np.array(cents)
+    a = arr.astype(np.float64)
+    for j in range(C.shape[1]):
+        t = a[:, j, None] - C[None, :, j]
+        dists += t * t
+    want = np.argsort(dists, axis=1, kind="stable")[:, :3]
+    got = df.select(
+        "vec_id", S._nearest_cells_udf(cents, 3)(F.col("embedding")).alias("p")
+    ).collect()
+    for r in got:
+        assert list(r["p"]) == [int(x) for x in want[r["vec_id"]]]
+
+
+def test_ivf_256_centroids_reasonable(spark):
+    """VERDICT r2 #6 'done' criterion: training + assignment with 256
+    centroids completes sanely (the expression path would build a
+    256-fold Catalyst tree per row; the pandas path must kick in above
+    ASSIGN_EXPR_MAX_CENTROIDS)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assert 256 > S.ASSIGN_EXPR_MAX_CENTROIDS
+    cents = S.train_ivf_centroids(
+        emb, "embedding", n_centroids=256, iters=2, dim=64, seed=42, id_col="vec_id"
+    )
+    assert len(cents) == 256 and len(cents[0]) == 64
+    out = S.ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 3), emb, "vec_id", "embedding",
+        k=3, n_centroids=256, n_probe=8, iters=2,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(0 <= r["rank"] <= 3 for r in rows)
+    # oracle-replica parity holds at the large-centroid path too
+    import duckdb
+
+    arr = np.array(
+        [r[0] for r in duckdb.sql(
+            "SELECT embedding FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()],
+        dtype=np.float64,
+    )
+    cents_np = S.train_ivf_centroids_numpy(arr, n_centroids=256, iters=2, dim=64, seed=42)
+    assert cents == cents_np

@@ -66,3 +66,50 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
         assert pairs[(i, 100 + i)] <= 15
     # unrelated originals never pair with each other
     assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+def test_redelivered_doc_does_not_evict_distinct_state(spark, tmp_path):
+    """ADVICE r2: a re-delivered doc_id used to append to the capped
+    deque again, evicting DISTINCT fingerprints and losing recall. Now a
+    re-delivery replaces its own entry in place: with state_cap=3, three
+    duplicate deliveries of doc 2 must not push doc 1 out of the bucket,
+    so doc 3 (a near-dup of doc 1) still pairs with it."""
+    base, near = _docs()
+    t1, t2, t3 = base[0], near[0], " ".join(
+        [w if i != 40 else "CHANGEDZ" for i, w in enumerate(base[0].split())]
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(land / name))
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(land))
+        q = (
+            streaming_simhash_pairs(stream, "doc_id", "text", max_hamming=15, state_cap=3)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land_batch("b1.parquet", [(1, t1)])
+    drain()
+    # at-least-once upstream: doc 2 delivered three times in one batch
+    land_batch("b2.parquet", [(2, t2), (2, t2), (2, t2)])
+    drain()
+    land_batch("b3.parquet", [(3, t3)])
+    drain()
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out_dir).dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert (1, 3) in pairs, pairs  # doc 1 survived the duplicate deliveries
+    assert (2, 3) in pairs, pairs
