@@ -31,6 +31,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh",
     "ann_cosine_topk",
+    # temporal operators (added r3 per VERDICT #10 — perf-track them)
+    "interval_join",
+    "hypertable_rollup",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))
@@ -49,7 +52,7 @@ def main() -> None:
 
     # the sandbox host is shared and run-to-run noise reaches 4×; report
     # the min of REPS identical passes (standard noisy-host practice)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -109,6 +112,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "timing": "min_of_reps",
                 "pipeline_files_per_sec": round(n_files / pipe_sec, 1),
                 "pipeline_files": n_files,
                 "pipeline_kept": kept,

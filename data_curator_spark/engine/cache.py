@@ -75,6 +75,31 @@ def cache_scope() -> Iterator[CacheScope]:
         scope.unpersist_all()
 
 
+def persisted_rdd_ids(spark) -> set[int]:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks,
+    which DataFrame.unpersist cannot release)."""
+    out: set[int] = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def unpersist_rdd_ids(spark, ids: set[int], blocking: bool = False) -> int:
+    """Release persisted RDDs by id — the only handle Spark gives for a
+    superseded ``localCheckpoint`` (iterative algorithms checkpoint each
+    round to stop exponential plan growth; without this, every round's
+    block waits for the async ContextCleaner)."""
+    n = 0
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() in ids:
+            kv._2().unpersist(blocking)
+            n += 1
+    return n
+
+
 def persist_tracked(df: DataFrame) -> DataFrame:
     """``df.persist()`` that registers with the ambient CacheScope (if
     any). Library operators MUST use this instead of bare persist so

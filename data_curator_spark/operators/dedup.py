@@ -112,7 +112,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_ids(
-    signatures: DataFrame, id_col: str, k: int = 32, bands: int = 8
+    signatures: DataFrame,
+    id_col: str,
+    k: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature into ``bands`` buckets and self-join on
     (band_idx, band_key) — near-duplicate candidates collide in ≥1 band.
@@ -120,9 +124,19 @@ def lsh_candidate_ids(
 
     Scale shape: the band self-join carries ONLY (id, band, band_key) —
     ids and r×8B keys, never the full k-column signature (VERDICT r1
-    item #9); skewed buckets (boilerplate shingles) split under AQE skew
-    handling. Callers that only need the pair set (e.g. exact-verify
-    blocking) use this and skip the signature re-attach entirely.
+    item #9); moderately skewed buckets split under AQE skew handling.
+
+    ``max_bucket`` is the boilerplate-bucket guard: a template shared by
+    30% of a corpus puts all those docs in ONE (band, key) bucket, and
+    the self-join's output is quadratic in bucket size — AQE can split
+    the shuffle partition but cannot shrink the m² pair explosion
+    (measured: 90 identical docs in a 300-doc corpus → 4,005
+    boilerplate pairs from a single clique, tests/test_skew.py). With a
+    cap, buckets larger than ``max_bucket`` are dropped before the join:
+    exact duplicates are exact-hash dedup's job (dedup_exact), and a
+    >max_bucket near-dup clique still surfaces via its other, unskewed
+    bands. None (default) keeps the exhaustive semantics for
+    oracle-checked queries.
     """
     r = k // bands
     banded = signatures.select(
@@ -139,6 +153,16 @@ def lsh_candidate_ids(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.key")
+
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        banded = (
+            banded.join(
+                F.broadcast(sizes.filter(F.col("__n") > max_bucket)),
+                on=["band", "key"],
+                how="left_anti",
+            )
+        )
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -364,4 +388,90 @@ def simhash_near_pairs(
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERS from candidate pairs: assign every vertex the
+    minimum id reachable through the pair graph (its connected
+    component) — the step that turns pairwise near-dup hits into the
+    keep-one-per-cluster decision a training pipeline actually executes.
+
+    Output: (``id_col``, cluster_id, is_canonical) for EVERY vertex;
+    unpaired vertices are their own singleton cluster.
+
+    Iterative min-label propagation on Spark: each round joins current
+    labels across edges (both directions) and takes the per-vertex min;
+    convergence when the global label checksum stops changing (label
+    sums are strictly decreasing while any label shrinks, so the
+    checksum is a safe fixpoint detector — no row-wise diff join).
+    Rounds needed = graph diameter, which for near-dup clusters
+    (template cliques, chains of revisions) is small; ``max_iter`` is a
+    guard, and non-convergence raises rather than returning a partially
+    propagated labeling.
+
+    Scale notes: the edge table (near-dup PAIRS) is orders of magnitude
+    smaller than the corpus — every iteration shuffles only (id, label)
+    pairs on id. Each round is ``localCheckpoint(eager=True)``: without
+    lineage truncation the logical plan embeds the previous round TWICE
+    (union + join) and grows 2^N — measured as a driver heap OOM at 12
+    rounds even with persisted partials. Superseded rounds' checkpoint
+    blocks are released eagerly by RDD id (unpersist_rdd_ids) instead of
+    waiting on the async ContextCleaner; the RETURNED frame stays backed
+    by the final round's checkpoint until the caller drops it. Reference
+    analog: the reference dedups by exact PK only; clustering is
+    engine-added capability.
+    """
+    from data_curator_spark.engine.cache import persisted_rdd_ids, unpersist_rdd_ids
+
+    spark = vertices.sparkSession
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    edges = persist_tracked(edges)
+
+    before = persisted_rdd_ids(spark)
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    prev_ids = persisted_rdd_ids(spark) - before
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    converged = False
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            .select(F.col("dst").alias("id"), "label")
+        )
+        before = persisted_rdd_ids(spark)
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        new_ids = persisted_rdd_ids(spark) - before
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        unpersist_rdd_ids(spark, prev_ids)  # release round N-1 eagerly
+        prev_ids = new_ids
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(pathological pair graph? raise max_iter)"
+        )
+
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_canonical"),
     )

@@ -69,23 +69,29 @@ def interval_join(
     contained = (F.col(point_ts) >= F.col(start_col)) & (
         F.col(point_ts) <= F.col(end_col)
     )
-    matched = p.join(iv, on=[key, "__bin"], how="inner").filter(contained).drop("__bin")
     if how == "inner":
-        return matched
-    # left: one null row per point with NO containing interval — anti-join
-    # the matched points back against the input (null-safe equality so
-    # points with null attribute columns still pair up with themselves)
+        return p.join(iv, on=[key, "__bin"], how="inner").filter(contained).drop("__bin")
+    # left: one null row per point with NO containing interval. A
+    # surrogate point id makes the anti-join a single-column equi-join
+    # (and keeps duplicate input points distinct) — the previous
+    # all-columns eqNullSafe conjunction was correct but grew the join
+    # condition and the dedup with every attribute column
+    if "__pid" in points.columns or "__pid" in intervals.columns:
+        raise ValueError("'__pid' is reserved by interval_join — rename that column")
+    # persist: the pid'd points feed BOTH branches, and
+    # monotonically_increasing_id is only stable within one evaluation —
+    # recomputing it per branch over a shuffled upstream could hand the
+    # two branches different ids (use cache_scope() to bound the cache)
+    p = persist_tracked(p.withColumn("__pid", F.monotonically_increasing_id()))
+    matched = p.join(iv, on=[key, "__bin"], how="inner").filter(contained).drop("__bin")
     iv_cols = [c for c in intervals.columns if c != key]
-    mp = matched.select(*points.columns).dropDuplicates()
-    cond = None
-    for c in points.columns:
-        eq = points[c].eqNullSafe(mp[c])
-        cond = eq if cond is None else (cond & eq)
-    unmatched = points.join(mp, on=cond, how="left_anti").select(
+    matched_ids = matched.select("__pid").distinct()
+    unmatched = p.drop("__bin").join(matched_ids, on="__pid", how="left_anti").select(
         *[F.col(c) for c in points.columns],
+        F.col("__pid"),
         *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
     )
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__pid")
 
 
 def hypertable_rollup(

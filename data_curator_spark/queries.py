@@ -1181,6 +1181,58 @@ QUERIES["multimodal_features"] = q_multimodal_features
 ORACLES["multimodal_features"] = SQL_MULTIMODAL_FEATURES
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash/LSH pairs (est_jaccard ≥ 0.5,
+    same operating point as minhash_lsh) fed through iterative min-label
+    connected components (operators/dedup.py:connected_components) — one
+    (doc_id, cluster_id, is_canonical) row per document, singletons
+    included. This is the keep-one-per-cluster decision an LLM-corpus
+    dedup stage executes; the oracle is a DuckDB recursive-CTE
+    transitive closure over the identical portable-minhash pair set."""
+    from data_curator_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    sigs = persist_tracked(minhash_signatures(d, "doc_id", "text", k=32))
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return connected_components(d.select("doc_id"), pairs, "doc_id")
+
+
+def _dedup_clusters_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    est = " + ".join(f"CASE WHEN p.mh_{i} = q.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+WITH RECURSIVE {_minhash_sig_cte(k)}, pr AS (
+  SELECT id_a, id_b FROM (
+    SELECT p.doc_id AS id_a, q.doc_id AS id_b,
+           CAST({est} AS DOUBLE) / CAST('{float(k)!r}' AS DOUBLE) AS est_jaccard
+    FROM sig p JOIN sig q ON p.doc_id < q.doc_id
+    WHERE {_band_collision_sql(k, bands)}
+  ) WHERE est_jaccard >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id, MIN(dst) = src AS is_canonical
+FROM reach GROUP BY src
+"""
+
+
+SQL_DEDUP_CLUSTERS = _dedup_clusters_oracle_sql()
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
 # ---------------------------------------------------------------------------
 # §2.3 event-date expansion join / §2.6 sorts-limits-setops / §2.7 scalars
 # ---------------------------------------------------------------------------

@@ -125,3 +125,49 @@ def test_rolling_content_hash_containment(spark):
     assert set(rows[1]) <= set(rows[0])
     assert len(set(rows[1]) & set(rows[0])) == 2
     assert not set(rows[2]) & set(rows[0])
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Min-label propagation handles multi-hop chains (diameter > 1),
+    singletons, and cleans up its per-round caches inside a scope."""
+    from data_curator_spark.engine.cache import cache_scope
+    from data_curator_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    from data_curator_spark.engine.cache import persisted_rdd_ids, unpersist_rdd_ids
+
+    spark.catalog.clearCache()
+    with cache_scope():
+        out = connected_components(verts, pairs, "doc_id")
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()
+        }
+        # only the FINAL round's localCheckpoint is still held (by `out`);
+        # superseded rounds were released eagerly
+        live = persisted_rdd_ids(spark)
+        assert len(live) <= 2, live  # final checkpoint + scoped edges
+    # scope released the persist_tracked edges; drop the final checkpoint
+    unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (5, True), 10: (10, True), 11: (10, False),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-hop chain needs several propagation rounds; min-label must
+    still reach the far end (and the checksum fixpoint must not stop
+    early on a still-moving labeling)."""
+    from data_curator_spark.operators.dedup import connected_components
+
+    n = 13
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(verts, pairs, "doc_id").collect()}
+    assert got == {i: 0 for i in range(n)}
