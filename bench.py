@@ -34,6 +34,8 @@ HEADLINE = [
     # temporal operators (added r3 per VERDICT #10 — perf-track them)
     "interval_join",
     "hypertable_rollup",
+    # iterative connected-components clustering (added r3)
+    "dedup_clusters",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))
