@@ -36,6 +36,8 @@ HEADLINE = [
     "hypertable_rollup",
     # iterative connected-components clustering (added r3)
     "dedup_clusters",
+    # sessionization over the events stream (added r3)
+    "sessionize",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))

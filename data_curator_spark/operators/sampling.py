@@ -1,0 +1,59 @@
+"""Deterministic corpus sampling for training-data curation.
+
+Sampling at 10^12 files must be (a) reproducible across reruns and
+engines — a resumed job must pick the SAME sample, and an auditor must
+be able to re-derive it from the ids alone — and (b) stratifiable, so
+over-represented sources are downsampled without a shuffle. Both rule
+out ``df.sample`` (seeded per-partition RNG: the sample changes with
+partitioning) in favor of content-addressed hash gates, the same
+md5-prefix scheme the dedup operators use (engine-portable, so the
+DuckDB oracle reproduces the sample row-for-row).
+
+Reference analog: the reference has no sampling (it processes every
+configured identifier); this is engine-added for corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_curator_spark.operators.dedup import hex_prefix_long
+
+
+def sample_gate(id_col: Column, salt: str) -> Column:
+    """Uniform [0, 1000) hash gate on a row id: portable (md5-prefix),
+    independent of partitioning, and independent across salts — two
+    different salts give two independent samples."""
+    return (
+        hex_prefix_long(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string")), 8)
+        % 1000
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_permille: int, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~rate_permille/1000 of rows, deterministically by id. The
+    predicate is a pure scan-level filter — no shuffle, no state, prunes
+    at the source."""
+    return df.filter(sample_gate(F.col(id_col), salt) < rate_permille)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-rate (out-of-dict strata use ``default_permille``). The
+    rate map becomes a CASE expression — still a scan-level filter, so
+    downsampling a dominant source costs zero shuffle."""
+    gate = sample_gate(F.col(id_col), salt)
+    rate: Column = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
+    return df.filter(gate < rate)

@@ -20,7 +20,7 @@ level.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_curator_spark.engine.cache import persist_tracked
@@ -154,3 +154,50 @@ def hypertable_rollup(
             )
         )
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the same ``key`` exceeds ``gap``.
+    Returns one row per session: (key, session_idx, session_start,
+    session_end, n_events) plus a decimal-exact sum per ``agg_cols``
+    entry (out_name -> source column).
+
+    The gap test compares timestamps + INTERVAL directly (microsecond
+    precision in Spark and DuckDB alike) — never epoch-seconds, which
+    truncate and misclassify events that straddle a second boundary.
+
+    Scale shape: ONE shuffle on ``key`` serves both windows (lag + the
+    running new-session count — same partition key), then the session
+    groupBy re-uses that partitioning; AQE coalesces the output. The
+    reference has no session concept (single-identifier batches); this
+    is engine-added for event/telemetry curation.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, "__tie")
+    # a deterministic tie-break column makes the window total-ordered
+    # even when two events share a timestamp (hash of all columns)
+    df = events.withColumn("__tie", F.xxhash64(*[F.col(c) for c in events.columns]))
+    prev = F.lag(ts_col).over(w)
+    new_sess = (
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    df = df.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    for out, src in (agg_cols or {}).items():
+        aggs.append(
+            F.sum(F.col(src).cast("decimal(18,2)")).cast("double").alias(out)
+        )
+    return df.groupBy(key, "session_idx").agg(*aggs)

@@ -1775,3 +1775,125 @@ def get_oracles() -> dict[str, str]:
 
         print(f"ann_ivf oracle skipped ({sf_dir} unreadable): {e}", file=sys.stderr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r3 additions: sessionization, deterministic sampling, corpus profiling
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute gap):
+    one row per (user, session) with bounds, event count and a
+    decimal-exact value sum (operators/temporal.py:sessionize). One
+    shuffle serves the lag window, the running session counter AND the
+    session groupBy (same partition key)."""
+    from data_curator_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(
+        ev, "user_id", "ts", gap="30 minutes", agg_cols={"sum_value": "value"}
+    )
+    return out.select(
+        "user_id", "session_idx", "session_start", "session_end",
+        "n_events", "sum_value",
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling of the documents corpus:
+    per-source keep rates via a portable md5 hash gate
+    (operators/sampling.py) — reproducible across reruns, engines and
+    partitionings; pure scan-level filter (no shuffle)."""
+    from data_curator_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "doc_id", "source",
+        rates_permille={"web": 100, "wiki": 500}, default_permille=300,
+        salt="r3",
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _corpus_sample_oracle_sql() -> str:
+    from data_curator_spark.queries import _hex_long_sql  # self-import safe at call
+
+    gate = _hex_long_sql("md5('r3:' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, source, n_chars, ({gate}) % 1000 AS gate
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars FROM g
+WHERE gate < CASE source WHEN 'web' THEN 100 WHEN 'wiki' THEN 500 ELSE 300 END
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts, EXACT interpolated
+    length percentiles (F.percentile — parity with DuckDB quantile_cont
+    verified), and byte-exact avg via int-sum/count division. The
+    profiling pass every curation run starts with."""
+    d = _t(spark, sf_dir, "documents")
+    pcts = F.percentile("n_chars", [0.5, 0.9, 0.99])
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        pcts[0].alias("p50_chars"),
+        pcts[1].alias("p90_chars"),
+        pcts[2].alias("p99_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_CORPUS_PROFILE = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       quantile_cont(n_chars, 0.5)  AS p50_chars,
+       quantile_cont(n_chars, 0.9)  AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES.update(
+    {
+        "sessionize": q_sessionize,
+        "corpus_sample": q_corpus_sample,
+        "corpus_profile": q_corpus_profile,
+    }
+)
+ORACLES.update(
+    {
+        "sessionize": SQL_SESSIONIZE,
+        "corpus_sample": _corpus_sample_oracle_sql(),
+        "corpus_profile": SQL_CORPUS_PROFILE,
+    }
+)

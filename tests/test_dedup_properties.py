@@ -102,3 +102,52 @@ def test_minhash_estimate_tracks_true_jaccard():
     sa, sb = sig(a_set), sig(b_set)
     est = sum(x == y for x, y in zip(sa, sb)) / len(params)
     assert est == pytest.approx(true_j, abs=0.12)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    edges=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=60
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_connected_components_matches_union_find(spark, n, edges):
+    """Property: Spark min-label propagation == classic union-find on
+    random graphs (self-loops and out-of-range endpoints filtered like
+    the operator's own input contract: pairs reference known vertices)."""
+    from data_curator_spark.operators.dedup import connected_components
+
+    pairs = [(a, b) for a, b in edges if a != b and a < n and b < n]
+
+    # reference: union-find with path compression
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex in component
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min.setdefault(r, v if v < comp_min.get(r, n) else comp_min.get(r, n))
+        comp_min[r] = min(comp_min[r], v)
+    want = {v: comp_min[find(v)] for v in range(n)}
+
+    verts = spark.createDataFrame([(v,) for v in range(n)], "doc_id long")
+    pdf = (
+        spark.createDataFrame(pairs, "id_a long, id_b long")
+        if pairs
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(verts, pdf, "doc_id").collect()
+    }
+    assert got == want

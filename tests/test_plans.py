@@ -102,3 +102,20 @@ def test_lsh_ann_band_join_is_ids_only(spark):
     assert bucket_outputs, plan  # the banded structure must exist
     for line in bucket_outputs:
         assert "embedding" not in line and "__queryvec" not in line and "__neighborvec" not in line, line
+
+
+def test_sessionize_single_exchange(spark):
+    """sessionize: the lag window, the running session counter and the
+    session groupBy must all reuse ONE hash partitioning on the session
+    key — a second exchange means the window chain broke."""
+    import re
+
+    plan = _plan(spark, "sessionize")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_corpus_sample_is_scan_level_filter(spark):
+    """Deterministic sampling must push as a scan-level Filter with no
+    exchange — sampling 10^12 files cannot afford a shuffle."""
+    plan = _plan(spark, "corpus_sample")
+    assert "Exchange" not in plan

@@ -1,0 +1,56 @@
+"""Deterministic hash sampling: reproducible across partitionings and
+engines, per-stratum rates, salt independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_curator_spark.operators.sampling import hash_sample, stratified_sample
+
+
+def test_sample_invariant_under_partitioning(spark):
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 100).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(17), "doc_id", 100).collect()
+    }
+    assert a == b  # df.sample would fail this
+    assert 0.07 < len(a) / 5000 < 0.13  # ~10%
+
+
+def test_salts_give_independent_samples(spark):
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 200, salt="s1").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 200, salt="s2").collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.1 < overlap < 0.35  # ~rate of an independent 20% sample
+
+
+def test_stratified_rates(spark):
+    df = spark.range(9000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("wiki"), F.lit("books")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+    out = stratified_sample(
+        df, "doc_id", "source", {"web": 50, "wiki": 800}, default_permille=300
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.02 < counts["web"] / 3000 < 0.08
+    assert 0.75 < counts["wiki"] / 3000 < 0.85
+    assert 0.25 < counts["books"] / 3000 < 0.35
+
+
+def test_scan_level_filter_no_shuffle(spark, tmp_path):
+    """The sample predicate must stay a scan-level Filter — zero
+    exchanges in the plan."""
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "ids"))
+    src = spark.read.parquet(str(tmp_path / "ids"))
+    plan = hash_sample(src, "doc_id", 100)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan

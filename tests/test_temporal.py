@@ -184,3 +184,35 @@ def test_interval_join_randomized_equivalence(spark):
     left_nulls = {r["pid"] for r in left if r["iid"] is None}
     assert left_pairs == naive_inner
     assert left_nulls == {r["pid"] for r in points.collect()} - matched_pids
+
+
+def test_sessionize_gap_semantics(spark):
+    """Boundary semantics: gap EXACTLY equal to the threshold stays in
+    the session (strict >); a microsecond over splits; per-key
+    independence; decimal-exact sums."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        # user 1: e0, +30min exactly (same session), +30min+1us (split)
+        (1, base, 1.10),
+        (1, base + gap, 2.20),
+        (1, base + gap + gap + dt.timedelta(microseconds=1), 4.40),
+        # user 2: single event
+        (2, base, 8.80),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from data_curator_spark.operators.temporal import sessionize
+
+    out = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(
+            ev, "user_id", "ts", gap="30 minutes", agg_cols={"sum_value": "value"}
+        ).collect()
+    }
+    assert out == {
+        (1, 1): (2, 3.30),  # exact-boundary event stays
+        (1, 2): (1, 4.40),  # 1us past the gap splits
+        (2, 1): (1, 8.80),
+    }
