@@ -1,0 +1,64 @@
+"""Streaming sessionization via Spark's NATIVE session_window.
+
+The batch twin (operators/temporal.py:sessionize) materializes explicit
+per-key session indexes for the oracle-checked query; the streaming
+path uses the engine primitive built for exactly this —
+``F.session_window(ts, gap)`` under a watermark — so Catalyst owns the
+session-merge state machine (gap-merge, state store, late-data
+finalization) instead of a hand-rolled applyInPandasWithState.
+
+Semantics: a session extends while consecutive events per key arrive
+within ``gap``; the window closes (and, in append mode, EMITS exactly
+once) when the watermark passes session_end + gap. That single-emit
+contract is what a downstream manifest/metrics sink needs from a
+continuous event feed.
+
+Scale notes: state per key = the open sessions only; the watermark
+bounds both state size and result lateness. Shuffle = one hash
+partitioning on the session key (same as the batch plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sessions(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Event stream → one finalized row per (key, session): bounds,
+    event count, and (optionally) a decimal-exact value sum.
+
+    Works on batch frames too (session_window is a plain groupBy
+    expression) — tests pin batch/stream agreement on the same data."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_event"),
+        F.max(ts_col).alias("last_event"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value")
+        )
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("session"))
+        .agg(*aggs)
+        .select(
+            key,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )

@@ -1,0 +1,94 @@
+"""Native session_window streaming sessionization: sessions merge
+across micro-batches, finalize exactly once under the watermark, and
+the batch twin agrees with the stream on identical data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_curator_spark.streaming.sessions import streaming_sessions
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _rows():
+    m = dt.timedelta(minutes=1)
+    return [
+        # user 1: two sessions (40-min gap between event 2 and 3)
+        (1, BASE + 0 * m, 1.10),
+        (1, BASE + 10 * m, 2.20),
+        (1, BASE + 50 * m, 4.40),
+        # user 2: one session spanning the micro-batch split below
+        (2, BASE + 5 * m, 1.00),
+        (2, BASE + 25 * m, 2.00),
+    ]
+
+
+def test_stream_matches_batch_and_merges_across_microbatches(spark, tmp_path):
+    rows = _rows()
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land_batch(name, rs):
+        pdf = pd.DataFrame(rs, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.Series([r[1] for r in rs], dtype="datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(land / name))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(str(land))
+        q = (
+            streaming_sessions(
+                stream, "user_id", "ts", gap="30 minutes",
+                watermark="30 minutes", value_col="value",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: first halves of both users' activity
+    land_batch("b1.parquet", rows[:2] + rows[3:4])
+    drain()
+    # batch 2: the rest, plus a far-future event to advance the
+    # watermark past every session end + gap so they all finalize
+    closer = [(99, BASE + dt.timedelta(hours=6), 0.0)]
+    land_batch("b2.parquet", rows[2:3] + rows[4:5] + closer)
+    drain()
+    land_batch("b3.parquet", [(99, BASE + dt.timedelta(hours=12), 0.0)])
+    drain()
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != 99
+    }
+    m = dt.timedelta(minutes=1)
+    assert got[(1, BASE)] == (2, 3.30)          # session spans batch 1 only
+    assert got[(1, BASE + 50 * m)] == (1, 4.40)  # split by the 40-min gap
+    # user 2's session MERGED across micro-batches (events 20 min apart,
+    # delivered in different batches)
+    assert got[(2, BASE + 5 * m)] == (2, 3.00)
+    assert len(got) == 3
+
+    # batch twin on the same rows agrees (session_window is a plain
+    # groupBy expression in batch mode)
+    bdf = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in streaming_sessions(
+            bdf, "user_id", "ts", gap="30 minutes", value_col="value"
+        ).collect()
+    }
+    assert batch == got
