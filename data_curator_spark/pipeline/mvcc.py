@@ -1,0 +1,269 @@
+"""MVCC (snapshot) output layout for the quality-filter pipeline.
+
+The default runner (pipeline/runner.py) keeps ONE physical copy of each
+bucket via dynamic partition overwrite — cheap, idempotent, but
+history-less. This module is the Iceberg-faithful alternative: data
+files are IMMUTABLE (every run appends under its own ``run_id=``
+partition) and the manifest decides which (run_id, bucket) pairs a
+reader sees. That buys, exactly like Iceberg's metadata architecture:
+
+- **snapshot isolation**: a reader resolves its (run_id, bucket) set
+  from the manifest once; concurrent writers appending new run
+  partitions can never tear its view;
+- **time travel**: ``read_snapshot`` replays the manifest as of any
+  recorded snapshot — old bucket versions are still on disk;
+- **crash consistency without overwrite**: a run that died between
+  write and manifest commit leaves an unreferenced ``run_id=``
+  directory; readers never see it, and ``vacuum`` deletes it (Iceberg's
+  orphan-file cleanup analog);
+- **backfill/repair**: ``reprocess_buckets`` re-runs chosen buckets
+  under a new run_id — the manifest flips those buckets to the new
+  version atomically-per-bucket, and the old version stays readable
+  through earlier snapshots.
+
+Scale notes: the reader's (run_id, bucket) selection is collected from
+the manifest (≤ n_buckets rows) and compiled into a partition-literal
+predicate, so the scan PRUNES to exactly the selected directories — no
+join against the data, no full listing of dead versions. Storage grows
+with history until vacuum/expiry, the same trade Iceberg makes.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from data_curator_spark.pipeline.runner import (
+    OUTPUT_COLS,
+    _entries_path,
+    _latest_manifest_rows,
+    _snapshots_path,
+    completed_buckets,
+    latest_snapshot_id,
+    with_bucket,
+)
+from data_curator_spark.pipeline.stages import run_stages
+
+
+def _selection_predicate(pairs: list[tuple[str, int]]):
+    """(run_id, bucket) pairs → a partition-literal predicate Spark can
+    prune directories with. Grouped per run_id so the expression is
+    O(#runs) clauses, not O(#buckets)."""
+    by_run: dict[str, list[int]] = {}
+    for run_id, bucket in pairs:
+        by_run.setdefault(run_id, []).append(bucket)
+    pred = F.lit(False)
+    for run_id, buckets in sorted(by_run.items()):
+        pred = pred | (
+            (F.col("run_id") == run_id) & F.col("bucket").isin(sorted(buckets))
+        )
+    return pred
+
+
+def _current_pairs(spark: SparkSession, manifest_path: str) -> list[tuple[str, int]]:
+    rows = _latest_manifest_rows(spark, manifest_path).select("run_id", "bucket").collect()
+    return [(r["run_id"], int(r["bucket"])) for r in rows]
+
+
+def read_current(spark: SparkSession, output_path: str, manifest_path: str) -> DataFrame:
+    """The table's CURRENT state: latest committed version of every
+    bucket, resolved from the manifest, partition-pruned scan."""
+    pairs = _current_pairs(spark, manifest_path)
+    df = spark.read.parquet(output_path)
+    return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
+
+
+def read_snapshot(
+    spark: SparkSession, output_path: str, manifest_path: str, snapshot_id: str
+) -> DataFrame:
+    """Time travel: the table as of ``snapshot_id`` — entries committed
+    after that snapshot are invisible, so buckets rewritten since then
+    resolve to the version the snapshot saw."""
+    snaps = spark.read.parquet(_snapshots_path(manifest_path))
+    snap = snaps.filter(F.col("snapshot_id") == snapshot_id).collect()
+    if not snap:
+        raise ValueError(f"unknown snapshot_id {snapshot_id!r}")
+    cutoff = snap[0]["committed_at"]
+    m = (
+        spark.read.parquet(_entries_path(manifest_path))
+        .filter((F.col("status") == "done") & (F.col("committed_at") <= cutoff))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.desc("committed_at"), F.desc("run_id"))
+    rows = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("run_id", "bucket")
+        .collect()
+    )
+    pairs = [(r["run_id"], int(r["bucket"])) for r in rows]
+    df = spark.read.parquet(output_path)
+    return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
+
+
+def vacuum(spark: SparkSession, output_path: str, manifest_path: str) -> list[str]:
+    """Delete run partitions no manifest entry references (crashed runs
+    that wrote data but never committed — Iceberg orphan-file cleanup).
+    Returns the removed run_ids. Local-filesystem implementation; on an
+    object store this is a driver-side listing + batched deletes."""
+    import os
+
+    try:
+        referenced = {
+            r["run_id"]
+            for r in spark.read.parquet(_entries_path(manifest_path))
+            .select("run_id")
+            .distinct()
+            .collect()
+        }
+    except Exception:  # noqa: BLE001 — no manifest yet: everything is orphan-free
+        referenced = set()
+    removed: list[str] = []
+    root = output_path[len("file:"):] if output_path.startswith("file:") else output_path
+    if not os.path.isdir(root):
+        return removed
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("run_id="):
+            continue
+        run_id = name.split("=", 1)[1]
+        if run_id not in referenced:
+            shutil.rmtree(os.path.join(root, name))
+            removed.append(run_id)
+    return removed
+
+
+def run_pipeline_mvcc(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    manifest_path: str,
+    n_buckets: int = 64,
+    fail_buckets: set[int] | None = None,
+    reprocess_buckets: set[int] | None = None,
+    crash_before_commit: bool = False,
+) -> dict:
+    """Run/resume the pipeline with the MVCC layout.
+
+    ``reprocess_buckets`` forces a backfill of already-committed buckets
+    under this run's id (their old versions stay time-travelable).
+    ``crash_before_commit`` (tests) raises after the data write but
+    before the manifest commit — the run directory becomes an orphan
+    that readers never see and ``vacuum`` removes.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    raw = with_bucket(spark.read.parquet(input_path), n_buckets)
+    parent_snapshot = latest_snapshot_id(spark, manifest_path)
+    done = set(completed_buckets(spark, manifest_path))
+    redo = set(reprocess_buckets or ())
+    skip = (done - redo) | set(fail_buckets or ())
+    todo = raw.filter(~F.col("bucket").isin(list(skip))) if skip else raw
+
+    result = run_stages(todo, spark).select("bucket", *OUTPUT_COLS)
+    observation = Observation(f"lineage_{run_id}")
+    result = result.observe(
+        observation,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
+    )
+    # IMMUTABLE write: append under this run's partition — never touches
+    # other runs' files, so no overwrite mode gymnastics and no torn
+    # reads for concurrent manifest-resolved readers
+    (
+        result.withColumn("run_id", F.lit(run_id))
+        .sortWithinPartitions("bucket", "repo", "path")
+        .write.partitionBy("run_id", "bucket")
+        .mode("append")
+        .parquet(output_path)
+    )
+
+    if crash_before_commit:
+        raise RuntimeError(f"injected crash after write, before commit (run {run_id})")
+
+    new_buckets = sorted(
+        (set(range(n_buckets)) - skip) if skip else set(range(n_buckets))
+    )
+    written_new = spark.read.parquet(output_path).filter(
+        (F.col("run_id") == run_id) & F.col("bucket").isin(new_buckets)
+    )
+    agg_rows = written_new.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+        F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
+    ).collect()
+    by_bucket = {int(r["bucket"]): r for r in agg_rows}
+
+    observed = observation.get
+    for field in ("rows", "kept", "scrubbed"):
+        total = sum(int(r[field] or 0) for r in agg_rows)
+        if total != int(observed[field] or 0):
+            raise RuntimeError(
+                f"lineage integrity: written output disagrees with the write-pass "
+                f"observation on '{field}' ({total} vs {observed[field]}) "
+                f"— refusing to commit manifest entries for run {run_id}"
+            )
+
+    now = time.time()
+    metrics = spark.createDataFrame(
+        [
+            (
+                run_id,
+                int(b),
+                int(by_bucket[b]["rows"]) if b in by_bucket else 0,
+                int(by_bucket[b]["kept"] or 0) if b in by_bucket else 0,
+                int(by_bucket[b]["dropped"] or 0) if b in by_bucket else 0,
+                int(by_bucket[b]["scrubbed"] or 0) if b in by_bucket else 0,
+                "done",
+                float(now - t0),
+                float(now),
+            )
+            for b in new_buckets
+        ],
+        "run_id string, bucket bigint, rows long, kept long, dropped long, "
+        "scrubbed long, status string, elapsed_sec double, committed_at double",
+    )
+    metrics.write.mode("append").parquet(_entries_path(manifest_path))
+
+    totals = (
+        _latest_manifest_rows(spark, manifest_path)
+        .agg(F.sum("rows").alias("rows"), F.sum("kept").alias("kept"))
+        .collect()[0]
+    )
+    operation = "append" if not done else ("backfill" if redo else "append-resume")
+    snapshot = spark.createDataFrame(
+        [
+            (
+                run_id,
+                parent_snapshot,
+                operation,
+                len(new_buckets),
+                len(skip),
+                int(totals["rows"] or 0),
+                int(totals["kept"] or 0),
+                float(time.time()),
+            )
+        ],
+        "snapshot_id string, parent_snapshot_id string, operation string, "
+        "buckets_processed int, buckets_skipped int, rows_total long, "
+        "rows_kept long, committed_at double",
+    )
+    snapshot.write.mode("append").parquet(_snapshots_path(manifest_path))
+
+    return {
+        "run_id": run_id,
+        "snapshot_id": run_id,
+        "operation": operation,
+        "buckets_processed": len(new_buckets),
+        "buckets_skipped": len(skip),
+        "rows_total": int(totals["rows"] or 0),
+        "rows_kept": int(totals["kept"] or 0),
+        "elapsed_sec": time.time() - t0,
+    }

@@ -1,0 +1,142 @@
+"""MVCC output layout: snapshot isolation, time travel, backfill,
+orphan vacuum — the Iceberg-metadata behaviors on immutable parquet +
+the manifest tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.pipeline.corpus import write_corpus_parquet
+from data_curator_spark.pipeline.mvcc import (
+    read_current,
+    read_snapshot,
+    run_pipeline_mvcc,
+    vacuum,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("mvcc") / "corpus.parquet")
+    write_corpus_parquet(p, 300, seed=7)
+    return p
+
+
+def _sha_set(df):
+    return {r["sha256_original"] for r in df.select("sha256_original").collect()}
+
+
+def test_resume_backfill_time_travel_and_vacuum(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+
+    # run 1: crash after 2 of 4 buckets
+    r1 = run_pipeline_mvcc(
+        spark, corpus, out, man, n_buckets=4, fail_buckets={2, 3}
+    )
+    assert r1["buckets_processed"] == 2
+    cur1 = read_current(spark, out, man)
+    n1 = cur1.count()
+    assert n1 > 0
+
+    # run 2: resume completes the remaining buckets
+    r2 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4)
+    assert r2["operation"] == "append-resume"
+    cur2 = read_current(spark, out, man)
+    assert cur2.count() > n1
+    assert cur2.select("bucket").distinct().count() == 4
+    # every row resolves to exactly one (run, bucket) version: no dupes
+    assert (
+        cur2.groupBy("repo", "path").count().filter("count > 1").count() == 0
+    )
+
+    # snapshot isolation / time travel: run-2's snapshot sees 4 buckets;
+    # run-1's snapshot still sees only its 2
+    snap1 = read_snapshot(spark, out, man, r1["snapshot_id"])
+    assert set(
+        r["bucket"] for r in snap1.select("bucket").distinct().collect()
+    ) == set(
+        r["bucket"] for r in cur1.select("bucket").distinct().collect()
+    )
+    assert snap1.count() == n1
+
+    # run 3: BACKFILL bucket 0 under a new run id
+    r3 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4, reprocess_buckets={0})
+    assert r3["operation"] == "backfill"
+    cur3 = read_current(spark, out, man)
+    # same logical content (the pipeline is deterministic)…
+    assert _sha_set(cur3) == _sha_set(cur2)
+    assert cur3.groupBy("repo", "path").count().filter("count > 1").count() == 0
+    # …but bucket 0 now resolves to run 3's files, while time travel to
+    # run 2's snapshot still resolves it to the old version
+    b0_run = {
+        r["run_id"]
+        for r in cur3.filter("bucket = 0").select("run_id").distinct().collect()
+    }
+    assert b0_run == {r3["run_id"]}
+    old_b0_run = {
+        r["run_id"]
+        for r in read_snapshot(spark, out, man, r2["snapshot_id"])
+        .filter("bucket = 0").select("run_id").distinct().collect()
+    }
+    assert r3["run_id"] not in old_b0_run
+
+    # crash AFTER write, BEFORE commit: readers never see the orphan,
+    # vacuum removes exactly that run directory
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_pipeline_mvcc(
+            spark, corpus, out, man, n_buckets=4,
+            reprocess_buckets={1}, crash_before_commit=True,
+        )
+    orphan_dirs = {
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("run_id=")
+    } - {r1["run_id"], r2["run_id"], r3["run_id"]}
+    assert len(orphan_dirs) == 1  # the crashed run's files are on disk…
+    assert _sha_set(read_current(spark, out, man)) == _sha_set(cur3)  # …invisible
+    removed = vacuum(spark, out, man)
+    assert removed == sorted(orphan_dirs)
+    assert not any(
+        d == f"run_id={next(iter(orphan_dirs))}" for d in os.listdir(out)
+    )
+    # vacuum never touches referenced runs
+    assert _sha_set(read_current(spark, out, man)) == _sha_set(cur3)
+
+
+def test_mvcc_matches_overwrite_runner_content(spark, corpus, tmp_path):
+    """Both layouts must express the same logical table."""
+    from data_curator_spark.pipeline.runner import run_pipeline
+
+    out_a = str(tmp_path / "a_out"); man_a = str(tmp_path / "a_man")
+    out_b = str(tmp_path / "b_out"); man_b = str(tmp_path / "b_man")
+    run_pipeline(spark, corpus, out_a, man_a, n_buckets=4)
+    run_pipeline_mvcc(spark, corpus, out_b, man_b, n_buckets=4)
+    a = spark.read.parquet(out_a)
+    b = read_current(spark, out_b, man_b)
+    cols = [c for c in a.columns if c != "bucket"]
+    ha = a.select(*cols).exceptAll(b.select(*cols)).count()
+    hb = b.select(*cols).exceptAll(a.select(*cols)).count()
+    assert ha == 0 and hb == 0
+
+
+def test_selection_scan_prunes_partitions(spark, corpus, tmp_path):
+    """The manifest-resolved read must show partition filters on
+    run_id/bucket in the scan (directory pruning, not a post-scan
+    filter over every historical version)."""
+    out = str(tmp_path / "out"); man = str(tmp_path / "man")
+    run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4)
+    run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4, reprocess_buckets={0, 1})
+    cur = read_current(spark, out, man)
+    plan = cur._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    # the partition filter actually references the partition columns
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.+?)\]", plan)
+    assert m and "run_id" in m.group(1) and "bucket" in m.group(1), plan
