@@ -26,6 +26,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--manifest", required=True)
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument(
+        "--layout", choices=["overwrite", "mvcc"], default="overwrite",
+        help="overwrite = one physical copy per bucket (default); "
+        "mvcc = immutable run partitions with time travel + vacuum",
+    )
+    p.add_argument(
+        "--reprocess", type=int, nargs="*", default=None,
+        help="(mvcc) backfill these bucket ids under a new run",
+    )
+
+    s = sub.add_parser("snapshots", help="list the manifest snapshot chain")
+    s.add_argument("--manifest", required=True)
+
+    t = sub.add_parser("travel", help="(mvcc) export the table as of a snapshot")
+    t.add_argument("--output", required=True)
+    t.add_argument("--manifest", required=True)
+    t.add_argument("--snapshot", required=True)
+    t.add_argument("--to", required=True, help="parquet path for the exported state")
+
+    v = sub.add_parser("vacuum", help="(mvcc) delete unreferenced run partitions")
+    v.add_argument("--output", required=True)
+    v.add_argument("--manifest", required=True)
 
     c = sub.add_parser("corpus", help="write a deterministic synthetic corpus")
     c.add_argument("--output", required=True)
@@ -46,14 +68,55 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "pipeline":
-        from data_curator_spark.pipeline.runner import run_pipeline
         from data_curator_spark.session import build_session
 
         spark = build_session("quality-filter-pipeline")
-        stats = run_pipeline(
-            spark, args.input, args.output, args.manifest, n_buckets=args.buckets
-        )
+        if args.layout == "mvcc":
+            from data_curator_spark.pipeline.mvcc import run_pipeline_mvcc
+
+            stats = run_pipeline_mvcc(
+                spark, args.input, args.output, args.manifest,
+                n_buckets=args.buckets,
+                reprocess_buckets=set(args.reprocess) if args.reprocess else None,
+            )
+        else:
+            from data_curator_spark.pipeline.runner import run_pipeline
+
+            stats = run_pipeline(
+                spark, args.input, args.output, args.manifest, n_buckets=args.buckets
+            )
         print(json.dumps(stats))
+        spark.stop()
+        return 0
+
+    if args.cmd == "snapshots":
+        from data_curator_spark.pipeline.runner import snapshot_lineage
+        from data_curator_spark.session import build_session
+
+        spark = build_session("snapshots")
+        for r in snapshot_lineage(spark, args.manifest).orderBy("committed_at").collect():
+            print(json.dumps(r.asDict()))
+        spark.stop()
+        return 0
+
+    if args.cmd == "travel":
+        from data_curator_spark.pipeline.mvcc import read_snapshot
+        from data_curator_spark.session import build_session
+
+        spark = build_session("travel")
+        df = read_snapshot(spark, args.output, args.manifest, args.snapshot)
+        df.write.mode("overwrite").parquet(args.to)
+        print(json.dumps({"snapshot": args.snapshot, "rows": spark.read.parquet(args.to).count(), "to": args.to}))
+        spark.stop()
+        return 0
+
+    if args.cmd == "vacuum":
+        from data_curator_spark.pipeline.mvcc import vacuum
+        from data_curator_spark.session import build_session
+
+        spark = build_session("vacuum")
+        removed = vacuum(spark, args.output, args.manifest)
+        print(json.dumps({"removed_runs": removed}))
         spark.stop()
         return 0
 

@@ -13,6 +13,17 @@ Scoring is fully numpy-vectorized over whole Arrow batches: documents
 are concatenated into one code-point array, n-gram hash buckets computed
 with strided arithmetic, and per-document scores accumulated with
 ``np.add.at`` — zero per-row Python (north_rule).
+
+Why these models are NOT import-gated on real fasttext/kenlm (unlike
+the multimodal codecs, which do prefer PIL/librosa when present): the
+correctness contract is keep/drop F1 ≥ 0.99 against the reference
+labeler, and the labeler is defined over THESE model scores — swapping
+in an external model when one happens to be installed would silently
+change labels and break the gate's meaning. The deployment path for a
+real fastText/KenLM artifact is the same shape (broadcast weights, one
+vectorized pandas UDF, gate inside the UDF): load the artifact into
+``LangIdModel.weights``-style arrays and retrain the labeler contract
+against it deliberately, not via import luck.
 """
 
 from __future__ import annotations

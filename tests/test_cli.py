@@ -65,3 +65,49 @@ def test_driver_contract_alignment():
     assert set(oracles) == set(qs), sorted(set(qs) ^ set(oracles))
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_cli_mvcc_layout_snapshots_travel_vacuum(tmp_path):
+    """End-to-end mvcc CLI: run -> backfill -> snapshots -> travel -> vacuum."""
+    import json
+    import subprocess
+    import sys
+
+    corpus = str(tmp_path / "c.parquet")
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "data_curator_spark", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout.strip().splitlines()
+
+    run("corpus", "--output", corpus, "--files", "200")
+    line1 = json.loads(run(
+        "pipeline", "--input", corpus, "--output", out, "--manifest", man,
+        "--buckets", "4", "--layout", "mvcc",
+    )[-1])
+    assert line1["buckets_processed"] == 4
+    line2 = json.loads(run(
+        "pipeline", "--input", corpus, "--output", out, "--manifest", man,
+        "--buckets", "4", "--layout", "mvcc", "--reprocess", "0",
+    )[-1])
+    assert line2["operation"] == "backfill"
+
+    snaps = [json.loads(l) for l in run("snapshots", "--manifest", man) if l.startswith("{")]
+    assert len(snaps) == 2
+    assert snaps[1]["parent_snapshot_id"] == snaps[0]["snapshot_id"]
+
+    exported = str(tmp_path / "asof1.parquet")
+    travel = json.loads([l for l in run(
+        "travel", "--output", out, "--manifest", man,
+        "--snapshot", snaps[0]["snapshot_id"], "--to", exported,
+    ) if l.startswith("{")][-1])
+    assert travel["rows"] == line1["rows_total"]
+
+    vac = json.loads([l for l in run("vacuum", "--output", out, "--manifest", man) if l.startswith("{")][-1])
+    assert vac["removed_runs"] == []  # no crashes -> nothing to remove
