@@ -441,12 +441,20 @@ def connected_components(
     )
     edges = persist_tracked(edges)
 
-    before = persisted_rdd_ids(spark)
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
-    prev_ids = persisted_rdd_ids(spark) - before
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    identity = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    if edges.isEmpty():  # all-singleton corpus: no propagation needed
+        return identity.select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    # round 0 needs no checkpoint (the identity plan is flat — lineage
+    # growth only starts once rounds nest) and no checksum job: with at
+    # least one edge, round 1 always shrinks some label, so the first
+    # comparison happens between rounds 1 and 2
+    labels = identity
+    prev_ids: set[int] = set()
+    prev_sum = None
 
     converged = False
     for it in range(max_iter):
@@ -483,7 +491,7 @@ def connected_components(
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         unpersist_rdd_ids(spark, prev_ids | step_ids)  # release round N-1 + the step temp
         prev_ids = new_ids
-        if cur_sum == prev_sum:
+        if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum

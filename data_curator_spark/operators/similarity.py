@@ -80,7 +80,7 @@ def plane_tables(
 ) -> list[list[list[float]]]:
     """THE seeded hyperplane matrix — single source of truth shared by
     lsh_ann_topk, embedding_near_dup_pairs AND the DuckDB oracle
-    generators (queries._bucket_exprs_sql): the rng draw order here IS
+    generators (queries._bucket_cte_sql): the rng draw order here IS
     the contract; changing it in one consumer would silently desynchronize
     Spark buckets from oracle buckets."""
     import numpy as np

@@ -981,29 +981,47 @@ def _plane_tables(n_planes: int, n_tables: int, dim: int, seed: int) -> list:
     return plane_tables(n_planes, n_tables, dim, seed)
 
 
-def _bucket_exprs_sql(tables: list, dim: int, col: str = "embedding") -> tuple[str, str]:
-    """(bucket column definitions 'expr AS b{t}', OR-of-tables predicate
-    between aliases q and c) for a seeded hyperplane table set."""
+def _bucket_cte_sql(tables: list, dim: int, src: str = "u") -> tuple[str, str]:
+    """(CTE fragment computing per-vector hyperplane bucket signatures,
+    OR-of-tables predicate between aliases q and c).
 
-    def plane_lit(p: list[float]) -> str:
-        # string-element list cast: bare 17-digit literals parse as
-        # DECIMAL(18,17) whose DOUBLE conversion is 1 ulp off (verified);
-        # VARCHAR→DOUBLE casts round-trip repr exactly
-        return "CAST(['" + "', '".join(repr(x) for x in p) + "'] AS DOUBLE[])"
+    The fragment defines ``planes(t, i, w)`` as a VALUES table and
+    ``bsig(vec_id, b0..b{T-1})`` via one cross join + groupBy — NOT an
+    inline per-row literal-array expression: DuckDB reconstructs an
+    inline CAST([...] AS DOUBLE[]) literal for every row×plane
+    evaluation, measured 38s for 510 rows × 72 planes vs 0.1s for this
+    form (identical bits: the per-dot list_sum/list_transform is
+    unchanged, only how the plane vector is bound differs).
 
-    def bucket_expr(t: int) -> str:
-        bits = []
-        for i, p in enumerate(tables[t]):
-            dot = (
-                f"list_sum(list_transform(range(1, {dim}+1), j -> "
-                f"CAST({col}[j] AS DOUBLE) * ({plane_lit(p)})[j]))"
-            )
-            bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
-        return "(" + "\n     + ".join(bits) + ")"
-
-    buckets = ",\n  ".join(f"{bucket_expr(t)} AS b{t}" for t in range(len(tables)))
+    String-element list casts: bare 17-digit literals parse as
+    DECIMAL(18,17) whose DOUBLE conversion is 1 ulp off (verified);
+    VARCHAR→DOUBLE casts round-trip repr exactly.
+    ``src`` must provide (vec_id, embedding)."""
+    vals = ",\n    ".join(
+        "({}, {}, CAST(['{}'] AS DOUBLE[]))".format(
+            t, i, "', '".join(repr(x) for x in p)
+        )
+        for t, planes in enumerate(tables)
+        for i, p in enumerate(planes)
+    )
+    btabs = ",\n         ".join(
+        f"SUM(CASE WHEN t = {t} AND d >= 0 THEN (1 << i) ELSE 0 END) AS b{t}"
+        for t in range(len(tables))
+    )
+    cte = f"""planes(t, i, w) AS (
+  VALUES
+    {vals}
+), dots AS (
+  SELECT s.vec_id, p.t, p.i,
+    list_sum(list_transform(range(1, {dim}+1), j -> CAST(s.embedding[j] AS DOUBLE) * p.w[j])) AS d
+  FROM {src} s CROSS JOIN planes p
+), bsig AS (
+  SELECT vec_id,
+         {btabs}
+  FROM dots GROUP BY vec_id
+)"""
     or_pred = " OR ".join(f"q.b{t} = c.b{t}" for t in range(len(tables)))
-    return buckets, or_pred
+    return cte, or_pred
 
 
 def _ann_lsh_oracle_sql(
@@ -1018,13 +1036,14 @@ def _ann_lsh_oracle_sql(
     SAME seeded plane matrix as the Spark operator, OR-of-tables candidate
     join, exact cosine re-rank rounded to 6."""
     tables = _plane_tables(n_planes, n_tables, dim, seed)
-    buckets, or_pred = _bucket_exprs_sql(tables, dim)
+    bucket_cte, or_pred = _bucket_cte_sql(tables, dim, src="u")
     cos = _COS_SQL.format(dim=dim, q="q.embedding", c="c.embedding")
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding,
-  {buckets}
-  FROM embeddings
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+), {bucket_cte}, b AS MATERIALIZED (
+  SELECT u.vec_id, u.embedding, {', '.join(f'bsig.b{t}' for t in range(n_tables))}
+  FROM u JOIN bsig USING (vec_id)
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     {cos} AS sim
@@ -1083,8 +1102,15 @@ def _embedding_near_dup_oracle_sql(
     seed: int = 7,
 ) -> str:
     tables = _plane_tables(n_planes, n_tables, dim, seed)
-    buckets, or_pred = _bucket_exprs_sql(tables, dim)
-    cos = _COS_SQL.format(dim=dim, q="q.embedding", c="c.embedding")
+    bucket_cte, _or_pred = _bucket_cte_sql(tables, dim, src="u")
+    cos = _COS_SQL.format(dim=dim, q="qa.embedding", c="qb.embedding")
+    # candidate generation as a hash EQUI-join over exploded (table,
+    # bucket) keys — the OR-of-tables predicate forces DuckDB into a
+    # nested loop; the result set is identical (OR over tables ==
+    # exists a shared key)
+    exploded = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tb, b{t} AS bk FROM b" for t in range(n_tables)
+    )
     return f"""
 WITH u AS (
   SELECT vec_id, embedding FROM embeddings
@@ -1094,15 +1120,20 @@ WITH u AS (
            j -> CASE WHEN j = 1 THEN CAST(embedding[j] + CAST('0.1' AS FLOAT) AS FLOAT)
                      ELSE embedding[j] END)
   FROM embeddings WHERE vec_id % 50 = 0
-), b AS (
-  SELECT vec_id, embedding,
-  {buckets}
-  FROM u
+), {bucket_cte}, b AS MATERIALIZED (
+  SELECT u.vec_id, u.embedding, {', '.join(f'bsig.b{t}' for t in range(n_tables))}
+  FROM u JOIN bsig USING (vec_id)
+), bk AS (
+{exploded}
+), pairs AS (
+  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+  FROM bk q JOIN bk c ON q.tb = c.tb AND q.bk = c.bk AND q.vec_id < c.vec_id
 )
 SELECT id_a, id_b, sim FROM (
-  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
-    {cos} AS sim
-  FROM b q JOIN b c ON q.vec_id < c.vec_id AND ({or_pred})
+  SELECT p.id_a, p.id_b, {cos} AS sim
+  FROM pairs p
+  JOIN b qa ON qa.vec_id = p.id_a
+  JOIN b qb ON qb.vec_id = p.id_b
 )
 WHERE sim >= {threshold}
 """
@@ -1698,7 +1729,7 @@ def _ann_ivf_oracle_sql(
     con.close()
     arr = np.array([r[0] for r in rows], dtype=np.float64)
     cents = train_ivf_centroids_numpy(arr, n_centroids, iters, dim, seed)
-    # string-element list cast — see _bucket_exprs_sql.plane_lit (the
+    # string-element list cast — see _bucket_cte_sql string-cast plane values (the
     # 6-decimal centroids are DECIMAL-safe today, but keep one convention)
     vals = ",\n    ".join(
         "({}, CAST(['{}'] AS DOUBLE[]))".format(i, "', '".join(repr(float(x)) for x in c))

@@ -14,13 +14,23 @@ def _n_persisted(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _reset_storage(spark) -> None:
+    """These tests assert absolute persisted-block counts; drop anything
+    a previously-run test (e.g. a localCheckpoint-based operator) left
+    behind so ordering cannot flake them."""
+    from data_curator_spark.engine.cache import persisted_rdd_ids, unpersist_rdd_ids
+
+    spark.catalog.clearCache()
+    unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
+
+
 def test_sequential_operators_leave_no_cached_blocks(spark):
     """Two persist-using operators back-to-back on one session: storage
     is empty after each scope closes."""
     from data_curator_spark.operators.dedup import ngram_jaccard_verify
     from data_curator_spark.operators.temporal import hypertable_rollup
 
-    spark.catalog.clearCache()
+    _reset_storage(spark)
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta token{i % 3} epsilon zeta") for i in range(40)],
         "doc_id long, text string",
@@ -46,7 +56,7 @@ def test_sequential_operators_leave_no_cached_blocks(spark):
 
 
 def test_scope_releases_on_error_and_without_scope_caller_owns(spark):
-    spark.catalog.clearCache()
+    _reset_storage(spark)
     df = spark.range(10)
     try:
         with cache_scope():

@@ -140,6 +140,7 @@ def test_connected_components_chains_and_singletons(spark):
     from data_curator_spark.engine.cache import persisted_rdd_ids, unpersist_rdd_ids
 
     spark.catalog.clearCache()
+    unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
     with cache_scope():
         out = connected_components(verts, pairs, "doc_id")
         got = {
@@ -164,10 +165,21 @@ def test_connected_components_long_chain_converges(spark):
     early on a still-moving labeling)."""
     from data_curator_spark.operators.dedup import connected_components
 
+    from data_curator_spark.engine.cache import (
+        cache_scope,
+        persisted_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
     n = 13
     verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(verts, pairs, "doc_id").collect()}
+    with cache_scope():
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(verts, pairs, "doc_id").collect()
+        }
+    unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
     assert got == {i: 0 for i in range(n)}
