@@ -420,8 +420,10 @@ def connected_components(
     propagated labeling.
 
     Scale notes: the edge table (near-dup PAIRS) is orders of magnitude
-    smaller than the corpus — every iteration shuffles only (id, label)
-    pairs on id. Each round is ``localCheckpoint(eager=True)``: without
+    smaller than the corpus, and the loop iterates ONLY over
+    pair-touched vertices — every round shuffles (id, label) pairs
+    sized by the pair graph, never by the corpus; singletons join back
+    once at the end. Each round is ``localCheckpoint(eager=True)``: without
     lineage truncation the logical plan embeds the previous round TWICE
     (union + join) and grows 2^N — measured as a driver heap OOM at 12
     rounds even with persisted partials. Superseded rounds' checkpoint
@@ -448,11 +450,16 @@ def connected_components(
             F.col("label").alias("cluster_id"),
             F.lit(True).alias("is_canonical"),
         )
-    # round 0 needs no checkpoint (the identity plan is flat — lineage
-    # growth only starts once rounds nest) and no checksum job: with at
-    # least one edge, round 1 always shrinks some label, so the first
+    # iterate ONLY over pair-touched vertices: at corpus scale the
+    # near-dup pairs touch a tiny fraction of the table, so each round's
+    # shuffle is sized by the pair graph, not the corpus — untouched
+    # vertices are singletons by definition and join back at the end
+    touched = edges.select(F.col("src").alias("id")).distinct()
+    # round 0 needs no checkpoint (the plan is flat — lineage growth
+    # only starts once rounds nest) and no checksum job: with at least
+    # one edge, round 1 always shrinks some label, so the first
     # comparison happens between rounds 1 and 2
-    labels = identity
+    labels = touched.select("id", F.col("id").alias("label"))
     prev_ids: set[int] = set()
     prev_sum = None
 
@@ -501,8 +508,10 @@ def connected_components(
             "(pathological pair graph? raise max_iter)"
         )
 
-    return labels.select(
+    # singletons (never in any pair) re-attach as their own cluster —
+    # one left join of the corpus against the converged (small) labels
+    return identity.drop("label").join(labels, on="id", how="left").select(
         F.col("id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("id")).alias("is_canonical"),
+        F.coalesce("label", "id").alias("cluster_id"),
+        (F.coalesce("label", "id") == F.col("id")).alias("is_canonical"),
     )
