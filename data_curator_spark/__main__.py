@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum", help="(mvcc) delete unreferenced run partitions")
     v.add_argument("--output", required=True)
     v.add_argument("--manifest", required=True)
+    v.add_argument(
+        "--min-age-sec", type=float, default=24 * 3600,
+        help="retention threshold: younger unreferenced dirs may be a "
+        "live run between write and commit",
+    )
 
     c = sub.add_parser("corpus", help="write a deterministic synthetic corpus")
     c.add_argument("--output", required=True)
@@ -115,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         from data_curator_spark.session import build_session
 
         spark = build_session("vacuum")
-        removed = vacuum(spark, args.output, args.manifest)
+        removed = vacuum(spark, args.output, args.manifest, min_age_sec=args.min_age_sec)
         print(json.dumps({"removed_runs": removed}))
         spark.stop()
         return 0

@@ -152,6 +152,7 @@ def _nonnull_flags_from_footers(df: DataFrame, cols: list[str]) -> dict[str, int
     if not files:
         return flags  # empty relation: every column is all-null
     unresolved = set(present)
+    seen_in_footer: set[str] = set()
     import pyarrow.parquet as pq
 
     for f in files:
@@ -172,7 +173,11 @@ def _nonnull_flags_from_footers(df: DataFrame, cols: list[str]) -> dict[str, int
             for c in list(unresolved):
                 idx = name_to_idx.get(c)
                 if idx is None:
+                    # absent from THIS file is fine (schema evolution:
+                    # those rows are null for c) — but see the
+                    # never-seen check below
                     continue
+                seen_in_footer.add(c)
                 col_md = rg.column(idx)
                 st = col_md.statistics
                 if st is None or st.null_count is None:
@@ -180,6 +185,12 @@ def _nonnull_flags_from_footers(df: DataFrame, cols: list[str]) -> dict[str, int
                 if st.null_count < rg.num_rows:
                     flags[c] = 1
                     unresolved.discard(c)
+    # a column in df.columns that appeared in NO footer is not provably
+    # all-null — it may be a PARTITION column (values live in directory
+    # names, not file footers) or a case-mismatched name; only the real
+    # count can answer those
+    if any(c not in seen_in_footer for c in unresolved):
+        return None
     return flags
 
 

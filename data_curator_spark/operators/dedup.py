@@ -412,11 +412,13 @@ def connected_components(
     round — so shallow graphs (cliques, short chains: the common
     near-dup shape) pay zero extra joins, while a deep graph converges
     in O(log diameter) rounds instead of O(diameter) (a 10^6-long
-    revision chain: ~25 rounds, not 10^6). Convergence is detected
-    when the global label checksum stops changing (label sums are
-    strictly decreasing while any label shrinks, so the checksum is a
-    safe fixpoint detector — no row-wise diff join). ``max_iter`` is a
-    guard, and non-convergence raises rather than returning a partially
+    revision chain: ~25 rounds, not 10^6). Convergence is an EXACT
+    per-round diff: join the new labeling against the previous round on
+    id and test for any changed label — type-agnostic (string doc ids
+    work; a numeric checksum would break on them and can overflow ANSI
+    long-sum at corpus scale) and cheap because both sides are the
+    touched-vertex set, not the corpus. ``max_iter`` is a guard, and
+    non-convergence raises rather than returning a partially
     propagated labeling.
 
     Scale notes: the edge table (near-dup PAIRS) is orders of magnitude
@@ -455,13 +457,11 @@ def connected_components(
     # shuffle is sized by the pair graph, not the corpus — untouched
     # vertices are singletons by definition and join back at the end
     touched = edges.select(F.col("src").alias("id")).distinct()
-    # round 0 needs no checkpoint (the plan is flat — lineage growth
-    # only starts once rounds nest) and no checksum job: with at least
-    # one edge, round 1 always shrinks some label, so the first
-    # comparison happens between rounds 1 and 2
+    # round 0 needs no checkpoint: the identity plan is flat — lineage
+    # growth only starts once rounds nest
     labels = touched.select("id", F.col("id").alias("label"))
+    prev_labels = labels
     prev_ids: set[int] = set()
-    prev_sum = None
 
     converged = False
     for it in range(max_iter):
@@ -495,13 +495,17 @@ def connected_components(
         before = persisted_rdd_ids(spark)
         labels = stepped.localCheckpoint(eager=True)
         new_ids = persisted_rdd_ids(spark) - before
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        unchanged = (
+            labels.join(prev_labels.withColumnRenamed("label", "__old"), on="id")
+            .filter(F.col("label") != F.col("__old"))
+            .isEmpty()
+        )
         unpersist_rdd_ids(spark, prev_ids | step_ids)  # release round N-1 + the step temp
         prev_ids = new_ids
-        if prev_sum is not None and cur_sum == prev_sum:
+        prev_labels = labels
+        if unchanged:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "

@@ -285,15 +285,25 @@ def _nearest_cells_udf(centroids: list[list[float]], n_probe: int):
     # no type hints: PEP-563 string annotations (future-import above)
     # break pandas-UDF type inference; the explicit returnType governs
     def nearest(batch):
-        X = np.asarray(batch.tolist(), dtype=np.float64)  # (n, dim)
-        if X.ndim != 2 or not len(X):
-            return pd.Series([[0] * n_probe] * len(batch))
-        d = np.zeros((X.shape[0], C.shape[0]))
-        for j in range(C.shape[1]):
-            t = X[:, j, None] - C[None, :, j]
-            d += t * t
-        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(order.astype(np.int32)))
+        rows = batch.tolist()
+        # null / wrong-width vectors get a NULL result (matching the
+        # expression path, where aggregates over null fold to null) —
+        # they must neither crash np.asarray (inhomogeneous shapes)
+        # nor silently land in cell 0
+        valid = [
+            i for i, r in enumerate(rows) if r is not None and len(r) == C.shape[1]
+        ]
+        out = [None] * len(rows)
+        if valid:
+            X = np.asarray([rows[i] for i in valid], dtype=np.float64)
+            d = np.zeros((X.shape[0], C.shape[0]))
+            for j in range(C.shape[1]):
+                t = X[:, j, None] - C[None, :, j]
+                d += t * t
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            for k, i in enumerate(valid):
+                out[i] = [int(x) for x in order[k]]
+        return pd.Series(out)
 
     return F.pandas_udf(nearest, "array<int>")
 

@@ -78,11 +78,14 @@ def interval_join(
     # condition and the dedup with every attribute column
     if "__pid" in points.columns or "__pid" in intervals.columns:
         raise ValueError("'__pid' is reserved by interval_join — rename that column")
-    # persist: the pid'd points feed BOTH branches, and
-    # monotonically_increasing_id is only stable within one evaluation —
-    # recomputing it per branch over a shuffled upstream could hand the
-    # two branches different ids (use cache_scope() to bound the cache)
-    p = persist_tracked(p.withColumn("__pid", F.monotonically_increasing_id()))
+    # localCheckpoint (NOT persist): the pid'd points feed BOTH branches
+    # and monotonically_increasing_id is only stable within one
+    # evaluation. A persist could silently recompute on executor loss
+    # and hand the branches DIFFERENT ids (duplicate/dropped rows); a
+    # checkpoint's truncated lineage turns that into a loud job failure
+    # instead. Blocks release via the ContextCleaner once the frame is
+    # dropped (lazy: materializes with the consuming action).
+    p = p.withColumn("__pid", F.monotonically_increasing_id()).localCheckpoint(eager=False)
     matched = p.join(iv, on=[key, "__bin"], how="inner").filter(contained).drop("__bin")
     iv_cols = [c for c in intervals.columns if c != key]
     matched_ids = matched.select("__pid").distinct()

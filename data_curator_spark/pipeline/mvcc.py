@@ -34,7 +34,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_curator_spark.pipeline.runner import (
@@ -42,6 +42,8 @@ from data_curator_spark.pipeline.runner import (
     _entries_path,
     _latest_manifest_rows,
     _snapshots_path,
+    attach_lineage_observation,
+    commit_bucket_metrics,
     completed_buckets,
     latest_snapshot_id,
     with_bucket,
@@ -106,12 +108,27 @@ def read_snapshot(
     return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
 
 
-def vacuum(spark: SparkSession, output_path: str, manifest_path: str) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    output_path: str,
+    manifest_path: str,
+    min_age_sec: float = 24 * 3600,
+) -> list[str]:
     """Delete run partitions no manifest entry references (crashed runs
     that wrote data but never committed — Iceberg orphan-file cleanup).
     Returns the removed run_ids. Local-filesystem implementation; on an
-    object store this is a driver-side listing + batched deletes."""
+    object store this is a driver-side listing + batched deletes.
+
+    ``min_age_sec`` is the retention threshold (Iceberg's orphan cleanup
+    has the same knob, for the same reason): a LIVE run sits
+    unreferenced between its data write and its manifest commit, so
+    deleting young directories would destroy an in-flight run's data
+    right before it commits pointers to them. Only directories older
+    than the threshold — far longer than any write→commit gap — are
+    eligible. Pass 0 only when no writer can be running (tests,
+    single-writer maintenance windows)."""
     import os
+    import time as _time
 
     try:
         referenced = {
@@ -127,12 +144,14 @@ def vacuum(spark: SparkSession, output_path: str, manifest_path: str) -> list[st
     root = output_path[len("file:"):] if output_path.startswith("file:") else output_path
     if not os.path.isdir(root):
         return removed
+    now = _time.time()
     for name in sorted(os.listdir(root)):
         if not name.startswith("run_id="):
             continue
         run_id = name.split("=", 1)[1]
-        if run_id not in referenced:
-            shutil.rmtree(os.path.join(root, name))
+        full = os.path.join(root, name)
+        if run_id not in referenced and now - os.path.getmtime(full) >= min_age_sec:
+            shutil.rmtree(full)
             removed.append(run_id)
     return removed
 
@@ -166,13 +185,7 @@ def run_pipeline_mvcc(
     todo = raw.filter(~F.col("bucket").isin(list(skip))) if skip else raw
 
     result = run_stages(todo, spark).select("bucket", *OUTPUT_COLS)
-    observation = Observation(f"lineage_{run_id}")
-    result = result.observe(
-        observation,
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(F.col("keep").cast("long")).alias("kept"),
-        F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
-    )
+    observation, result = attach_lineage_observation(result, run_id)
     # IMMUTABLE write: append under this run's partition — never touches
     # other runs' files, so no overwrite mode gymnastics and no torn
     # reads for concurrent manifest-resolved readers
@@ -193,44 +206,9 @@ def run_pipeline_mvcc(
     written_new = spark.read.parquet(output_path).filter(
         (F.col("run_id") == run_id) & F.col("bucket").isin(new_buckets)
     )
-    agg_rows = written_new.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(F.col("keep").cast("long")).alias("kept"),
-        F.sum((~F.col("keep")).cast("long")).alias("dropped"),
-        F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
-    ).collect()
-    by_bucket = {int(r["bucket"]): r for r in agg_rows}
-
-    observed = observation.get
-    for field in ("rows", "kept", "scrubbed"):
-        total = sum(int(r[field] or 0) for r in agg_rows)
-        if total != int(observed[field] or 0):
-            raise RuntimeError(
-                f"lineage integrity: written output disagrees with the write-pass "
-                f"observation on '{field}' ({total} vs {observed[field]}) "
-                f"— refusing to commit manifest entries for run {run_id}"
-            )
-
-    now = time.time()
-    metrics = spark.createDataFrame(
-        [
-            (
-                run_id,
-                int(b),
-                int(by_bucket[b]["rows"]) if b in by_bucket else 0,
-                int(by_bucket[b]["kept"] or 0) if b in by_bucket else 0,
-                int(by_bucket[b]["dropped"] or 0) if b in by_bucket else 0,
-                int(by_bucket[b]["scrubbed"] or 0) if b in by_bucket else 0,
-                "done",
-                float(now - t0),
-                float(now),
-            )
-            for b in new_buckets
-        ],
-        "run_id string, bucket bigint, rows long, kept long, dropped long, "
-        "scrubbed long, status string, elapsed_sec double, committed_at double",
+    commit_bucket_metrics(
+        spark, observation, written_new, new_buckets, run_id, t0, manifest_path
     )
-    metrics.write.mode("append").parquet(_entries_path(manifest_path))
 
     totals = (
         _latest_manifest_rows(spark, manifest_path)

@@ -114,76 +114,33 @@ def snapshot_lineage(spark: SparkSession, manifest_root: str) -> DataFrame:
     return spark.read.parquet(_snapshots_path(manifest_root))
 
 
-def run_pipeline(
-    spark: SparkSession,
-    input_path: str,
-    output_path: str,
-    manifest_path: str,
-    n_buckets: int = DEFAULT_N_BUCKETS,
-    fail_buckets: set[int] | None = None,
-) -> dict:
-    """Run (or resume) the pipeline.
-
-    ``fail_buckets`` injects failures for the resume test: those buckets
-    are skipped (not marked done), simulating a mid-job crash.
-    """
-    run_id = uuid.uuid4().hex[:12]
-    t0 = time.time()
-
-    raw = with_bucket(spark.read.parquet(input_path), n_buckets)
-    parent_snapshot = latest_snapshot_id(spark, manifest_path)
-    done = completed_buckets(spark, manifest_path)
-    todo = raw.filter(~F.col("bucket").isin(done)) if done else raw
-    if fail_buckets:
-        todo = todo.filter(~F.col("bucket").isin(list(fail_buckets)))
-
-    result = run_stages(todo, spark).select("bucket", *OUTPUT_COLS)
-    # run-level lineage totals ride the WRITE pass for free (4 aggregate
-    # expressions via observe — no second job, no output re-read) and
-    # cross-check the per-bucket metrics below. Per-bucket metrics do NOT
-    # use observe: that needs ~3·n_buckets conditional sums evaluated per
-    # row in the write path, measured 11× slower than the write pass
-    # itself at n_buckets=256 (8.35s vs 0.74s per 2M rows) — the
-    # column-pruned, partition-pruned re-read of 2 narrow columns is the
-    # cheaper plan at every scale.
+def attach_lineage_observation(result: DataFrame, run_id: str):
+    """Attach the run-level lineage totals to the WRITE pass (3
+    aggregate expressions via observe — no second job, no output
+    re-read). Shared by both output layouts (runner / mvcc) so the
+    integrity contract cannot drift between them."""
     observation = Observation(f"lineage_{run_id}")
-    result = result.observe(
+    observed = result.observe(
         observation,
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum((F.size("scrub_rules_fired") > 0).cast("long")).alias("scrubbed"),
     )
-    # idempotent bucket rewrite: dynamic partition overwrite replaces
-    # exactly the partitions present in `result`; untouched (completed)
-    # buckets survive, and an uncommitted bucket from a crashed run is
-    # overwritten instead of double-appended
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # sortWithinPartitions(bucket, repo, path): each task writes one
-        # contiguous run per bucket (one open writer at a time instead of
-        # one per bucket value) and row groups land sorted by (repo,
-        # path) — better compression + min/max skipping on the columns
-        # downstream jobs filter by
-        (
-            result.sortWithinPartitions("bucket", "repo", "path")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(output_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return observation, observed
 
-    new_buckets = [
-        b
-        for b in range(n_buckets)
-        if b not in done and not (fail_buckets and b in fail_buckets)
-    ]
-    # lineage: per-bucket metrics from a PARTITION-PRUNED scan of only
-    # the just-written buckets — completed history is never re-read
-    written_new = spark.read.parquet(output_path).filter(
-        F.col("bucket").isin(new_buckets)
-    )
+
+def commit_bucket_metrics(
+    spark: SparkSession,
+    observation: Observation,
+    written_new: DataFrame,
+    new_buckets: list[int],
+    run_id: str,
+    t0: float,
+    manifest_path: str,
+) -> None:
+    """Per-bucket lineage rows from ONE pruned aggregation over the
+    just-written output, gated on the write-pass observation, appended
+    to the manifest. Shared by both output layouts."""
     agg_rows = written_new.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
@@ -230,6 +187,74 @@ def run_pipeline(
         "scrubbed long, status string, elapsed_sec double, committed_at double",
     )
     metrics.write.mode("append").parquet(_entries_path(manifest_path))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    manifest_path: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    fail_buckets: set[int] | None = None,
+) -> dict:
+    """Run (or resume) the pipeline.
+
+    ``fail_buckets`` injects failures for the resume test: those buckets
+    are skipped (not marked done), simulating a mid-job crash.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    raw = with_bucket(spark.read.parquet(input_path), n_buckets)
+    parent_snapshot = latest_snapshot_id(spark, manifest_path)
+    done = completed_buckets(spark, manifest_path)
+    todo = raw.filter(~F.col("bucket").isin(done)) if done else raw
+    if fail_buckets:
+        todo = todo.filter(~F.col("bucket").isin(list(fail_buckets)))
+
+    result = run_stages(todo, spark).select("bucket", *OUTPUT_COLS)
+    # run-level lineage totals ride the WRITE pass for free and
+    # cross-check the per-bucket metrics below. Per-bucket metrics do NOT
+    # use observe: that needs ~3·n_buckets conditional sums evaluated per
+    # row in the write path, measured 11× slower than the write pass
+    # itself at n_buckets=256 (8.35s vs 0.74s per 2M rows) — the
+    # column-pruned, partition-pruned re-read of 2 narrow columns is the
+    # cheaper plan at every scale.
+    observation, result = attach_lineage_observation(result, run_id)
+    # idempotent bucket rewrite: dynamic partition overwrite replaces
+    # exactly the partitions present in `result`; untouched (completed)
+    # buckets survive, and an uncommitted bucket from a crashed run is
+    # overwritten instead of double-appended
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # sortWithinPartitions(bucket, repo, path): each task writes one
+        # contiguous run per bucket (one open writer at a time instead of
+        # one per bucket value) and row groups land sorted by (repo,
+        # path) — better compression + min/max skipping on the columns
+        # downstream jobs filter by
+        (
+            result.sortWithinPartitions("bucket", "repo", "path")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(output_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    new_buckets = [
+        b
+        for b in range(n_buckets)
+        if b not in done and not (fail_buckets and b in fail_buckets)
+    ]
+    # lineage: per-bucket metrics from a PARTITION-PRUNED scan of only
+    # the just-written buckets — completed history is never re-read
+    written_new = spark.read.parquet(output_path).filter(
+        F.col("bucket").isin(new_buckets)
+    )
+    commit_bucket_metrics(
+        spark, observation, written_new, new_buckets, run_id, t0, manifest_path
+    )
 
     # run totals: incremental from the manifest (latest row per bucket),
     # not a scan of the output

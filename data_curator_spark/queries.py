@@ -1871,8 +1871,6 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_sample_oracle_sql() -> str:
-    from data_curator_spark.queries import _hex_long_sql  # self-import safe at call
-
     gate = _hex_long_sql("md5('r3:' || CAST(doc_id AS VARCHAR))", 8)
     return f"""
 WITH g AS (

@@ -183,3 +183,24 @@ def test_connected_components_long_chain_converges(spark):
         }
     unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_string_ids(spark):
+    """Type-agnostic convergence: string doc ids (sha/uuid-style) work —
+    a numeric label checksum would throw or never converge here."""
+    from data_curator_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame(
+        [("aa",), ("bb",), ("cc",), ("zz",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("bb", "cc"), ("aa", "bb")], "id_a string, id_b string"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in connected_components(verts, pairs, "doc_id").collect()
+    }
+    assert got == {
+        "aa": ("aa", True), "bb": ("aa", False), "cc": ("aa", False),
+        "zz": ("zz", True),
+    }

@@ -108,3 +108,29 @@ def test_build_features_fallback_decision_jobless_on_parquet(spark, tmp_path):
     assert jobs == [], f"fallback decision ran Spark jobs on a parquet source: {jobs}"
     # and the decision is the right one: vwap+volume present -> unadjusted tier
     assert "c_daily_traded_value" in out.columns
+
+
+def test_partition_column_forces_count_fallback(spark, tmp_path):
+    """Code-review r3 finding: a fallback column that is a PARTITION
+    column appears in no file footer — that must force the count-agg
+    fallback (None), never be conflated with proven-all-null."""
+    import pandas as pd
+
+    src = str(tmp_path / "part")
+    pdf = pd.DataFrame(
+        {
+            "m_vwap": [1.0, 2.0, 3.0, 4.0],
+            "f_fiscal_year": [2023, 2023, 2024, 2024],
+        }
+    )
+    (
+        spark.createDataFrame(pdf)
+        .write.partitionBy("f_fiscal_year")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    df = spark.read.parquet(src)
+    flags = _nonnull_flags_from_footers(df, ["m_vwap", "f_fiscal_year"])
+    assert flags is None  # footer path declines; count-agg answers truthfully
+    real = _nonnull_counts(df, ["f_fiscal_year"])
+    assert real["f_fiscal_year"] == 4

@@ -98,7 +98,10 @@ def test_resume_backfill_time_travel_and_vacuum(spark, corpus, tmp_path):
     } - {r1["run_id"], r2["run_id"], r3["run_id"]}
     assert len(orphan_dirs) == 1  # the crashed run's files are on disk…
     assert _sha_set(read_current(spark, out, man)) == _sha_set(cur3)  # …invisible
-    removed = vacuum(spark, out, man)
+    # the default retention threshold protects a YOUNG unreferenced dir
+    # (it could be a live run between write and commit)
+    assert vacuum(spark, out, man) == []
+    removed = vacuum(spark, out, man, min_age_sec=0)
     assert removed == sorted(orphan_dirs)
     assert not any(
         d == f"run_id={next(iter(orphan_dirs))}" for d in os.listdir(out)
