@@ -1,0 +1,68 @@
+"""Stream-stream interval join (click attribution) with dual watermarks.
+
+The batch engine has the bin-bucketed interval join
+(operators/temporal.py); this is the STREAMING counterpart for two
+unbounded inputs: match each right-stream event ("click") to left-stream
+events ("view") of the same key that happened within a trailing window
+— the canonical attribution join.
+
+Structured Streaming requirements this encodes (and tests pin):
+
+- BOTH sides carry watermarks: the join is append-only, so Spark must
+  know when a buffered left row can never match a future right row (and
+  vice versa) to emit and EVICT it — without both watermarks the state
+  store grows forever.
+- The join condition carries the event-time RANGE (right.ts between
+  left.ts and left.ts + horizon), which is what lets the state manager
+  translate "watermark passed" into "row disposable".
+
+Scale notes: state per key ≈ events inside the horizon + watermark
+delay; shuffle is one hash partitioning on the join key for each side.
+The reference has no streaming at all — engine-added capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    horizon: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Rows of ``right`` matched to same-``key`` rows of ``left`` whose
+    timestamp precedes them by at most ``horizon``.
+
+    Output: (key, left_ts as cause_ts, right_ts as effect_ts, lag_sec).
+    Works on batch frames too (the range join is a plain condition) —
+    tests pin batch/stream agreement on identical data."""
+    l = left.select(  # noqa: E741
+        F.col(key).alias("__k"), F.col(left_ts).alias("cause_ts")
+    )
+    r = right.select(F.col(key).alias("__k2"), F.col(right_ts).alias("effect_ts"))
+    if left.isStreaming:
+        l = l.withWatermark("cause_ts", watermark)  # noqa: E741
+    if right.isStreaming:
+        r = r.withWatermark("effect_ts", watermark)
+    cond = (
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("effect_ts") > F.col("cause_ts"))
+        & (F.col("effect_ts") <= F.col("cause_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return (
+        l.join(r, on=cond, how="inner")
+        .select(
+            F.col("__k").alias(key),
+            "cause_ts",
+            "effect_ts",
+            (
+                F.unix_timestamp("effect_ts") - F.unix_timestamp("cause_ts")
+            ).cast("long").alias("lag_sec"),
+        )
+    )

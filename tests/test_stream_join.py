@@ -1,0 +1,86 @@
+"""Stream-stream attribution join: matches across micro-batch
+boundaries (buffered state), horizon bounds respected, batch/stream
+agreement on identical data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_curator_spark.streaming.stream_join import attribution_join
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+M = dt.timedelta(minutes=1)
+
+
+def _land(dirpath, name, rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.Series([r[1] for r in rows], dtype="datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(dirpath / name))
+
+
+def test_stream_join_across_batches_matches_batch(spark, tmp_path):
+    views = [
+        (1, BASE),              # matched by click at +5m (next batch)
+        (1, BASE + 30 * M),     # matched by click at +32m
+        (2, BASE),              # click at +15m: OUTSIDE the 10m horizon
+        (3, BASE + 2 * M),      # no click at all
+    ]
+    clicks = [
+        (1, BASE + 5 * M),
+        (1, BASE + 32 * M),
+        (2, BASE + 15 * M),
+        (4, BASE + 1 * M),      # click with no prior view
+    ]
+
+    vdir = tmp_path / "views"; vdir.mkdir()
+    cdir = tmp_path / "clicks"; cdir.mkdir()
+    out_dir = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        vs = spark.readStream.schema("user_id long, ts timestamp").parquet(str(vdir))
+        cs = spark.readStream.schema("user_id long, ts timestamp").parquet(str(cdir))
+        q = (
+            attribution_join(vs, cs, "user_id", horizon="10 minutes", watermark="20 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: views only — the join must BUFFER them in state
+    _land(vdir, "v1.parquet", views)
+    _land(cdir, "c0.parquet", [(99, BASE)])  # keeps the click side non-empty
+    drain()
+    # batch 2: clicks arrive later + a far-future row to push watermarks
+    _land(cdir, "c1.parquet", clicks + [(99, BASE + dt.timedelta(hours=3))])
+    _land(vdir, "v2.parquet", [(99, BASE + dt.timedelta(hours=3))])
+    drain()
+    _land(cdir, "c2.parquet", [(99, BASE + dt.timedelta(hours=6))])
+    _land(vdir, "v3.parquet", [(99, BASE + dt.timedelta(hours=6))])
+    drain()
+
+    got = {
+        (r["user_id"], r["cause_ts"], r["effect_ts"], r["lag_sec"])
+        for r in spark.read.parquet(out_dir).filter("user_id != 99").collect()
+    }
+    want = {
+        (1, BASE, BASE + 5 * M, 300),
+        (1, BASE + 30 * M, BASE + 32 * M, 120),
+    }
+    assert got == want  # cross-batch match present; horizon violation absent
+
+    # batch twin agrees on the same rows
+    vb = spark.createDataFrame(views, "user_id long, ts timestamp")
+    cb = spark.createDataFrame(clicks, "user_id long, ts timestamp")
+    batch = {
+        (r["user_id"], r["cause_ts"], r["effect_ts"], r["lag_sec"])
+        for r in attribution_join(vb, cb, "user_id", horizon="10 minutes").collect()
+    }
+    assert batch == want
