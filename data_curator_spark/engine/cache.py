@@ -42,10 +42,18 @@ class CacheScope:
 
     def __init__(self) -> None:
         self._dfs: list[DataFrame] = []
+        self._rdd_ids: list[tuple[object, set[int]]] = []  # (spark, ids)
 
     def track(self, df: DataFrame) -> DataFrame:
         self._dfs.append(df)
         return df
+
+    def track_rdd_ids(self, spark, ids: set[int]) -> None:
+        """Track localCheckpoint storage blocks by RDD id —
+        DataFrame.unpersist cannot release those, only the persistent-RDD
+        map can (see unpersist_rdd_ids)."""
+        if ids:
+            self._rdd_ids.append((spark, set(ids)))
 
     def unpersist_all(self, blocking: bool = True) -> int:
         """Release every tracked cache; returns how many were released.
@@ -59,13 +67,22 @@ class CacheScope:
             except Exception:  # noqa: BLE001 — session already stopped etc.
                 pass
         self._dfs.clear()
+        for spark, ids in self._rdd_ids:
+            try:
+                n += unpersist_rdd_ids(spark, ids, blocking)
+            except Exception:  # noqa: BLE001
+                pass
+        self._rdd_ids.clear()
         return n
 
 
 @contextmanager
 def cache_scope() -> Iterator[CacheScope]:
-    """Ambient scope: every ``persist_tracked`` call inside the block is
-    unpersisted (blocking) on exit, including on error."""
+    """Ambient scope: every ``persist_tracked`` / checkpoint-tracked
+    call inside the block is released (blocking) on exit, including on
+    error. Consume results INSIDE the block: after exit, persisted
+    frames silently recompute, and checkpoint-backed frames (iterative
+    operators) raise — their truncated lineage cannot be recomputed."""
     scope = CacheScope()
     token = _ambient.set(scope)
     try:
@@ -109,3 +126,29 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     if scope is not None:
         scope.track(df)
     return df
+
+
+def track_rdd_ids_ambient(spark, ids: set[int]) -> None:
+    """Register already-created checkpoint blocks with the ambient scope
+    (for iterative operators that manage per-round checkpoints
+    themselves but want the FINAL round released at scope exit)."""
+    scope = _ambient.get()
+    if scope is not None:
+        scope.track_rdd_ids(spark, ids)
+
+
+def local_checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` whose storage blocks register with the
+    ambient CacheScope — the checkpoint twin of persist_tracked for
+    operators that need lineage truncation or evaluation pinning
+    (nondeterministic ids consumed by several branches). Eager because
+    a lazy checkpoint's RDD id does not exist until first action, so it
+    could not be tracked here. Without an ambient scope, blocks release
+    via the ContextCleaner once the frame is garbage-collected."""
+    spark = df.sparkSession
+    before = persisted_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    scope = _ambient.get()
+    if scope is not None:
+        scope.track_rdd_ids(spark, persisted_rdd_ids(spark) - before)
+    return out

@@ -148,6 +148,17 @@ def _nonnull_flags_from_footers(df: DataFrame, cols: list[str]) -> dict[str, int
     except Exception:  # noqa: BLE001
         return None
     present = [c for c in cols if c in df.columns]
+    # PARTITION columns never appear in file footers (their values live
+    # in directory names) — decline up front rather than reading every
+    # footer only to discover the column is unresolvable
+    try:
+        part_fields = set(
+            df._jdf.queryExecution().analyzed().relation().partitionSchema().fieldNames()
+        )
+        if any(c in part_fields for c in present):
+            return None
+    except Exception:  # noqa: BLE001 — non-HadoopFsRelation: the
+        pass  # never-seen-in-footer check below still catches it
     flags = {c: 0 for c in cols}
     if not files:
         return flags  # empty relation: every column is all-null

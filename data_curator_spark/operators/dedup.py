@@ -435,7 +435,11 @@ def connected_components(
     analog: the reference dedups by exact PK only; clustering is
     engine-added capability.
     """
-    from data_curator_spark.engine.cache import persisted_rdd_ids, unpersist_rdd_ids
+    from data_curator_spark.engine.cache import (
+        persisted_rdd_ids,
+        track_rdd_ids_ambient,
+        unpersist_rdd_ids,
+    )
 
     spark = vertices.sparkSession
     edges = (
@@ -507,14 +511,27 @@ def connected_components(
             converged = True
             break
     if not converged:
+        unpersist_rdd_ids(spark, prev_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             "(pathological pair graph? raise max_iter)"
         )
+    # the FINAL round's checkpoint backs the returned frame; inside a
+    # cache_scope it releases at scope exit with everything else
+    track_rdd_ids_ambient(spark, prev_ids)
 
+    # a pair may reference an id that is NOT in `vertices` (caller
+    # filtered the corpus but not the pre-computed pairs). Such dangling
+    # ids still CARRY connectivity through the propagation above, but
+    # must never become a cluster_id (the cluster would have no
+    # canonical member to keep) — relabel each component to its minimum
+    # VERTEX id. All frames here are touched-set sized.
+    vlabels = labels.join(identity.select("id"), on="id", how="semi")
+    remap = vlabels.groupBy("label").agg(F.min("id").alias("__cid"))
+    vlabels = vlabels.join(remap, on="label").select("id", F.col("__cid").alias("label"))
     # singletons (never in any pair) re-attach as their own cluster —
     # one left join of the corpus against the converged (small) labels
-    return identity.drop("label").join(labels, on="id", how="left").select(
+    return identity.drop("label").join(vlabels, on="id", how="left").select(
         F.col("id").alias(id_col),
         F.coalesce("label", "id").alias("cluster_id"),
         (F.coalesce("label", "id") == F.col("id")).alias("is_canonical"),

@@ -246,7 +246,12 @@ ASSIGN_EXPR_MAX_CENTROIDS = 32
 
 
 def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid (squared L2), pure column expression."""
+    """Index of the nearest centroid (squared L2), pure column
+    expression. Null / wrong-width vectors yield NULL — without the
+    guard the null-poisoned distances sort FIRST in the struct min and
+    silently land every bad row in cell 0 (and the pandas twin must
+    agree; tests pin both paths)."""
+    dim = len(centroids[0])
     dists = [
         F.aggregate(
             F.zip_with(
@@ -261,7 +266,7 @@ def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     arr = F.array(*[
         F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)
     ])
-    return F.array_min(arr)["i"]
+    return F.when(vec.isNotNull() & (F.size(vec) == dim), F.array_min(arr)["i"])
 
 
 def _nearest_cells_udf(centroids: list[list[float]], n_probe: int):

@@ -83,9 +83,12 @@ def interval_join(
     # evaluation. A persist could silently recompute on executor loss
     # and hand the branches DIFFERENT ids (duplicate/dropped rows); a
     # checkpoint's truncated lineage turns that into a loud job failure
-    # instead. Blocks release via the ContextCleaner once the frame is
-    # dropped (lazy: materializes with the consuming action).
-    p = p.withColumn("__pid", F.monotonically_increasing_id()).localCheckpoint(eager=False)
+    # instead. Tracked: inside cache_scope() the blocks release at scope
+    # exit like every other operator cache; otherwise the ContextCleaner
+    # reclaims them after the frame is dropped.
+    from data_curator_spark.engine.cache import local_checkpoint_tracked
+
+    p = local_checkpoint_tracked(p.withColumn("__pid", F.monotonically_increasing_id()))
     matched = p.join(iv, on=[key, "__bin"], how="inner").filter(contained).drop("__bin")
     iv_cols = [c for c in intervals.columns if c != key]
     matched_ids = matched.select("__pid").distinct()

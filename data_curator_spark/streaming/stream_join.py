@@ -42,6 +42,10 @@ def attribution_join(
     Output: (key, left_ts as cause_ts, right_ts as effect_ts, lag_sec).
     Works on batch frames too (the range join is a plain condition) —
     tests pin batch/stream agreement on identical data."""
+    if key in ("cause_ts", "effect_ts", "lag_sec"):
+        raise ValueError(
+            f"key {key!r} collides with an attribution_join output column — rename it"
+        )
     l = left.select(  # noqa: E741
         F.col(key).alias("__k"), F.col(left_ts).alias("cause_ts")
     )

@@ -204,3 +204,19 @@ def test_connected_components_string_ids(spark):
         "aa": ("aa", True), "bb": ("aa", False), "cc": ("aa", False),
         "zz": ("zz", True),
     }
+
+
+def test_connected_components_dangling_pair_ids(spark):
+    """Review r3: a pair id missing from `vertices` must still CARRY
+    connectivity but never become a cluster_id — every cluster gets a
+    canonical member that is a real vertex."""
+    from data_curator_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(5,), (6,), (9,)], "doc_id long")
+    # 3 is dangling; it links 5 and 6 transitively and has the min id
+    pairs = spark.createDataFrame([(5, 3), (6, 3)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in connected_components(verts, pairs, "doc_id").collect()
+    }
+    assert got == {5: (5, True), 6: (5, False), 9: (9, True)}

@@ -246,3 +246,31 @@ def test_ivf_256_centroids_reasonable(spark):
     )
     cents_np = S.train_ivf_centroids_numpy(arr, n_centroids=256, iters=2, dim=64, seed=42)
     assert cents == cents_np
+
+
+def test_assigners_agree_on_null_and_ragged_vectors(spark):
+    """Review r3: both assignment paths must yield NULL for null /
+    wrong-width vectors — previously the expression path silently put
+    them in cell 0 while the UDF crashed or nulled, breaking the
+    bit-identical contract between the small- and large-centroid paths."""
+    from pyspark.sql import functions as F
+
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    df = spark.createDataFrame(
+        [(0, [0.9, 0.9]), (1, None), (2, [0.5]), (3, [0.1, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id", S._assign_expr(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    udf = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id",
+            F.element_at(S._nearest_cells_udf(cents, 1)(F.col("embedding")), 1).alias("cell"),
+        ).collect()
+    }
+    assert expr == udf == {0: 1, 1: None, 2: None, 3: 0}
