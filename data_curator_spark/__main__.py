@@ -45,6 +45,30 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--snapshot", required=True)
     t.add_argument("--to", required=True, help="parquet path for the exported state")
 
+    d = sub.add_parser(
+        "diff", help="(mvcc) net row-level changelog between two snapshots"
+    )
+    d.add_argument("--output", required=True)
+    d.add_argument("--manifest", required=True)
+    d.add_argument("--from", dest="from_snapshot", default=None,
+                   help="older snapshot id (omit = table creation)")
+    d.add_argument("--to-snapshot", default=None,
+                   help="newer snapshot id (omit = current)")
+    d.add_argument("--to", required=True, help="parquet path for the changelog")
+
+    cp = sub.add_parser(
+        "compact", help="(mvcc) fold the live selection into one run partition"
+    )
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--manifest", required=True)
+
+    e = sub.add_parser(
+        "expire", help="(mvcc) drop old snapshots and reclaim their data files"
+    )
+    e.add_argument("--output", required=True)
+    e.add_argument("--manifest", required=True)
+    e.add_argument("--keep-last", type=int, default=1)
+
     v = sub.add_parser("vacuum", help="(mvcc) delete unreferenced run partitions")
     v.add_argument("--output", required=True)
     v.add_argument("--manifest", required=True)
@@ -112,6 +136,47 @@ def main(argv: list[str] | None = None) -> int:
         df = read_snapshot(spark, args.output, args.manifest, args.snapshot)
         df.write.mode("overwrite").parquet(args.to)
         print(json.dumps({"snapshot": args.snapshot, "rows": spark.read.parquet(args.to).count(), "to": args.to}))
+        spark.stop()
+        return 0
+
+    if args.cmd == "diff":
+        from data_curator_spark.pipeline.mvcc import snapshot_diff
+        from data_curator_spark.session import build_session
+
+        spark = build_session("diff")
+        df = snapshot_diff(
+            spark, args.output, args.manifest, args.from_snapshot, args.to_snapshot
+        )
+        df.write.mode("overwrite").parquet(args.to)
+        counts = {
+            r["_change_type"]: r["count"]
+            for r in spark.read.parquet(args.to).groupBy("_change_type").count().collect()
+        }
+        print(json.dumps({
+            "from": args.from_snapshot, "to_snapshot": args.to_snapshot,
+            "inserts": int(counts.get("insert", 0)),
+            "deletes": int(counts.get("delete", 0)), "to": args.to,
+        }))
+        spark.stop()
+        return 0
+
+    if args.cmd == "compact":
+        from data_curator_spark.pipeline.mvcc import compact
+        from data_curator_spark.session import build_session
+
+        spark = build_session("compact")
+        print(json.dumps(compact(spark, args.output, args.manifest)))
+        spark.stop()
+        return 0
+
+    if args.cmd == "expire":
+        from data_curator_spark.pipeline.mvcc import expire_snapshots
+        from data_curator_spark.session import build_session
+
+        spark = build_session("expire")
+        print(json.dumps(
+            expire_snapshots(spark, args.output, args.manifest, keep_last=args.keep_last)
+        ))
         spark.stop()
         return 0
 

@@ -19,7 +19,14 @@ reader sees. That buys, exactly like Iceberg's metadata architecture:
 - **backfill/repair**: ``reprocess_buckets`` re-runs chosen buckets
   under a new run_id — the manifest flips those buckets to the new
   version atomically-per-bucket, and the old version stays readable
-  through earlier snapshots.
+  through earlier snapshots;
+- **incremental/changelog reads**: ``snapshot_diff`` emits the net
+  insert/delete rows between two snapshots, scanning only the buckets
+  whose selected run changed (Iceberg changelog-scan analog);
+- **maintenance**: ``compact`` folds a fragmented live selection into
+  one run (rewrite_data_files analog), ``expire_snapshots`` drops old
+  history and reclaims exactly the runs it unreferenced, ``vacuum``
+  removes never-committed orphans.
 
 Scale notes: the reader's (run_id, bucket) selection is collected from
 the manifest (≤ n_buckets rows) and compiled into a partition-literal
@@ -79,12 +86,12 @@ def read_current(spark: SparkSession, output_path: str, manifest_path: str) -> D
     return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
 
 
-def read_snapshot(
-    spark: SparkSession, output_path: str, manifest_path: str, snapshot_id: str
-) -> DataFrame:
-    """Time travel: the table as of ``snapshot_id`` — entries committed
-    after that snapshot are invisible, so buckets rewritten since then
-    resolve to the version the snapshot saw."""
+def _pairs_as_of(
+    spark: SparkSession, manifest_path: str, snapshot_id: str
+) -> list[tuple[str, int]]:
+    """The (run_id, bucket) selection as of ``snapshot_id`` — entries
+    committed after that snapshot are invisible, so buckets rewritten
+    since then resolve to the version the snapshot saw."""
     snaps = spark.read.parquet(_snapshots_path(manifest_path))
     snap = snaps.filter(F.col("snapshot_id") == snapshot_id).collect()
     if not snap:
@@ -103,9 +110,222 @@ def read_snapshot(
         .select("run_id", "bucket")
         .collect()
     )
-    pairs = [(r["run_id"], int(r["bucket"])) for r in rows]
+    return [(r["run_id"], int(r["bucket"])) for r in rows]
+
+
+def read_snapshot(
+    spark: SparkSession, output_path: str, manifest_path: str, snapshot_id: str
+) -> DataFrame:
+    """Time travel: the table as of ``snapshot_id``."""
+    pairs = _pairs_as_of(spark, manifest_path, snapshot_id)
     df = spark.read.parquet(output_path)
     return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    output_path: str,
+    manifest_path: str,
+    from_snapshot: str | None,
+    to_snapshot: str | None = None,
+) -> DataFrame:
+    """NET row-level changelog between two snapshots (Iceberg
+    incremental/changelog read analog): rows present at ``to`` but not
+    at ``from`` come back with ``_change_type = 'insert'``, rows present
+    at ``from`` but gone at ``to`` with ``'delete'`` (an updated row is
+    a delete + insert pair). ``from_snapshot=None`` means "before the
+    table existed" — every row is an insert, the bootstrap of an
+    incremental consumer. ``to_snapshot=None`` means current.
+
+    Scale shape: versions are immutable per (run_id, bucket), so a
+    bucket whose selected run is THE SAME at both endpoints cannot have
+    changed — it is excluded before any file is opened. Both scans are
+    partition-literal pruned to the changed buckets only, and the
+    ``exceptAll`` pair shuffles just those buckets' rows, not the table.
+    A backfill that rewrote a bucket to identical content (deterministic
+    reprocess) therefore nets to an EMPTY diff — copy-on-write file
+    churn is not a logical change, same as Iceberg's changelog scan.
+    """
+    from_map = dict(
+        (b, r)
+        for r, b in (
+            _pairs_as_of(spark, manifest_path, from_snapshot) if from_snapshot else []
+        )
+    )
+    to_map = dict(
+        (b, r)
+        for r, b in (
+            _pairs_as_of(spark, manifest_path, to_snapshot)
+            if to_snapshot
+            else _current_pairs(spark, manifest_path)
+        )
+    )
+    changed = {b for b in from_map.keys() | to_map.keys() if from_map.get(b) != to_map.get(b)}
+    old_pairs = [(from_map[b], b) for b in sorted(changed) if b in from_map]
+    new_pairs = [(to_map[b], b) for b in sorted(changed) if b in to_map]
+
+    base = spark.read.parquet(output_path)
+    cols = ["bucket", *[c for c in OUTPUT_COLS if c in base.columns]]
+
+    def _side(pairs: list[tuple[str, int]]) -> DataFrame:
+        if not pairs:
+            return base.select(*cols).limit(0)
+        return base.filter(_selection_predicate(pairs)).select(*cols)
+
+    old, new = _side(old_pairs), _side(new_pairs)
+    return (
+        new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        .unionByName(old.exceptAll(new).withColumn("_change_type", F.lit("delete")))
+        .select("_change_type", *cols)
+    )
+
+
+def compact(
+    spark: SparkSession, output_path: str, manifest_path: str
+) -> dict:
+    """Rewrite the table's CURRENT selection under one new run_id
+    (Iceberg ``rewrite_data_files`` analog). After many resumes and
+    backfills the live table is scattered across run directories — a
+    reader's selection predicate grows one clause per live run, and
+    each run partition holds only a slice of the buckets. Compaction
+    folds them into a single run (one predicate clause, contiguous
+    files per bucket) and commits a ``compact`` snapshot; the OLD
+    versions stay time-travelable until ``expire_snapshots`` reclaims
+    them, exactly like Iceberg's rewrite + expire split.
+
+    Scale shape: one partition-pruned scan of the live selection, one
+    sorted write — no shuffle beyond the write's ``sortWithinPartitions``
+    — and the manifest commit reuses the same observe-gated integrity
+    path as a normal run.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    t0 = time.time()
+    pairs = _current_pairs(spark, manifest_path)
+    if not pairs:
+        raise ValueError("compact: empty manifest — nothing to compact")
+    parent_snapshot = latest_snapshot_id(spark, manifest_path)
+    runs_before = sorted({r for r, _ in pairs})
+    buckets = sorted({b for _, b in pairs})
+
+    current = read_current(spark, output_path, manifest_path).drop("run_id")
+    result = current.select("bucket", *[c for c in OUTPUT_COLS if c in current.columns])
+    observation, result = attach_lineage_observation(result, run_id)
+    (
+        result.withColumn("run_id", F.lit(run_id))
+        .sortWithinPartitions("bucket", "repo", "path")
+        .write.partitionBy("run_id", "bucket")
+        .mode("append")
+        .parquet(output_path)
+    )
+    written = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
+    commit_bucket_metrics(spark, observation, written, buckets, run_id, t0, manifest_path)
+
+    totals = (
+        _latest_manifest_rows(spark, manifest_path)
+        .agg(F.sum("rows").alias("rows"), F.sum("kept").alias("kept"))
+        .collect()[0]
+    )
+    snapshot = spark.createDataFrame(
+        [
+            (
+                run_id, parent_snapshot, "compact", len(buckets), 0,
+                int(totals["rows"] or 0), int(totals["kept"] or 0),
+                float(time.time()),
+            )
+        ],
+        "snapshot_id string, parent_snapshot_id string, operation string, "
+        "buckets_processed int, buckets_skipped int, rows_total long, "
+        "rows_kept long, committed_at double",
+    )
+    snapshot.write.mode("append").parquet(_snapshots_path(manifest_path))
+    return {
+        "run_id": run_id,
+        "snapshot_id": run_id,
+        "operation": "compact",
+        "runs_compacted": len(runs_before),
+        "buckets": len(buckets),
+        "rows_total": int(totals["rows"] or 0),
+        "elapsed_sec": time.time() - t0,
+    }
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    output_path: str,
+    manifest_path: str,
+    keep_last: int = 1,
+) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots and reclaim the
+    data files only they referenced (Iceberg ``expire_snapshots``). The
+    complement of ``vacuum``: vacuum removes never-committed orphans,
+    expire removes history that policy says nobody may time-travel to
+    anymore.
+
+    Entry retention rule: a kept snapshot S resolves each bucket to the
+    newest 'done' entry with ``committed_at <= S.cutoff``. Keeping (a)
+    every entry newer than the OLDEST kept snapshot's cutoff plus (b)
+    the entries that oldest kept snapshot itself selects is sufficient
+    for every kept snapshot — any newer snapshot's winner for a bucket
+    is either in (a) or coincides with (b).
+
+    Both manifest tables are driver-small by design (runs × buckets
+    rows), so the rewrite collects and re-creates them; on an object
+    store this becomes a conditional metadata swap.
+    """
+    snaps = spark.read.parquet(_snapshots_path(manifest_path)).collect()
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    snaps_sorted = sorted(snaps, key=lambda r: (r["committed_at"], r["snapshot_id"]))
+    kept, expired = snaps_sorted[-keep_last:], snaps_sorted[:-keep_last]
+    if not expired:
+        return {"expired_snapshots": [], "removed_runs": []}
+    oldest_kept = kept[0]
+    keep_pairs = set(_pairs_as_of(spark, manifest_path, oldest_kept["snapshot_id"]))
+
+    entries = spark.read.parquet(_entries_path(manifest_path)).collect()
+    live_entries = [
+        r
+        for r in entries
+        if r["committed_at"] > oldest_kept["committed_at"]
+        or (r["run_id"], int(r["bucket"])) in keep_pairs
+    ]
+    entries_schema = (
+        "run_id string, bucket bigint, rows long, kept long, dropped long, "
+        "scrubbed long, status string, elapsed_sec double, committed_at double"
+    )
+    snaps_schema = (
+        "snapshot_id string, parent_snapshot_id string, operation string, "
+        "buckets_processed int, buckets_skipped int, rows_total long, "
+        "rows_kept long, committed_at double"
+    )
+    entry_fields = [f.split()[0] for f in entries_schema.split(", ")]
+    snap_fields = [f.split()[0] for f in snaps_schema.split(", ")]
+    spark.createDataFrame(
+        [tuple(r[f] for f in entry_fields) for r in live_entries],
+        entries_schema,
+    ).write.mode("overwrite").parquet(_entries_path(manifest_path))
+    spark.createDataFrame(
+        [tuple(r[f] for f in snap_fields) for r in kept], snaps_schema
+    ).write.mode("overwrite").parquet(_snapshots_path(manifest_path))
+
+    # reclaim EXACTLY the runs this expiry unreferenced (was-referenced
+    # minus still-referenced) — never a blanket orphan sweep, so an
+    # in-flight writer's written-but-uncommitted run directory is safe
+    import os
+
+    was_referenced = {r["run_id"] for r in entries}
+    still_referenced = {r["run_id"] for r in live_entries}
+    root = output_path[len("file:"):] if output_path.startswith("file:") else output_path
+    removed: list[str] = []
+    for run_id in sorted(was_referenced - still_referenced):
+        full = os.path.join(root, f"run_id={run_id}")
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+            removed.append(run_id)
+    return {
+        "expired_snapshots": [r["snapshot_id"] for r in expired],
+        "removed_runs": removed,
+    }
 
 
 def vacuum(
@@ -128,7 +348,6 @@ def vacuum(
     eligible. Pass 0 only when no writer can be running (tests,
     single-writer maintenance windows)."""
     import os
-    import time as _time
 
     try:
         referenced = {
@@ -144,7 +363,7 @@ def vacuum(
     root = output_path[len("file:"):] if output_path.startswith("file:") else output_path
     if not os.path.isdir(root):
         return removed
-    now = _time.time()
+    now = time.time()
     for name in sorted(os.listdir(root)):
         if not name.startswith("run_id="):
             continue

