@@ -249,6 +249,26 @@ def compact(
     }
 
 
+def _swap_rewrite(spark: SparkSession, rows: list, schema: str, path: str) -> None:
+    """Rewrite a (driver-small) manifest table via write-to-temp + rename
+    swap instead of mode('overwrite')'s delete-then-write — a crash mid-
+    overwrite would leave NO manifest at all, while a crash between the
+    two renames here leaves the old table recoverable at ``<path>__old``.
+    On an object store this becomes the catalog's conditional metadata
+    swap (the same contract real Iceberg gets from its catalog)."""
+    import os
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    tmp, old = f"{local}__tmp", f"{local}__old"
+    for stale in (tmp, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old)
+
+
 def expire_snapshots(
     spark: SparkSession,
     output_path: str,
@@ -300,13 +320,18 @@ def expire_snapshots(
     )
     entry_fields = [f.split()[0] for f in entries_schema.split(", ")]
     snap_fields = [f.split()[0] for f in snaps_schema.split(", ")]
-    spark.createDataFrame(
+    _swap_rewrite(
+        spark,
         [tuple(r[f] for f in entry_fields) for r in live_entries],
         entries_schema,
-    ).write.mode("overwrite").parquet(_entries_path(manifest_path))
-    spark.createDataFrame(
-        [tuple(r[f] for f in snap_fields) for r in kept], snaps_schema
-    ).write.mode("overwrite").parquet(_snapshots_path(manifest_path))
+        _entries_path(manifest_path),
+    )
+    _swap_rewrite(
+        spark,
+        [tuple(r[f] for f in snap_fields) for r in kept],
+        snaps_schema,
+        _snapshots_path(manifest_path),
+    )
 
     # reclaim EXACTLY the runs this expiry unreferenced (was-referenced
     # minus still-referenced) — never a blanket orphan sweep, so an
