@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_clusters",
     # sessionization over the events stream (added r3)
     "sessionize",
+    # corpus-wide boilerplate n-gram mining (added r3)
+    "boilerplate_ngrams",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))

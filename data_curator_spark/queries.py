@@ -1926,3 +1926,54 @@ ORACLES.update(
         "corpus_profile": SQL_CORPUS_PROFILE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# r3 addition: corpus-wide boilerplate n-gram mining
+# ---------------------------------------------------------------------------
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 most document-frequent word 3-grams across the corpus —
+    the boilerplate-mining pass that feeds licence-header / template
+    stripping in a training-data pipeline (no reference analog; the
+    dedup shingle machinery reused corpus-wide).
+
+    Scale shape: ``word_shingles`` is already distinct-per-doc, so the
+    explode feeds ONE hash aggregation whose shuffle carries
+    (ngram, partial_count) — map-side combine, documents never move —
+    and the deterministic top-k (count desc, ngram asc) compiles to
+    TakeOrderedAndProject: per-partition heaps + a driver merge of 40
+    rows, no global sort. doc_share is a single IEEE long/long division,
+    bit-identical across engines, so the oracle needs no rounding.
+    """
+    from data_curator_spark.operators.dedup import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(F.explode(word_shingles(F.col("text"), 3)).alias("ngram"))
+    total = d.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ngram",
+            "doc_freq",
+            (F.col("doc_freq") / F.col("__n")).alias("doc_share"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(40)
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH {_shingle_cte()}
+SELECT s AS ngram, COUNT(*) AS doc_freq,
+       COUNT(*) / (SELECT COUNT(*) FROM documents) AS doc_share
+FROM sh GROUP BY s
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 40
+"""
+
+QUERIES["boilerplate_ngrams"] = q_boilerplate_ngrams
+ORACLES["boilerplate_ngrams"] = SQL_BOILERPLATE_NGRAMS

@@ -119,3 +119,14 @@ def test_corpus_sample_is_scan_level_filter(spark):
     exchange — sampling 10^12 files cannot afford a shuffle."""
     plan = _plan(spark, "corpus_sample")
     assert "Exchange" not in plan
+
+
+def test_boilerplate_topk_is_heap_not_global_sort(spark):
+    """Top-k n-gram mining must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows) with map-side partial
+    counts — a global Sort before the limit would shuffle the full
+    corpus-wide ngram distribution at 100 TB."""
+    plan = _plan(spark, "boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "+- Sort " not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final counts
