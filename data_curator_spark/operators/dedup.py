@@ -33,6 +33,11 @@ from data_curator_spark.engine.cache import persist_tracked
 
 WS_RE = "[ \\n\\t\\r]+"
 P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: affine-hash modulus
+# connected_components broadcasts its (id, label) frames into the corpus
+# joins only below this row count (~2×8B×5M ≈ 80 MB serialized — well
+# inside executor memory); a pathological pair graph above it falls back
+# to AQE-chosen shuffle joins instead of OOMing the driver
+BROADCAST_LABEL_CAP = 5_000_000
 
 
 def hex_prefix_long(c: Column, n_hex: int) -> Column:
@@ -525,13 +530,32 @@ def connected_components(
     # ids still CARRY connectivity through the propagation above, but
     # must never become a cluster_id (the cluster would have no
     # canonical member to keep) — relabel each component to its minimum
-    # VERTEX id. All frames here are touched-set sized.
-    vlabels = labels.join(identity.select("id"), on="id", how="semi")
+    # VERTEX id.
+    #
+    # Scale shape: the corpus only ever STREAMS — it is never shuffled
+    # and never broadcast. `labels` is pair-touched-set sized (tiny next
+    # to the corpus), so both corpus joins hash against a broadcast of
+    # the label side; without the hint Spark at test scale happily
+    # broadcasts the CORPUS into the semi-join, which is exactly
+    # backwards at 100 TB. The count() is free (labels is checkpointed)
+    # and drops the hint for a pathological graph whose touched set is
+    # too big to broadcast — AQE then picks the shuffle strategy.
+    from data_curator_spark.engine.cache import local_checkpoint_tracked
+
+    hint = F.broadcast if labels.count() <= BROADCAST_LABEL_CAP else (lambda df: df)
+    # corpus stream 1: keep only labels whose id is a real vertex, then
+    # remap each component to its min REAL id — materialized (tiny) so
+    # the final join does not replay this scan
+    vlabels = local_checkpoint_tracked(
+        identity.select("id").join(hint(labels), on="id", how="inner")
+    )
     remap = vlabels.groupBy("label").agg(F.min("id").alias("__cid"))
-    vlabels = vlabels.join(remap, on="label").select("id", F.col("__cid").alias("label"))
-    # singletons (never in any pair) re-attach as their own cluster —
-    # one left join of the corpus against the converged (small) labels
-    return identity.drop("label").join(vlabels, on="id", how="left").select(
+    vlabels = vlabels.join(hint(remap), on="label").select(
+        "id", F.col("__cid").alias("label")
+    )
+    # corpus stream 2: singletons (never in any pair) re-attach as their
+    # own cluster — one left join against the converged (small) labels
+    return identity.drop("label").join(hint(vlabels), on="id", how="left").select(
         F.col("id").alias(id_col),
         F.coalesce("label", "id").alias("cluster_id"),
         (F.coalesce("label", "id") == F.col("id")).alias("is_canonical"),

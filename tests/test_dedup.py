@@ -149,7 +149,9 @@ def test_connected_components_chains_and_singletons(spark):
         # only the FINAL round's localCheckpoint is still held (by `out`);
         # superseded rounds were released eagerly
         live = persisted_rdd_ids(spark)
-        assert len(live) <= 2, live  # final checkpoint + scoped edges
+        # final-round checkpoint + scoped edges + the materialized
+        # vertex-filtered relabel frame — all tracked, all released below
+        assert len(live) <= 3, live
     # scope released the persist_tracked edges; drop the final checkpoint
     unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

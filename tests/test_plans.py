@@ -130,3 +130,20 @@ def test_boilerplate_topk_is_heap_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "+- Sort " not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final counts
+
+
+def test_connected_components_never_moves_the_corpus(spark):
+    """The cluster-assignment tail must stream the corpus through
+    broadcast hash joins against the (tiny) label frames — a
+    SortMergeJoin here means the corpus itself shuffles, and a
+    broadcast of the parquet side means the corpus rides the driver;
+    both are wrong at 100 TB."""
+    plan = _plan(spark, "dedup_clusters")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+    # the broadcast subtrees contain only label-frame scans, never the
+    # corpus parquet
+    import re
+
+    for sub in re.findall(r"BroadcastExchange.*?(?=\n\(\d+\) [A-Z])", plan, re.S):
+        assert "Scan parquet" not in sub
