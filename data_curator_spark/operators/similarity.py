@@ -347,6 +347,13 @@ def train_ivf_centroids(
     import numpy as np
 
     rng = np.random.default_rng(seed)
+    # null / wrong-width vectors never train: _assign_cell maps them to a
+    # NULL cell, and a None group key would crash the centroid rebuild
+    # (sorted(new) on mixed None/int). The numpy replica cannot even
+    # represent ragged rows in its 2D array, so skipping keeps parity.
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
     # init from a deterministic sample of the corpus
     sample_src = corpus.orderBy(id_col) if id_col is not None else corpus
     sample = sample_src.select(vec_col).limit(n_centroids * 20).collect()
@@ -457,7 +464,15 @@ def ivf_ann_topk(
             1,
             n_probe,
         )
-        probe_cells = F.transform(probe_arr, lambda s: s["i"])
+        # same bad-vector guard as _assign_expr: a null / wrong-width
+        # QUERY vector yields NULL (explode drops the query), matching
+        # the UDF branch — unguarded, the null-poisoned distances would
+        # probe cells 0..n_probe-1 and emit ranked rows with sim=NULL
+        probe_cells = F.when(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == len(centroids[0])),
+            F.transform(probe_arr, lambda s: s["i"]),
+        )
     else:
         probe_cells = _nearest_cells_udf(centroids, n_probe)(F.col(vec_col))
     probes = queries.select(

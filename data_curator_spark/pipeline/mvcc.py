@@ -249,7 +249,7 @@ def compact(
     }
 
 
-def _swap_rewrite(spark: SparkSession, rows: list, schema: str, path: str) -> None:
+def _swap_rewrite(spark: SparkSession, rows: list, schema, path: str) -> None:
     """Rewrite a (driver-small) manifest table via write-to-temp + rename
     swap instead of mode('overwrite')'s delete-then-write — a crash mid-
     overwrite would leave NO manifest at all, while a crash between the
@@ -292,7 +292,8 @@ def expire_snapshots(
     rows), so the rewrite collects and re-creates them; on an object
     store this becomes a conditional metadata swap.
     """
-    snaps = spark.read.parquet(_snapshots_path(manifest_path)).collect()
+    snaps_df = spark.read.parquet(_snapshots_path(manifest_path))
+    snaps = snaps_df.collect()
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
     snaps_sorted = sorted(snaps, key=lambda r: (r["committed_at"], r["snapshot_id"]))
@@ -302,35 +303,36 @@ def expire_snapshots(
     oldest_kept = kept[0]
     keep_pairs = set(_pairs_as_of(spark, manifest_path, oldest_kept["snapshot_id"]))
 
-    entries = spark.read.parquet(_entries_path(manifest_path)).collect()
+    entries_df = spark.read.parquet(_entries_path(manifest_path))
+    entries = entries_df.collect()
     live_entries = [
         r
         for r in entries
         if r["committed_at"] > oldest_kept["committed_at"]
         or (r["run_id"], int(r["bucket"])) in keep_pairs
     ]
-    entries_schema = (
-        "run_id string, bucket bigint, rows long, kept long, dropped long, "
-        "scrubbed long, status string, elapsed_sec double, committed_at double"
-    )
-    snaps_schema = (
-        "snapshot_id string, parent_snapshot_id string, operation string, "
-        "buckets_processed int, buckets_skipped int, rows_total long, "
-        "rows_kept long, committed_at double"
-    )
-    entry_fields = [f.split()[0] for f in entries_schema.split(", ")]
-    snap_fields = [f.split()[0] for f in snaps_schema.split(", ")]
-    _swap_rewrite(
-        spark,
-        [tuple(r[f] for f in entry_fields) for r in live_entries],
-        entries_schema,
-        _entries_path(manifest_path),
-    )
+    # schemas come from the tables as READ (never a hardcoded copy —
+    # a manifest column added later must survive expiry untouched)
+    entry_fields = entries_df.schema.fieldNames()
+    snap_fields = snaps_df.schema.fieldNames()
+    # snapshots rewrite FIRST: a crash between the two rewrites then
+    # fails SAFE — the expired snapshot ids are already gone (readers
+    # get 'unknown snapshot_id', never a silently-partial time travel),
+    # while the extra not-yet-pruned entries are harmless: every
+    # surviving snapshot's per-bucket winner is unchanged by older rows.
+    # The reverse order would leave expired snapshots readable over
+    # already-pruned entries = silently empty/wrong content.
     _swap_rewrite(
         spark,
         [tuple(r[f] for f in snap_fields) for r in kept],
-        snaps_schema,
+        snaps_df.schema,
         _snapshots_path(manifest_path),
+    )
+    _swap_rewrite(
+        spark,
+        [tuple(r[f] for f in entry_fields) for r in live_entries],
+        entries_df.schema,
+        _entries_path(manifest_path),
     )
 
     # reclaim EXACTLY the runs this expiry unreferenced (was-referenced

@@ -1949,7 +1949,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_curator_spark.operators.dedup import word_shingles
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     grams = d.select(F.explode(word_shingles(F.col("text"), 3)).alias("ngram"))
     total = d.agg(F.count(F.lit(1)).alias("__n"))
     return (

@@ -279,3 +279,43 @@ def test_selection_scan_prunes_partitions(spark, corpus, tmp_path):
 
     m = re.search(r"PartitionFilters: \[(.+?)\]", plan)
     assert m and "run_id" in m.group(1) and "bucket" in m.group(1), plan
+
+
+def test_expire_crash_between_rewrites_fails_safe(spark, corpus, tmp_path, monkeypatch):
+    """Review r3b: the snapshots table must be rewritten BEFORE the
+    entries table — a crash between the two rewrites then leaves
+    expired ids unknown (loud) instead of time-travelable over pruned
+    entries (silently empty)."""
+    import data_curator_spark.pipeline.mvcc as mvcc_mod
+    from data_curator_spark.pipeline.mvcc import expire_snapshots
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    r1 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=2, fail_buckets={1})
+    r2 = run_pipeline_mvcc(spark, corpus, out, man, n_buckets=2)
+    cur = {r["sha256_original"] for r in read_current(spark, out, man).collect()}
+
+    real = mvcc_mod._swap_rewrite
+    calls = {"n": 0}
+
+    def crash_on_second(spark_, rows, schema, path):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between manifest rewrites")
+        return real(spark_, rows, schema, path)
+
+    monkeypatch.setattr(mvcc_mod, "_swap_rewrite", crash_on_second)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        expire_snapshots(spark, out, man, keep_last=1)
+
+    # expired snapshot is GONE (loud failure on time travel)...
+    with pytest.raises(ValueError, match="unknown snapshot_id"):
+        read_snapshot(spark, out, man, r1["snapshot_id"])
+    # ...while current state and the kept snapshot are fully intact
+    # (the un-pruned extra entries change no per-bucket winner)
+    assert {
+        r["sha256_original"] for r in read_current(spark, out, man).collect()
+    } == cur
+    assert read_snapshot(spark, out, man, r2["snapshot_id"]).count() == len(
+        read_current(spark, out, man).collect()
+    )

@@ -274,3 +274,38 @@ def test_assigners_agree_on_null_and_ragged_vectors(spark):
         ).collect()
     }
     assert expr == udf == {0: 1, 1: None, 2: None, 3: 0}
+
+
+def test_ivf_tolerates_bad_corpus_and_query_vectors(spark):
+    """Review r3b: ragged/null vectors anywhere in IVF must be skipped,
+    not crash training (None group key) or emit sim=NULL rankings —
+    and the expression and UDF probe branches must agree on dropping
+    bad queries."""
+    from pyspark.sql import Row
+
+    good = [Row(vec_id=i, embedding=[float(i), float(i) + 1.0]) for i in range(8)]
+    bad = [Row(vec_id=100, embedding=None), Row(vec_id=101, embedding=[0.5])]
+    df = spark.createDataFrame(good + bad, "vec_id long, embedding array<float>")
+
+    cents = S.train_ivf_centroids(df, "embedding", n_centroids=2, iters=2, dim=2, seed=1)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+
+    out = S.ivf_ann_topk(
+        df, df, "vec_id", "embedding", k=2, n_centroids=2, n_probe=2, iters=2, dim=2, seed=1
+    )
+    rows = out.collect()
+    qids = {r["query_id"] for r in rows}
+    assert 100 not in qids and 101 not in qids  # bad queries dropped
+    assert all(r["sim"] is not None for r in rows)
+    # force the UDF branch by lowering the threshold: identical output
+    import data_curator_spark.operators.similarity as sim_mod
+
+    old = sim_mod.ASSIGN_EXPR_MAX_CENTROIDS
+    sim_mod.ASSIGN_EXPR_MAX_CENTROIDS = 1
+    try:
+        out_udf = S.ivf_ann_topk(
+            df, df, "vec_id", "embedding", k=2, n_centroids=2, n_probe=2, iters=2, dim=2, seed=1
+        ).collect()
+    finally:
+        sim_mod.ASSIGN_EXPR_MAX_CENTROIDS = old
+    assert sorted(map(tuple, out_udf)) == sorted(map(tuple, rows))
