@@ -44,6 +44,31 @@ HEADLINE = [
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))
 
+# the 13 queries benchmarked since r2 — a STABLE subtotal so cross-round
+# comparisons are apples-to-apples even as the headline set grows
+# (r3 verdict item 5); keep this list frozen
+CORE13 = [
+    "pricing_summary", "revenue_by_nation", "coalescing_merge", "asof_join",
+    "sma_window", "volatility_window", "indexed_rolling", "null_semantics",
+    "discrepancy_scan", "dedup_exact", "minhash_lsh", "ann_cosine_topk",
+    "quality_filter_pipeline",
+]
+
+
+def host_probe_sec() -> float:
+    """Fixed single-thread CPU workload (~1s on a quiet host): recorded
+    in the bench line so cross-round deltas can be read against the
+    shared host's load that session (measured day-to-day swings reach
+    3-4x; see BENCH/BASELINE.md)."""
+    import hashlib
+
+    t0 = time.time()
+    h = hashlib.md5()
+    for i in range(400_000):
+        h.update(str(i).encode())
+    assert h.hexdigest()
+    return round(time.time() - t0, 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,6 +145,10 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "timing": "min_of_reps",
+                "core13_total_sec": round(
+                    sum(timings[k] for k in CORE13 if k in timings), 3
+                ),
+                "host_probe_sec": host_probe_sec(),
                 "pipeline_files_per_sec": round(n_files / pipe_sec, 1),
                 "pipeline_files": n_files,
                 "pipeline_kept": kept,

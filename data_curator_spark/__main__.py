@@ -118,12 +118,35 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
+    def _mvcc_guard(fn):
+        # a fresh table has no manifest yet; surface a clear message
+        # instead of a raw AnalysisException stack (ADVICE r3)
+        from pyspark.errors import AnalysisException
+
+        try:
+            return fn(), 0
+        except AnalysisException:
+            print(
+                f"no manifest found under {args.manifest!r} — run the "
+                "pipeline first ('pipeline --layout mvcc') to create it",
+                file=sys.stderr,
+            )
+            return None, 1
+
     if args.cmd == "snapshots":
         from data_curator_spark.pipeline.runner import snapshot_lineage
         from data_curator_spark.session import build_session
 
         spark = build_session("snapshots")
-        for r in snapshot_lineage(spark, args.manifest).orderBy("committed_at").collect():
+        rows, rc = _mvcc_guard(
+            lambda: snapshot_lineage(spark, args.manifest)
+            .orderBy("committed_at")
+            .collect()
+        )
+        if rc:
+            spark.stop()
+            return rc
+        for r in rows:
             print(json.dumps(r.asDict()))
         spark.stop()
         return 0
@@ -133,7 +156,12 @@ def main(argv: list[str] | None = None) -> int:
         from data_curator_spark.session import build_session
 
         spark = build_session("travel")
-        df = read_snapshot(spark, args.output, args.manifest, args.snapshot)
+        df, rc = _mvcc_guard(
+            lambda: read_snapshot(spark, args.output, args.manifest, args.snapshot)
+        )
+        if rc:
+            spark.stop()
+            return rc
         df.write.mode("overwrite").parquet(args.to)
         print(json.dumps({"snapshot": args.snapshot, "rows": spark.read.parquet(args.to).count(), "to": args.to}))
         spark.stop()
@@ -144,9 +172,14 @@ def main(argv: list[str] | None = None) -> int:
         from data_curator_spark.session import build_session
 
         spark = build_session("diff")
-        df = snapshot_diff(
-            spark, args.output, args.manifest, args.from_snapshot, args.to_snapshot
+        df, rc = _mvcc_guard(
+            lambda: snapshot_diff(
+                spark, args.output, args.manifest, args.from_snapshot, args.to_snapshot
+            )
         )
+        if rc:
+            spark.stop()
+            return rc
         df.write.mode("overwrite").parquet(args.to)
         counts = {
             r["_change_type"]: r["count"]
@@ -165,7 +198,11 @@ def main(argv: list[str] | None = None) -> int:
         from data_curator_spark.session import build_session
 
         spark = build_session("compact")
-        print(json.dumps(compact(spark, args.output, args.manifest)))
+        out, rc = _mvcc_guard(lambda: compact(spark, args.output, args.manifest))
+        if rc:
+            spark.stop()
+            return rc
+        print(json.dumps(out))
         spark.stop()
         return 0
 
@@ -174,9 +211,15 @@ def main(argv: list[str] | None = None) -> int:
         from data_curator_spark.session import build_session
 
         spark = build_session("expire")
-        print(json.dumps(
-            expire_snapshots(spark, args.output, args.manifest, keep_last=args.keep_last)
-        ))
+        out, rc = _mvcc_guard(
+            lambda: expire_snapshots(
+                spark, args.output, args.manifest, keep_last=args.keep_last
+            )
+        )
+        if rc:
+            spark.stop()
+            return rc
+        print(json.dumps(out))
         spark.stop()
         return 0
 

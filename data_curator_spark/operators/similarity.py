@@ -18,6 +18,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# query-side (id, vector) frames are broadcast only below this row
+# count (~2M × (8B + 64×8B) ≈ 1 GB worst case at dim=64 — inside the
+# usual executor/driver broadcast budget; scale the cap down for wider
+# vectors). Above it — e.g. corpus-vs-corpus self-ANN — we fall back to
+# a shuffle join instead of failing the job on broadcast OOM. Same
+# pattern as dedup.BROADCAST_LABEL_CAP (ADVICE r3).
+BROADCAST_QUERY_CAP = 2_000_000
+
+
+def _gated_broadcast(df: DataFrame, cap: int = BROADCAST_QUERY_CAP) -> DataFrame:
+    """``F.broadcast(df)`` only when df is provably small. The probe is
+    a bounded scan (``limit(cap+1).count()``), never a full count of an
+    unbounded side."""
+    return F.broadcast(df) if df.limit(cap + 1).count() <= cap else df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (left-to-right fold, deterministic)."""
     return F.aggregate(
@@ -158,7 +174,7 @@ def lsh_ann_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = F.broadcast(
+    qv = _gated_broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__queryvec"))
     )
     cv = corpus.select(
@@ -481,10 +497,16 @@ def ivf_ann_topk(
         F.explode(probe_cells).alias("cell"),
     )
 
+    # NO dedup needed: each corpus row sits in exactly ONE cell and a
+    # query's probe cells are distinct indexes, so (query_id,
+    # neighbor_id) cannot repeat. The r3 dropDuplicates here was not
+    # just redundant — it forced a full-width exchange carrying BOTH
+    # embedding vectors per candidate pair (the anti-pattern
+    # lsh_ann_topk fixed in r2). Without it the only post-join shuffle
+    # is the ids+sim window partitioning.
     cand = (
-        F.broadcast(probes).join(cells, on="cell")
+        _gated_broadcast(probes).join(cells, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
     scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))

@@ -168,6 +168,7 @@ def sessionize(
     ts_col: str,
     gap: str = "30 minutes",
     agg_cols: dict[str, str] | None = None,
+    dropped_ts_observation=None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time
     since the previous event of the same ``key`` exceeds ``gap``.
@@ -184,7 +185,21 @@ def sessionize(
     groupBy re-uses that partitioning; AQE coalesces the output. The
     reference has no session concept (single-identifier batches); this
     is engine-added for event/telemetry curation.
+
+    Null-timestamp policy (explicit, r3 verdict item 7): an event with a
+    NULL ``ts_col`` belongs to no session — it is DROPPED before the
+    windows, never silently ordered first/last (Spark and DuckDB
+    null-order windows differently, a divergence clean testdata cannot
+    surface). Pass a ``pyspark.sql.Observation`` as
+    ``dropped_ts_observation`` to count the dropped rows as a metric
+    (contract philosophy: data loss is always observable).
     """
+    if dropped_ts_observation is not None:
+        events = events.observe(
+            dropped_ts_observation,
+            F.sum(F.col(ts_col).isNull().cast("long")).alias("null_ts_dropped"),
+        )
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key).orderBy(ts_col, "__tie")
     # a deterministic tie-break column makes the window total-ordered
     # even when two events share a timestamp (hash of all columns)

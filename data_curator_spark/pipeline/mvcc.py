@@ -41,6 +41,7 @@ import shutil
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,6 +57,27 @@ from data_curator_spark.pipeline.runner import (
     with_bucket,
 )
 from data_curator_spark.pipeline.stages import run_stages
+
+
+def _recover_swap(path: str) -> None:
+    """Crash recovery for ``_swap_rewrite``: a crash between its two
+    renames leaves the table ABSENT at ``path`` with only
+    ``<path>__old`` on disk. Rename the old table back into place so
+    every reader — and a retried expire — proceeds automatically
+    instead of raising AnalysisException until a human intervenes."""
+    import os
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    old = f"{local}__old"
+    if not os.path.exists(local) and os.path.isdir(old):
+        os.rename(old, local)
+
+
+def _read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """All manifest reads funnel through here so a crashed swap-rewrite
+    self-heals before the read (see _recover_swap)."""
+    _recover_swap(path)
+    return spark.read.parquet(path)
 
 
 def _selection_predicate(pairs: list[tuple[str, int]]):
@@ -92,13 +114,13 @@ def _pairs_as_of(
     """The (run_id, bucket) selection as of ``snapshot_id`` — entries
     committed after that snapshot are invisible, so buckets rewritten
     since then resolve to the version the snapshot saw."""
-    snaps = spark.read.parquet(_snapshots_path(manifest_path))
+    snaps = _read_manifest(spark, _snapshots_path(manifest_path))
     snap = snaps.filter(F.col("snapshot_id") == snapshot_id).collect()
     if not snap:
         raise ValueError(f"unknown snapshot_id {snapshot_id!r}")
     cutoff = snap[0]["committed_at"]
     m = (
-        spark.read.parquet(_entries_path(manifest_path))
+        _read_manifest(spark, _entries_path(manifest_path))
         .filter((F.col("status") == "done") & (F.col("committed_at") <= cutoff))
     )
     from pyspark.sql import Window
@@ -258,6 +280,9 @@ def _swap_rewrite(spark: SparkSession, rows: list, schema, path: str) -> None:
     swap (the same contract real Iceberg gets from its catalog)."""
     import os
 
+    # a previous crash between the two renames leaves only <path>__old;
+    # restore it first so the rewrite starts from a consistent table
+    _recover_swap(path)
     local = path[len("file:"):] if path.startswith("file:") else path
     tmp, old = f"{local}__tmp", f"{local}__old"
     for stale in (tmp, old):
@@ -292,7 +317,7 @@ def expire_snapshots(
     rows), so the rewrite collects and re-creates them; on an object
     store this becomes a conditional metadata swap.
     """
-    snaps_df = spark.read.parquet(_snapshots_path(manifest_path))
+    snaps_df = _read_manifest(spark, _snapshots_path(manifest_path))
     snaps = snaps_df.collect()
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
@@ -303,7 +328,7 @@ def expire_snapshots(
     oldest_kept = kept[0]
     keep_pairs = set(_pairs_as_of(spark, manifest_path, oldest_kept["snapshot_id"]))
 
-    entries_df = spark.read.parquet(_entries_path(manifest_path))
+    entries_df = _read_manifest(spark, _entries_path(manifest_path))
     entries = entries_df.collect()
     live_entries = [
         r
@@ -379,13 +404,17 @@ def vacuum(
     try:
         referenced = {
             r["run_id"]
-            for r in spark.read.parquet(_entries_path(manifest_path))
+            for r in _read_manifest(spark, _entries_path(manifest_path))
             .select("run_id")
             .distinct()
             .collect()
         }
-    except Exception:  # noqa: BLE001 — no manifest yet: everything is orphan-free
+    except AnalysisException:  # no manifest yet: everything is orphan-free
         referenced = set()
+    # any OTHER failure (corrupt footer, transient FS/Py4J error,
+    # permissions) must ABORT the vacuum: proceeding with an empty
+    # referenced set would make every committed run look unreferenced
+    # and delete live data from a cleanup command
     removed: list[str] = []
     root = output_path[len("file:"):] if output_path.startswith("file:") else output_path
     if not os.path.isdir(root):

@@ -1813,12 +1813,36 @@ def get_oracles() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def _epoch_us(df: DataFrame, col_name: str) -> F.Column:
+    """Epoch-microsecond BIGINT for a timestamp column, identical for
+    BOTH Spark timestamp readings of the same parquet micros: NTZ
+    (timestamp_diff from an NTZ epoch literal — timezone never enters)
+    and LTZ (unix_micros — parquet stored micros read as a UTC instant,
+    returned verbatim regardless of session timezone). Verified equal
+    on the events table under both inferTimestampNTZ settings.
+
+    Raw TIMESTAMP output columns are representation-fragile across
+    harness environments (r3 driver hash mismatch on sessionize even
+    though the values were logically identical) — integers are not."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[col_name].dataType, TimestampNTZType):
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+            F.col(col_name),
+        )
+    return F.unix_micros(F.col(col_name))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-minute gap):
     one row per (user, session) with bounds, event count and a
     decimal-exact value sum (operators/temporal.py:sessionize). One
     shuffle serves the lag window, the running session counter AND the
-    session groupBy (same partition key)."""
+    session groupBy (same partition key). Session bounds are emitted as
+    epoch-microsecond BIGINTs (r3 verdict: raw TIMESTAMP outputs
+    diverged in the driver harness on rendering alone)."""
     from data_curator_spark.operators.temporal import sessionize
 
     ev = _t(spark, sf_dir, "events")
@@ -1826,8 +1850,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", gap="30 minutes", agg_cols={"sum_value": "value"}
     )
     return out.select(
-        "user_id", "session_idx", "session_start", "session_end",
-        "n_events", "sum_value",
+        "user_id",
+        "session_idx",
+        _epoch_us(out, "session_start").alias("session_start_us"),
+        _epoch_us(out, "session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
     )
 
 
@@ -1838,6 +1866,7 @@ WITH flagged AS (
                 OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
   SELECT user_id, ts, value,
@@ -1846,7 +1875,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, session_idx,
-       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM numbered
@@ -1889,13 +1919,19 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiling pass every curation run starts with."""
     d = _t(spark, sf_dir, "documents")
     pcts = F.percentile("n_chars", [0.5, 0.9, 0.99])
+    # interpolated percentiles and the avg quotient are ROUND(,6) on
+    # BOTH sides — the repo's established rule for non-exact doubles.
+    # r3 shipped them raw, betting on bit-exactness across the driver's
+    # DuckDB/canon; the driver's hash said no (CORRECTNESS_r03).
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
-        pcts[0].alias("p50_chars"),
-        pcts[1].alias("p90_chars"),
-        pcts[2].alias("p99_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_chars"
+        ),
+        F.round(pcts[0], 6).alias("p50_chars"),
+        F.round(pcts[1], 6).alias("p90_chars"),
+        F.round(pcts[2], 6).alias("p99_chars"),
         F.max("n_chars").alias("max_chars"),
     )
 
@@ -1903,10 +1939,10 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_PROFILE = """
 SELECT lang, COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
-       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-       quantile_cont(n_chars, 0.5)  AS p50_chars,
-       quantile_cont(n_chars, 0.9)  AS p90_chars,
-       quantile_cont(n_chars, 0.99) AS p99_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 6)  AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6)  AS p90_chars,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
        MAX(n_chars) AS max_chars
 FROM documents
 GROUP BY lang

@@ -319,3 +319,64 @@ def test_expire_crash_between_rewrites_fails_safe(spark, corpus, tmp_path, monke
     assert read_snapshot(spark, out, man, r2["snapshot_id"]).count() == len(
         read_current(spark, out, man).collect()
     )
+
+
+def test_swap_rewrite_crash_recovery(spark, corpus, tmp_path):
+    """ADVICE r3: a crash BETWEEN _swap_rewrite's two renames leaves the
+    manifest table absent with only <path>__old on disk. Every manifest
+    read (and a retried expire) must auto-recover by renaming __old back
+    — no human intervention, no AnalysisException."""
+    import os
+
+    from data_curator_spark.pipeline.mvcc import expire_snapshots
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    run_pipeline_mvcc(spark, corpus, out, man, n_buckets=2, fail_buckets={1})
+    run_pipeline_mvcc(spark, corpus, out, man, n_buckets=2)
+    cur = {r["sha256_original"] for r in read_current(spark, out, man).collect()}
+
+    # simulate the crash window: snapshots table renamed away, not yet
+    # replaced (exactly the state after _swap_rewrite's first rename)
+    snaps = os.path.join(man, "snapshots")
+    os.rename(snaps, snaps + "__old")
+
+    # any manifest read self-heals via _recover_swap
+    assert os.path.isdir(snaps) is False
+    recovered = expire_snapshots(spark, out, man, keep_last=1)
+    assert os.path.isdir(snaps), "snapshots table not recovered from __old"
+    assert recovered["expired_snapshots"]  # expire proceeded normally
+    assert {
+        r["sha256_original"] for r in read_current(spark, out, man).collect()
+    } == cur
+
+
+def test_vacuum_aborts_on_non_missing_read_failure(spark, corpus, tmp_path):
+    """ADVICE r3: only a MISSING manifest may downgrade vacuum to
+    no-references; any other read failure must abort instead of treating
+    every committed run as an orphan and deleting live data."""
+    import os
+
+    from data_curator_spark.pipeline.mvcc import vacuum
+
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "man")
+    run_pipeline_mvcc(spark, corpus, out, man, n_buckets=2)
+    live = [n for n in os.listdir(out) if n.startswith("run_id=")]
+    assert live
+
+    # corrupt the entries table: parquet footer garbage -> read fails
+    # with something OTHER than a missing-path AnalysisException
+    entries = os.path.join(man, "entries")
+    victims = [f for f in os.listdir(entries) if f.endswith(".parquet")]
+    for v in victims:
+        with open(os.path.join(entries, v), "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        vacuum(spark, out, man, min_age_sec=0)
+    assert not isinstance(exc.value, AssertionError)
+    # nothing was deleted
+    assert [n for n in os.listdir(out) if n.startswith("run_id=")] == live

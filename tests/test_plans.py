@@ -104,6 +104,30 @@ def test_lsh_ann_band_join_is_ids_only(spark):
         assert "embedding" not in line and "__queryvec" not in line and "__neighborvec" not in line, line
 
 
+def test_ivf_ann_no_vector_carrying_exchange(spark):
+    """Round-3 verdict 'wrong #3': ivf_ann_topk used to dropDuplicates
+    AFTER re-attaching both embedding vectors, forcing a full-width
+    exchange per candidate pair — and the dedup was provably redundant
+    (one cell per corpus row, distinct probe cells per query). Guard the
+    fix: no Exchange node's output may carry a vector column; only the
+    ids+sim window partitioning may shuffle."""
+    plan = _plan(spark, "ann_ivf")
+    lines = plan.splitlines()
+    # 'Output' detail lines follow their node header; tie each Exchange
+    # to its own Output list via the (N) node ids in formatted explain
+    import re
+
+    exchange_ids = {m.group(1) for l in lines for m in [re.match(r"\((\d+)\) Exchange", l.strip())] if m}
+    assert exchange_ids, plan  # the window shuffle must exist
+    current = None
+    for l in lines:
+        m = re.match(r"\((\d+)\) ", l.strip())
+        if m:
+            current = m.group(1)
+        if current in exchange_ids and "Output" in l:
+            assert "embedding" not in l and "__qvec" not in l and "__cvec" not in l, l
+
+
 def test_sessionize_single_exchange(spark):
     """sessionize: the lag window, the running session counter and the
     session groupBy must all reuse ONE hash partitioning on the session

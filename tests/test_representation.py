@@ -1,0 +1,169 @@
+"""Representation-robustness guard over every oracled query output
+(r3 verdict item 2).
+
+The driver's correctness harness canonicalizes Spark and DuckDB results
+in an environment the repo does not control (DuckDB version, session
+confs, timestamp rendering). r3 proved that logically-identical results
+can still hash-mismatch when an output column's REPRESENTATION is
+environment-sensitive: raw TIMESTAMP values (NTZ/LTZ inference +
+timezone rendering) and unrounded interpolated doubles both burned a
+round.
+
+This test pins the rule going forward:
+
+- NO query output column may be timestamp-typed. Emit epoch-microsecond
+  BIGINTs (queries._epoch_us) instead — integers have exactly one
+  representation everywhere.
+- Every DOUBLE/FLOAT output column must be registered in
+  ALLOWED_DOUBLES with the reason its value is environment-stable.
+  Legitimate reasons:
+    decimal-exact    SUM over DECIMAL-cast inputs, cast back to double
+                     (exact in both engines; repo oracle rule #1)
+    rounded6         explicitly ROUND(x, 6) on BOTH query and oracle
+                     sides (repo rule for irrational/interpolated math)
+    ieee-exact       a single deterministic IEEE-754 op (one quotient,
+                     one sqrt of identically-folded sums) computed the
+                     same way in both engines — no interpolation, no
+                     reassociation freedom
+    recursive-bit-exact  the EMA/RSI recursions: string-cast literals +
+                     sequential folds proven bit-identical across
+                     engines (memory: r2) and driver-green since r2
+    source-passthrough  column read verbatim from parquet, no arithmetic
+
+Adding a new double column without registering it here fails this test
+— the author must consciously pick a stability argument, not bet on
+bit-exactness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ALLOWED_DOUBLES = {
+    "ann_cosine_topk": {"sim": "rounded6"},
+    "ann_ivf": {"sim": "rounded6"},
+    "ann_lsh": {"sim": "rounded6"},
+    "asof_join": {"view_value": "source-passthrough"},
+    "boilerplate_ngrams": {"doc_share": "ieee-exact"},
+    "coalescing_merge": {"o_totalprice": "source-passthrough"},
+    "corpus_heuristics": {
+        "avg_line_len": "rounded6",
+        "alnum_ratio": "rounded6",
+        "digit_ratio": "rounded6",
+        "distinct_line_ratio": "rounded6",
+    },
+    "corpus_profile": {
+        "avg_chars": "rounded6",
+        "p50_chars": "rounded6",
+        "p90_chars": "rounded6",
+        "p99_chars": "rounded6",
+    },
+    "doc_token_stats": {
+        "mean_word_len": "rounded6",
+        "punct_ratio": "rounded6",
+        "stop_ratio": "rounded6",
+    },
+    "ema_recursive": {"ema12": "recursive-bit-exact"},
+    "embedding_near_dup": {"sim": "rounded6"},
+    "embedding_norms": {"l2": "ieee-exact"},
+    "hypertable_rollup": {"sum_value": "decimal-exact", "avg_value": "ieee-exact"},
+    "indexed_rolling": {"rolling4": "decimal-exact"},
+    "log_returns": {"log_ret": "rounded6"},
+    "minhash_lsh": {"est_jaccard": "ieee-exact"},
+    "ngram_jaccard": {"jaccard": "rounded6"},
+    "null_semantics": {"poisoned_add": "ieee-exact", "safe_div": "ieee-exact"},
+    "pricing_summary": {
+        "sum_qty": "decimal-exact",
+        "sum_base_price": "decimal-exact",
+        "sum_disc_price": "decimal-exact",
+        "sum_charge": "decimal-exact",
+        "avg_qty": "ieee-exact",
+        "avg_price": "ieee-exact",
+    },
+    "revenue_by_nation": {"revenue": "decimal-exact"},
+    "rsi_recursive": {"rsi14": "recursive-bit-exact"},
+    "scalar_functions": {
+        "mod_floored": "ieee-exact",
+        "scaled_millions": "ieee-exact",
+        "abs_neg": "ieee-exact",
+    },
+    "sessionize": {"sum_value": "decimal-exact"},
+    "sma_window": {"sma5": "decimal-exact"},
+    "topk_orders": {"o_totalprice": "source-passthrough"},
+    "volatility_window": {"vol21": "rounded6"},
+}
+
+VALID_REASONS = {
+    "decimal-exact",
+    "rounded6",
+    "ieee-exact",
+    "recursive-bit-exact",
+    "source-passthrough",
+}
+
+
+_SCHEMA_MEMO: dict = {}
+
+
+def _all_query_schemas(spark):
+    # memoized: a few queries (ivf training, connected components) run
+    # real jobs at construction time — build each schema once per module
+    import __spark_entry__ as entry
+
+    if not _SCHEMA_MEMO:
+        for name, fn in sorted(entry.queries().items()):
+            _SCHEMA_MEMO[name] = fn(spark, SF_DIR).schema
+    return _SCHEMA_MEMO
+
+
+def test_no_fragile_output_representations(spark):
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    schemas = _all_query_schemas(spark)
+    problems = []
+    for name, schema in schemas.items():
+        for f in schema.fields:
+            if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+                problems.append(
+                    f"{name}.{f.name}: raw {f.dataType.simpleString()} output "
+                    "— emit epoch-micros BIGINT (queries._epoch_us) instead"
+                )
+            elif isinstance(f.dataType, (DoubleType, FloatType)):
+                reason = ALLOWED_DOUBLES.get(name, {}).get(f.name)
+                if reason is None:
+                    problems.append(
+                        f"{name}.{f.name}: unregistered double output — add it "
+                        "to ALLOWED_DOUBLES with a stability reason"
+                    )
+                elif reason not in VALID_REASONS:
+                    problems.append(f"{name}.{f.name}: invalid reason {reason!r}")
+    assert not problems, "\n".join(problems)
+
+
+def test_whitelist_has_no_stale_entries(spark):
+    """Every whitelisted column must still exist (renames/removals must
+    clean up the registry, or it rots into noise)."""
+    schemas = _all_query_schemas(spark)
+    stale = []
+    for name, cols in ALLOWED_DOUBLES.items():
+        if name not in schemas:
+            stale.append(f"query {name!r} no longer exists")
+            continue
+        have = {f.name for f in schemas[name].fields}
+        for c in cols:
+            if c not in have:
+                stale.append(f"{name}.{c} not in query output")
+    assert not stale, "\n".join(stale)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_caches(spark):
+    yield
+    spark.catalog.clearCache()

@@ -216,3 +216,33 @@ def test_sessionize_gap_semantics(spark):
         (1, 2): (1, 4.40),  # 1us past the gap splits
         (2, 1): (1, 8.80),
     }
+
+
+def test_sessionize_null_ts_dropped_and_counted(spark):
+    """Null-timestamp policy (r4): an event with NULL ts belongs to no
+    session — dropped before the windows (Spark and DuckDB null-order
+    windows differently; silent divergence risk), counted via the
+    optional Observation so the loss is observable."""
+    import datetime as dt
+
+    from pyspark.sql import Observation
+
+    from data_curator_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, None, 99.0),   # dropped: no session, sum unaffected
+        (2, None, 50.0),   # user 2 has ONLY null-ts events: no output row
+        (1, base + dt.timedelta(minutes=5), 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    obs = Observation("sessionize-nulls")
+    out = sessionize(
+        ev, "user_id", "ts", gap="30 minutes",
+        agg_cols={"sum_value": "value"}, dropped_ts_observation=obs,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["user_id"] == 1 and out[0]["n_events"] == 2
+    assert out[0]["sum_value"] == 3.0
+    assert obs.get["null_ts_dropped"] == 2
