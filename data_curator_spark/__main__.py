@@ -27,6 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--manifest", required=True)
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument(
+        "--near-dup", action="store_true",
+        help="enable the corpus-level near-duplicate stage (minhash LSH "
+        "+ connected components; boilerplate-bucket guard on by default)",
+    )
+    p.add_argument(
         "--layout", choices=["overwrite", "mvcc"], default="overwrite",
         help="overwrite = one physical copy per bucket (default); "
         "mvcc = immutable run partitions with time travel + vacuum",
@@ -107,12 +112,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input, args.output, args.manifest,
                 n_buckets=args.buckets,
                 reprocess_buckets=set(args.reprocess) if args.reprocess else None,
+                near_dup=args.near_dup,
             )
         else:
             from data_curator_spark.pipeline.runner import run_pipeline
 
             stats = run_pipeline(
-                spark, args.input, args.output, args.manifest, n_buckets=args.buckets
+                spark, args.input, args.output, args.manifest,
+                n_buckets=args.buckets, near_dup=args.near_dup,
             )
         print(json.dumps(stats))
         spark.stop()

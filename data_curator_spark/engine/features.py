@@ -68,17 +68,38 @@ def log_difference(a: Column, b: Column) -> Column:
 
 
 def chaikin_money_flow(
-    high: Column, low: Column, close: Column, volume: Column, w: WindowSpec, n: int = 21
+    high: Column,
+    low: Column,
+    close: Column,
+    volume: Column,
+    w: WindowSpec,
+    n: int = 21,
+    decimal_grain: int | None = None,
 ) -> Column:
     """CMF = Σₙ MFV / Σₙ V where MFV = ((C−L)−(H−C))/(H−L)·V.
 
     Null if any window element is null or H==L in-window
     (helpers.py:59-151). Pure window expression — the reference's per-row
     Decimal loop is unnecessary.
-    """
+
+    ``decimal_grain``: quantize each MFV to that many decimals (exact
+    DECIMAL) before the window sum. Engines disagree on the ASSOCIATION
+    ORDER of windowed double sums (running fold vs segment tree), so a
+    raw double Σ is not reproducible across engines; a quantized decimal
+    Σ is order-free and exact. The result differs from the pure-double
+    CMF by < n·10^-grain/Σvolume — pick grain ≥ 6 for reproducible
+    pipelines, None for the reference-faithful raw fold."""
     mfv = F.when(high != low, ((close - low) - (high - close)) / (high - low) * volume)
     frame = rolling(w, n)
-    cmf = F.sum(mfv).over(frame) / F.sum(volume).over(frame)
+    if decimal_grain is not None:
+        mfv_sum = (
+            F.sum(F.round(mfv, decimal_grain).cast("decimal(28,12)"))
+            .over(frame)
+            .cast("double")
+        )
+    else:
+        mfv_sum = F.sum(mfv).over(frame)
+    cmf = mfv_sum / F.sum(volume).over(frame)
     # gate on n non-null MFVs (any null/H==L row in window → null)
     return F.when(F.count(mfv).over(frame) == n, cmf)
 
@@ -232,20 +253,42 @@ def expand_dated_factors(
 
 
 def dividend_adjustment_factor(
-    id_col: str, ex_date_col: str, dividend_col: Column, close_col: Column
+    id_col: str,
+    ex_date_col: str,
+    dividend_col: Column,
+    close_col: Column,
+    order_tiebreak: Column | None = None,
+    decimal_grain: int | None = None,
 ) -> Column:
     """Reverse cumulative product of (1 − Div/Close) over future ex-dates:
     AdjP[t] = P[t]·Π_{ex>t}(1 − Div_ex/Close_ex)
     (lseg_workspace.py:925-1034). Expressed as exp(Σ ln f) over a
     descending window excluding the current row — no per-event loop.
-    """
+
+    A non-positive factor (Div ≥ Close — pathological corporate action
+    data) is treated as NO adjustment for that event rather than
+    poisoning every earlier row with ln of a non-positive number (some
+    engines error on it, others emit null — neither is a usable factor).
+
+    ``order_tiebreak``: extra descending order column for determinism
+    when ex-dates repeat. ``decimal_grain``: quantize each ln-factor to
+    that many decimals (exact DECIMAL) before the window sum — windowed
+    double sums are association-order-dependent across engines; see
+    chaikin_money_flow."""
+    raw = 1.0 - dividend_col / close_col
     f = F.when(
-        dividend_col.isNotNull() & close_col.isNotNull() & (close_col != 0),
-        1.0 - dividend_col / close_col,
+        dividend_col.isNotNull() & close_col.isNotNull() & (close_col != 0) & (raw > 0),
+        raw,
     )
-    wd = Window.partitionBy(id_col).orderBy(F.desc(ex_date_col))
-    cum = F.sum(F.ln(f)).over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    return F.coalesce(F.exp(cum), F.lit(1.0))
+    order = [F.desc(ex_date_col)]
+    if order_tiebreak is not None:
+        order.append(order_tiebreak.desc())
+    wd = Window.partitionBy(id_col).orderBy(*order)
+    lnf = F.ln(f)
+    if decimal_grain is not None:
+        lnf = F.round(lnf, decimal_grain).cast("decimal(28,14)")
+    cum = F.sum(lnf).over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    return F.coalesce(F.exp(cum.cast("double")), F.lit(1.0))
 
 
 # ---------------------------------------------------------------------------

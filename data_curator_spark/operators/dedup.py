@@ -401,6 +401,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from candidate pairs: assign every vertex the
     minimum id reachable through the pair graph (its connected
@@ -424,7 +425,10 @@ def connected_components(
     long-sum at corpus scale) and cheap because both sides are the
     touched-vertex set, not the corpus. ``max_iter`` is a guard, and
     non-convergence raises rather than returning a partially
-    propagated labeling.
+    propagated labeling. Pass a dict as ``stats`` to receive
+    ``rounds`` (iterations run) and ``peak_checkpoint_rdds`` (max
+    simultaneously-held checkpoint RDDs — the recycling invariant a
+    100x scale-up depends on; tests pin both).
 
     Scale notes: the edge table (near-dup PAIRS) is orders of magnitude
     smaller than the corpus, and the loop iterates ONLY over
@@ -504,6 +508,12 @@ def connected_components(
         before = persisted_rdd_ids(spark)
         labels = stepped.localCheckpoint(eager=True)
         new_ids = persisted_rdd_ids(spark) - before
+        if stats is not None:
+            stats["rounds"] = it + 1
+            stats["peak_checkpoint_rdds"] = max(
+                stats.get("peak_checkpoint_rdds", 0),
+                len(prev_ids | step_ids | new_ids),
+            )
         unchanged = (
             labels.join(prev_labels.withColumnRenamed("label", "__old"), on="id")
             .filter(F.col("label") != F.col("__old"))

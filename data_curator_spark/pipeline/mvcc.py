@@ -220,7 +220,11 @@ def compact(
     — and the manifest commit reuses the same observe-gated integrity
     path as a normal run.
     """
-    run_id = uuid.uuid4().hex[:12]
+    # "r" prefix: a bare hex id like "8463e2231577" parses as a DOUBLE
+    # in scientific notation, and when EVERY run_id= directory name is
+    # number-parseable, partition-type inference flips the column to
+    # DOUBLE and string comparisons throw under ANSI (observed flake)
+    run_id = "r" + uuid.uuid4().hex[:11]
     t0 = time.time()
     pairs = _current_pairs(spark, manifest_path)
     if not pairs:
@@ -440,6 +444,7 @@ def run_pipeline_mvcc(
     fail_buckets: set[int] | None = None,
     reprocess_buckets: set[int] | None = None,
     crash_before_commit: bool = False,
+    near_dup: bool = False,
 ) -> dict:
     """Run/resume the pipeline with the MVCC layout.
 
@@ -449,7 +454,11 @@ def run_pipeline_mvcc(
     before the manifest commit — the run directory becomes an orphan
     that readers never see and ``vacuum`` removes.
     """
-    run_id = uuid.uuid4().hex[:12]
+    # "r" prefix: a bare hex id like "8463e2231577" parses as a DOUBLE
+    # in scientific notation, and when EVERY run_id= directory name is
+    # number-parseable, partition-type inference flips the column to
+    # DOUBLE and string comparisons throw under ANSI (observed flake)
+    run_id = "r" + uuid.uuid4().hex[:11]
     t0 = time.time()
 
     raw = with_bucket(spark.read.parquet(input_path), n_buckets)
@@ -459,7 +468,7 @@ def run_pipeline_mvcc(
     skip = (done - redo) | set(fail_buckets or ())
     todo = raw.filter(~F.col("bucket").isin(list(skip))) if skip else raw
 
-    result = run_stages(todo, spark).select("bucket", *OUTPUT_COLS)
+    result = run_stages(todo, spark, near_dup=near_dup).select("bucket", *OUTPUT_COLS)
     observation, result = attach_lineage_observation(result, run_id)
     # IMMUTABLE write: append under this run's partition — never touches
     # other runs' files, so no overwrite mode gymnastics and no torn

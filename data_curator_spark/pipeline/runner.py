@@ -196,13 +196,23 @@ def run_pipeline(
     manifest_path: str,
     n_buckets: int = DEFAULT_N_BUCKETS,
     fail_buckets: set[int] | None = None,
+    near_dup: bool = False,
 ) -> dict:
     """Run (or resume) the pipeline.
 
     ``fail_buckets`` injects failures for the resume test: those buckets
     are skipped (not marked done), simulating a mid-job crash.
+    ``near_dup=True`` enables the corpus-level near-duplicate stage
+    (stages.with_near_dup). NOTE: in this incremental runner the stage
+    sees only the buckets processed in THIS run — near-dups that span a
+    resume boundary are not linked; run it on a full (non-resume) pass
+    or use the batch entry points for global dedup.
     """
-    run_id = uuid.uuid4().hex[:12]
+    # "r" prefix: a bare hex id like "8463e2231577" parses as a DOUBLE
+    # in scientific notation, and when EVERY run_id= directory name is
+    # number-parseable, partition-type inference flips the column to
+    # DOUBLE and string comparisons throw under ANSI (observed flake)
+    run_id = "r" + uuid.uuid4().hex[:11]
     t0 = time.time()
 
     raw = with_bucket(spark.read.parquet(input_path), n_buckets)
@@ -212,7 +222,7 @@ def run_pipeline(
     if fail_buckets:
         todo = todo.filter(~F.col("bucket").isin(list(fail_buckets)))
 
-    result = run_stages(todo, spark).select("bucket", *OUTPUT_COLS)
+    result = run_stages(todo, spark, near_dup=near_dup).select("bucket", *OUTPUT_COLS)
     # run-level lineage totals ride the WRITE pass for free and
     # cross-check the per-bucket metrics below. Per-bucket metrics do NOT
     # use observe: that needs ~3·n_buckets conditional sums evaluated per

@@ -204,11 +204,100 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
     )
 
 
-def run_stages(df: DataFrame, spark: SparkSession) -> DataFrame:
+# default boilerplate-bucket cap for the PIPELINE near-dup stage (r3
+# verdict item 9): ~10x the largest plausible legitimate near-dup
+# cluster (vendored libs, license headers land around 10-20 members);
+# a (band,key) bucket above this is template boilerplate whose m²
+# pair explosion AQE cannot shrink — those buckets are dropped before
+# the self-join (exact clones remain exact-hash dedup's job, and a
+# real >cap clique still surfaces through its other, unskewed bands)
+DEFAULT_MAX_BUCKET = 200
+
+
+def with_near_dup(
+    df: DataFrame,
+    content: str = "content_scrubbed",
+    id_cols: tuple[str, str] = ("repo", "path"),
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Optional corpus-level near-duplicate stage: MinHash over word
+    shingles → banded LSH candidates (boilerplate-bucket guard ON by
+    default — see DEFAULT_MAX_BUCKET) → connected components → keep ONE
+    member per cluster. Adds ``near_dup_cluster`` and
+    ``near_dup_canonical``; a kept row that is a non-canonical cluster
+    member flips to keep=false with drop_reason='near_dup'.
+
+    Canonical selection PREFERS kept members: the minimum-id member
+    that passed quality, falling back to the minimum id when the whole
+    cluster failed — otherwise a cluster whose min-id member was
+    quality-dropped would lose every copy of its content.
+
+    Scale shape: signatures shuffle k×8B per doc; the band self-join
+    carries ids only; the CC loop and the canonical groupBy are
+    pair-graph sized (singletons never enter them). The corpus streams
+    once through the final join against the broadcast-sized cluster
+    table."""
+    from data_curator_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_ids,
+        minhash_signatures,
+    )
+
+    doc_id = F.concat_ws("\x1f", *[F.col(c) for c in id_cols])
+    keyed = df.withColumn("__doc_id", doc_id)
+    sigs = minhash_signatures(keyed, "__doc_id", content)
+    pairs = lsh_candidate_ids(sigs, "__doc_id", max_bucket=max_bucket)
+    touched = (
+        pairs.select(F.col("id_a").alias("__doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__doc_id")))
+        .distinct()
+    )
+    cc = connected_components(
+        keyed.select("__doc_id"), pairs, "__doc_id", max_iter=max_iter
+    ).select("__doc_id", "cluster_id")
+    # non-singleton clusters only (= pair-touched ids): everything from
+    # here to the final corpus join is pair-graph sized
+    cc_t = cc.join(touched, on="__doc_id")
+    keep_flags = keyed.select("__doc_id", "keep").join(
+        F.broadcast(cc_t), on="__doc_id"
+    )
+    canon = keep_flags.groupBy("cluster_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("keep"), F.col("__doc_id"))),
+            F.min("__doc_id"),
+        ).alias("__canon")
+    )
+    info = cc_t.join(F.broadcast(canon), on="cluster_id").select(
+        "__doc_id",
+        F.col("cluster_id").alias("near_dup_cluster"),
+        (F.col("__doc_id") == F.col("__canon")).alias("near_dup_canonical"),
+    )
+    out = keyed.join(F.broadcast(info), on="__doc_id", how="left")
+    out = out.withColumn(
+        "near_dup_cluster", F.coalesce("near_dup_cluster", "__doc_id")
+    ).withColumn(
+        "near_dup_canonical", F.coalesce("near_dup_canonical", F.lit(True))
+    ).drop("__doc_id")
+    demoted = F.col("keep") & ~F.col("near_dup_canonical")
+    return out.withColumn(
+        "drop_reason",
+        F.when(demoted, F.lit("near_dup")).otherwise(F.col("drop_reason")),
+    ).withColumn("keep", F.col("keep") & ~demoted)
+
+
+def run_stages(
+    df: DataFrame, spark: SparkSession, near_dup: bool = False
+) -> DataFrame:
     """Full stage chain over the raw corpus table. Model scoring is
     gated on the heuristics (contract: model columns are null for
-    heuristic-dropped rows — reference_labeler.py mirrors this)."""
+    heuristic-dropped rows — reference_labeler.py mirrors this).
+
+    ``near_dup=True`` appends the corpus-level near-duplicate stage
+    (off by default: the reference's keep/drop label contract has no
+    dedup dimension, and the F1 gate compares against those labels)."""
     out = with_heuristics(df)
     out = with_model_scores(out, spark, gate=heuristics_pass_expr())
     out = with_scrub(out)
-    return with_decision(out)
+    out = with_decision(out)
+    return with_near_dup(out) if near_dup else out

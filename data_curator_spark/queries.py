@@ -2013,3 +2013,116 @@ LIMIT 40
 
 QUERIES["boilerplate_ngrams"] = q_boilerplate_ngrams
 ORACLES["boilerplate_ngrams"] = SQL_BOILERPLATE_NGRAMS
+
+
+# ---------------------------------------------------------------------------
+# r4 additions: the last two §2.5 window ops get driver oracles
+# (r3 verdict item 10) — CMF and dividend back-adjustment
+# ---------------------------------------------------------------------------
+
+
+def q_cmf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Money Flow over a synthetic OHLCV view of the events
+    table (engine/features.py:chaikin_money_flow; reference
+    helpers.py:59-151). High/low/volume derive deterministically from
+    (event_id, value) with the SAME double expressions on both engines;
+    MFV is quantized to 6 decimals (exact DECIMAL window sum) because
+    windowed double sums are association-order-dependent across engines
+    (running fold vs segment tree)."""
+    from data_curator_spark.engine.features import chaikin_money_flow
+
+    ev = _t(spark, sf_dir, "events")
+    close = F.col("value")
+    high = close * (1.0 + (F.col("event_id") % 7).cast("double") / 100.0)
+    low = close * (1.0 - (F.col("event_id") % 5).cast("double") / 100.0)
+    volume = ((F.col("event_id") % 100) + 1).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cmf = chaikin_money_flow(high, low, close, volume, w, n=21, decimal_grain=6)
+    return ev.select("event_id", F.round(cmf, 6).alias("cmf21"))
+
+
+SQL_CMF_WINDOW = """
+WITH ohlcv AS (
+  SELECT event_id, user_id, ts, value AS close,
+         value * (1.0 + CAST(event_id % 7 AS DOUBLE) / 100.0) AS high,
+         value * (1.0 - CAST(event_id % 5 AS DOUBLE) / 100.0) AS low,
+         (event_id % 100) + 1 AS volume
+  FROM events
+), mf AS (
+  SELECT event_id, user_id, ts, volume,
+         CASE WHEN high <> low
+              THEN ((close - low) - (high - close)) / (high - low) * volume
+         END AS mfv
+  FROM ohlcv
+)
+SELECT event_id,
+       ROUND(
+         CASE WHEN COUNT(mfv) OVER w = 21
+              THEN CAST(SUM(CAST(ROUND(mfv, 6) AS DECIMAL(28,12))) OVER w AS DOUBLE)
+                   / SUM(volume) OVER w
+         END, 6) AS cmf21
+FROM mf
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_dividend_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dividend back-adjustment factor exp(Σ ln(1−Div/Close)) over
+    future ex-dates (engine/features.py:dividend_adjustment_factor;
+    reference lseg_workspace.py:925-1034). Synthetic dividends on every
+    19th event derive from integer arithmetic (engine-identical
+    doubles); ln-factors quantized to 9 decimals before the exact
+    DECIMAL window sum, final factor rounded to 6."""
+    from data_curator_spark.engine.features import dividend_adjustment_factor
+
+    ev = _t(spark, sf_dir, "events")
+    div = F.when(
+        F.col("event_id") % 19 == 0,
+        ((F.col("event_id") % 90) + 5).cast("double") / 100.0,
+    )
+    adj = dividend_adjustment_factor(
+        "user_id", "ts", div, F.col("value"),
+        order_tiebreak=F.col("event_id"), decimal_grain=9,
+    )
+    return ev.select("event_id", F.round(adj, 6).alias("adj_factor"))
+
+
+SQL_DIVIDEND_ADJUSTMENT = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value AS close,
+         CASE WHEN event_id % 19 = 0
+              THEN CAST((event_id % 90) + 5 AS DOUBLE) / 100.0
+         END AS div
+  FROM events
+), f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN div IS NOT NULL AND close IS NOT NULL AND close <> 0
+                   AND (1.0 - div / close) > 0
+              THEN 1.0 - div / close
+         END AS fct
+  FROM base
+)
+SELECT event_id,
+       ROUND(
+         COALESCE(
+           EXP(CAST(SUM(CAST(ROUND(LN(fct), 9) AS DECIMAL(28,14))) OVER w AS DOUBLE)),
+           1.0),
+         6) AS adj_factor
+FROM f
+WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+QUERIES.update(
+    {
+        "cmf_window": q_cmf_window,
+        "dividend_adjustment": q_dividend_adjustment,
+    }
+)
+ORACLES.update(
+    {
+        "cmf_window": SQL_CMF_WINDOW,
+        "dividend_adjustment": SQL_DIVIDEND_ADJUSTMENT,
+    }
+)

@@ -222,3 +222,33 @@ def test_connected_components_dangling_pair_ids(spark):
         for r in connected_components(verts, pairs, "doc_id").collect()
     }
     assert got == {5: (5, True), 6: (5, False), 9: (9, True)}
+
+
+def test_connected_components_deep_chain_logarithmic(spark):
+    """r3 verdict item 6: the adaptive pointer compression's O(log d)
+    claim, pinned at depth. A 10^4-long chain must converge in
+    ~2*log2(d)+3 rounds (plain min-propagation would need d rounds),
+    and checkpoint-block recycling must hold the simultaneously-live
+    checkpoint RDD count at <= 4 regardless of depth — the invariant
+    that keeps a 100x-deeper graph from exhausting storage memory."""
+    import math
+
+    from data_curator_spark.operators.dedup import connected_components
+
+    n = 10_000
+    ids = [(f"d{i:05d}",) for i in range(n)]
+    chain = [(f"d{i:05d}", f"d{i+1:05d}") for i in range(n - 1)]
+    vertices = spark.createDataFrame(ids, "doc_id string")
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+
+    stats: dict = {}
+    out = connected_components(vertices, pairs, "doc_id", max_iter=40, stats=stats)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {"d00000"}
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+    d = n - 1
+    bound = 2 * math.log2(d) + 3
+    assert stats["rounds"] <= bound, (stats, bound)
+    assert stats["peak_checkpoint_rdds"] <= 4, stats

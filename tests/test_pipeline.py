@@ -215,3 +215,67 @@ def test_empty_buckets_commit_and_resume_converges(spark, tmp_path):
     r2 = run_pipeline(spark, small, out_dir, manifest, n_buckets=16)
     assert r2["buckets_processed"] == 0 and r2["buckets_skipped"] == 16
     assert r2["rows_total"] == 2
+
+
+def test_near_dup_stage_boilerplate_guard_default(spark):
+    """r3 verdict item 9: the pipeline-level near-dup stage ships with
+    the boilerplate-bucket guard ON (DEFAULT_MAX_BUCKET). A 250-member
+    identical-template clique (> cap) must NOT explode into ~31k LSH
+    pairs — its buckets are dropped (exact clones are exact-hash
+    dedup's job) — while a genuine small near-dup pair is still caught
+    and its non-canonical member demoted to keep=false/near_dup."""
+    from data_curator_spark.pipeline.stages import DEFAULT_MAX_BUCKET, with_near_dup
+
+    assert DEFAULT_MAX_BUCKET == 200
+    boiler = " ".join(f"word{i % 17} token{i}" for i in range(40))
+    near_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    near_b = near_a + " trailing extra"
+    rows = [
+        (f"r{i}", f"boiler/{i}.py", True, None, boiler) for i in range(250)
+    ] + [
+        ("rx", "near/a.py", True, None, near_a),
+        ("rx", "near/b.py", True, None, near_b),
+        ("rx", "unique/c.py", True, None, "completely unrelated content " * 5),
+        ("rx", "dropped/d.py", False, "too_short", near_a),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, keep boolean, drop_reason string, "
+        "content_scrubbed string"
+    )
+    out = with_near_dup(df).collect()
+    by_path = {r["path"]: r for r in out}
+
+    # clique > cap: untouched by the near-dup stage
+    for i in range(250):
+        r = by_path[f"boiler/{i}.py"]
+        assert r["keep"] and r["drop_reason"] is None
+
+    # genuine near-dup pair: same cluster, min-id canonical kept,
+    # the other demoted
+    a, b = by_path["near/a.py"], by_path["near/b.py"]
+    assert a["near_dup_cluster"] == b["near_dup_cluster"]
+    assert a["keep"] and a["drop_reason"] is None
+    assert (not b["keep"]) and b["drop_reason"] == "near_dup"
+
+    # already-dropped rows keep their original reason even when
+    # non-canonical in a cluster
+    d = by_path["dropped/d.py"]
+    assert (not d["keep"]) and d["drop_reason"] == "too_short"
+    assert by_path["unique/c.py"]["keep"]
+
+
+def test_run_stages_near_dup_end_to_end(spark, corpus_path):
+    """run_stages(near_dup=True): the synthetic corpus has deliberate
+    exact/near duplicate files — the stage must demote at least one
+    non-canonical member and leave every cluster exactly one canonical."""
+    out = run_stages(spark.read.parquet(corpus_path), spark, near_dup=True)
+    rows = out.select(
+        "keep", "drop_reason", "near_dup_cluster", "near_dup_canonical"
+    ).collect()
+    demoted = [r for r in rows if r["drop_reason"] == "near_dup"]
+    assert demoted, "corpus contains duplicates; none demoted"
+    # every non-singleton cluster has exactly one canonical member
+    from collections import Counter
+
+    canon = Counter(r["near_dup_cluster"] for r in rows if r["near_dup_canonical"])
+    assert all(v == 1 for v in canon.values())

@@ -47,7 +47,9 @@ ALLOWED_DOUBLES = {
     "ann_lsh": {"sim": "rounded6"},
     "asof_join": {"view_value": "source-passthrough"},
     "boilerplate_ngrams": {"doc_share": "ieee-exact"},
+    "cmf_window": {"cmf21": "rounded6"},
     "coalescing_merge": {"o_totalprice": "source-passthrough"},
+    "dividend_adjustment": {"adj_factor": "rounded6"},
     "corpus_heuristics": {
         "avg_line_len": "rounded6",
         "alnum_ratio": "rounded6",
