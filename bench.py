@@ -40,6 +40,11 @@ HEADLINE = [
     "sessionize",
     # corpus-wide boilerplate n-gram mining (added r3)
     "boilerplate_ngrams",
+    # training-set assembly ops (added r4)
+    "decontaminate",
+    "sequence_pack",
+    # chained recursive kernels: 2 applyInPandas passes (added r4)
+    "macd_signal",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))

@@ -379,9 +379,14 @@ def apply_recursive_features(
     """Attach recursive feature columns via one grouped applyInPandas pass.
 
     ``specs``: list of (out_name, kind, in_col, n) with kind ∈
-    {"ema", "rsi"}. One shuffle on id_col computes every spec; MACD and
-    signal lines compose from EMA outputs afterwards as plain column
-    arithmetic (calculations.py:1489-1724).
+    {"ema", "rsi", "sub"}. Specs evaluate IN ORDER and a later spec's
+    ``in_col`` may name an earlier spec's output — so a full
+    MACD-and-signal chain (ema12, ema26, macd = "ema12:ema26" sub,
+    signal = ema over macd) runs in ONE grouped pass / one shuffle
+    instead of re-shuffling per recursion layer
+    (calculations.py:1489-1724). ``sub`` takes "a:b" and emits a−b
+    (n ignored); NaN propagates and the downstream EMA treats it as a
+    segment reset, exactly like a Spark-side null.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -393,6 +398,12 @@ def apply_recursive_features(
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         for out_name, kind, in_col, n in specs:
+            if kind == "sub":
+                a, b = in_col.split(":")
+                pdf[out_name] = pdf[a].to_numpy(
+                    dtype="float64", na_value=np.nan
+                ) - pdf[b].to_numpy(dtype="float64", na_value=np.nan)
+                continue
             vals = pdf[in_col].to_numpy(dtype="float64", na_value=np.nan)
             if kind == "ema":
                 pdf[out_name] = _ema_array(vals, n)

@@ -570,3 +570,46 @@ def connected_components(
         F.coalesce("label", "id").alias("cluster_id"),
         (F.coalesce("label", "id") == F.col("id")).alias("is_canonical"),
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    content_col: str,
+    shingle_n: int = 5,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_overlap`` distinct word ``shingle_n``-gram shingles with ANY
+    benchmark document — the standard eval-set contamination check a
+    pre-training pipeline runs before cutting a dataset.
+
+    Output: (``id_col``, n_overlap_grams) per contaminated corpus doc.
+    Callers exclude benchmark members from ``corpus`` themselves (a
+    benchmark doc trivially overlaps itself).
+
+    Scale shape: shingles are hashed to 15-hex md5-prefix longs
+    (portable, 8B instead of arbitrary-width strings through the
+    shuffle); the benchmark's distinct shingle-hash set is tiny next to
+    the corpus and broadcasts (``broadcast_benchmark=False`` for a huge
+    benchmark union → shuffle join); the corpus side never self-joins.
+    countDistinct collapses map-side per doc."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s"),
+        ).select(id_col, hex_prefix_long(F.col("s"), 15).alias("h"))
+
+    bench = grams(benchmark).select("h").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        grams(corpus)
+        .join(bench, on="h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_overlap_grams"))
+        .filter(F.col("n_overlap_grams") >= min_overlap)
+    )

@@ -57,3 +57,80 @@ def stratified_sample(
     for value, permille in sorted(rates_permille.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
     return df.filter(gate < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test-style assignment: each row
+    lands in exactly one named split by its id hash. ``splits`` maps
+    name -> permille and must sum to 1000 (total partition — every row
+    is assigned; use ``hash_sample`` first to subsample).
+
+    Assignment is insertion-order cumulative: {"train": 900, "val": 50,
+    "test": 50} puts gate<900 in train, 900-949 in val, 950-999 in
+    test. Reproducible across reruns, engines and partitionings (same
+    md5 gate as the samplers), and independent of any other salt's
+    sample/split. Pure projection: zero shuffle at any scale."""
+    total = sum(splits.values())
+    if total != 1000:
+        raise ValueError(f"split permilles must sum to 1000, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    gate = sample_gate(F.col(id_col), salt)
+    expr = None
+    cum = 0
+    last = list(splits)[-1]
+    for name, permille in splits.items():
+        cum += permille
+        if name == last:
+            expr = expr.otherwise(F.lit(name)) if expr is not None else F.lit(name)
+        else:
+            cond = gate < cum
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    context_len: int,
+    partition_col: str,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic contiguous sequence packing for LLM pre-training:
+    within each ``partition_col`` shard, order documents by a portable
+    id-hash (reproducible shuffle order) and cut the concatenated
+    stream into ``context_len``-sized bins:
+
+        pack_bin    = floor(running_size_before_this_doc / context_len)
+        pack_offset = running_size_before_this_doc % context_len
+
+    A doc straddling a boundary starts in its bin at pack_offset and
+    spills into the next — exactly the standard packed-dataset layout
+    (attention masks handle the seam downstream).
+
+    Scale shape: ONE shuffle on ``partition_col`` serves the ordering
+    window and the running sum; shards pack independently, so
+    parallelism = number of shards (pass a salted shard key, e.g.
+    ``with_bucket``, when a natural shard would skew). All-integer
+    arithmetic — bit-exact on any engine."""
+    from pyspark.sql import Window
+
+    order = sample_gate(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return df.select(
+        "*",
+        (F.floor(cum_prev / context_len)).cast("long").alias("pack_bin"),
+        (cum_prev % context_len).cast("long").alias("pack_offset"),
+    )

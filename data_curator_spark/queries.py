@@ -2126,3 +2126,225 @@ ORACLES.update(
         "dividend_adjustment": SQL_DIVIDEND_ADJUSTMENT,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# r4 additions: training-set assembly ops — split, decontaminate, pack
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split of the documents corpus
+    (operators/sampling.py:hash_split): disjoint md5-gate assignment,
+    reproducible across engines/partitionings, zero shuffle."""
+    from data_curator_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        d, "doc_id", {"train": 900, "val": 50, "test": 50}, salt="r4"
+    )
+    return out.select("doc_id", "lang", "source", "split")
+
+
+def _corpus_split_oracle_sql() -> str:
+    gate = _hex_long_sql("md5('r4:' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, source, ({gate}) % 1000 AS gate FROM documents
+)
+SELECT doc_id, lang, source,
+       CASE WHEN gate < 900 THEN 'train'
+            WHEN gate < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan
+    (operators/dedup.py:contamination_overlap): every 50th doc stands in
+    for an eval benchmark; corpus docs sharing >= 1 distinct word
+    5-gram with any benchmark doc come back with their overlap count.
+    Benchmark shingle-hash set broadcasts; corpus never self-joins."""
+    from data_curator_spark.operators.dedup import contamination_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_overlap(
+        corpus, bench, "doc_id", "text", shingle_n=4, min_overlap=1
+    )
+
+
+def _decontaminate_oracle_sql() -> str:
+    h = _hex_long_sql("md5(s)", 15)
+    shingle4 = f"""w AS (
+  SELECT doc_id, string_split_regex(trim(text), {_WS_SQL}) AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+  FROM w WHERE len(ws) >= 4
+)"""
+    return f"""
+WITH {shingle4}, hx AS (
+  SELECT doc_id, ({h}) AS h FROM sh
+), bench AS (
+  SELECT DISTINCT h FROM hx WHERE doc_id % 50 = 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_overlap_grams
+FROM hx c JOIN bench b ON c.h = b.h
+WHERE c.doc_id % 50 <> 0
+GROUP BY c.doc_id
+HAVING COUNT(DISTINCT c.h) >= 1
+"""
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing
+    (operators/sampling.py:pack_sequences): per-lang shards, documents
+    in portable hash-shuffle order, cut into 4096-char bins with
+    straddle offsets. All-integer arithmetic — bit-exact everywhere."""
+    from data_curator_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_sequences(d, "doc_id", "n_chars", 4096, "lang", salt="r4pack")
+    return out.select("doc_id", "lang", "pack_bin", "pack_offset")
+
+
+def _sequence_pack_oracle_sql() -> str:
+    gate = _hex_long_sql("md5('r4pack:' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, n_chars, ({gate}) % 1000 AS ord FROM documents
+)
+SELECT doc_id, lang,
+       CAST(FLOOR(COALESCE(SUM(n_chars) OVER w, 0) / 4096) AS BIGINT) AS pack_bin,
+       CAST(COALESCE(SUM(n_chars) OVER w, 0) % 4096 AS BIGINT) AS pack_offset
+FROM g
+WINDOW w AS (PARTITION BY lang ORDER BY ord, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+QUERIES.update(
+    {
+        "corpus_split": q_corpus_split,
+        "decontaminate": q_decontaminate,
+        "sequence_pack": q_sequence_pack,
+    }
+)
+ORACLES.update(
+    {
+        "corpus_split": _corpus_split_oracle_sql(),
+        "decontaminate": _decontaminate_oracle_sql(),
+        "sequence_pack": _sequence_pack_oracle_sql(),
+    }
+)
+
+
+def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (EMA12 − EMA26) and its 9-period signal line per user
+    (reference calculations.py:1489-1724: MACD composes from EMA
+    columns; the signal is another EMA recursion OVER the MACD series,
+    with null-segment resets). The whole chain — both component EMAs,
+    the subtraction, AND the signal recursion over the derived series —
+    runs in ONE grouped applyInPandas pass: specs evaluate in order
+    within the pandas group, so no second shuffle on the same key
+    (measured 2x at sf0.1 vs the two-pass version). Oracled bit-exactly
+    by chained DuckDB recursive CTEs (MATERIALIZED intermediate — an
+    inlined first recursion re-runs per second-recursion iteration,
+    16x slower)."""
+    from data_curator_spark.engine.features import apply_recursive_features
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = apply_recursive_features(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("ema12", "ema", "value", 12),
+            ("ema26", "ema", "value", 26),
+            ("macd", "sub", "ema12:ema26", 0),
+            ("macd_signal", "ema", "macd", 9),
+        ],
+    )
+    return out.select("event_id", "macd", "macd_signal")
+
+
+def _macd_oracle_sql() -> str:
+    """Chained recursive CTEs: one dual-state EMA12+EMA26 recursion over
+    value (shared segment counter — same ok flag), then a second EMA9
+    recursion over the derived MACD series (its own segments: MACD is
+    null until both component EMAs exist). Same string-cast-literal and
+    skip-when-equal rules as _ema_oracle_sql — bit-identical doubles."""
+
+    def c(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    a12, a26, a9 = 2.0 / 13, 2.0 / 27, 2.0 / 10
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         (value IS NOT NULL AND isfinite(value)) AS ok
+  FROM events
+), rec AS (
+  SELECT user_id, rn, event_id,
+         CAST(CASE WHEN ok THEN 1 ELSE 0 END AS INT) AS seg_len,
+         CAST(CASE WHEN ok THEN value ELSE 0.0 END AS DOUBLE) AS run12,
+         CAST(NULL AS DOUBLE) AS ema12,
+         CAST(CASE WHEN ok THEN value ELSE 0.0 END AS DOUBLE) AS run26,
+         CAST(NULL AS DOUBLE) AS ema26
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.event_id,
+         CASE WHEN b.ok THEN r.seg_len + 1 ELSE 0 END AS seg_len,
+         CASE WHEN NOT b.ok THEN 0.0
+              WHEN r.seg_len + 1 <= 12 THEN r.run12 + b.value
+              ELSE r.run12 END AS run12,
+         CASE WHEN NOT b.ok THEN NULL
+              WHEN r.seg_len + 1 < 12 THEN NULL
+              WHEN r.seg_len + 1 = 12 THEN (r.run12 + b.value) / {c(12.0)}
+              WHEN r.ema12 = b.value THEN r.ema12
+              ELSE {c(1.0 - a12)} * r.ema12 + {c(a12)} * b.value END AS ema12,
+         CASE WHEN NOT b.ok THEN 0.0
+              WHEN r.seg_len + 1 <= 26 THEN r.run26 + b.value
+              ELSE r.run26 END AS run26,
+         CASE WHEN NOT b.ok THEN NULL
+              WHEN r.seg_len + 1 < 26 THEN NULL
+              WHEN r.seg_len + 1 = 26 THEN (r.run26 + b.value) / {c(26.0)}
+              WHEN r.ema26 = b.value THEN r.ema26
+              ELSE {c(1.0 - a26)} * r.ema26 + {c(a26)} * b.value END AS ema26
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+), mbase AS MATERIALIZED (
+  SELECT user_id, rn, event_id,
+         CASE WHEN ema12 IS NOT NULL AND ema26 IS NOT NULL
+              THEN ema12 - ema26 END AS macd,
+         (ema12 IS NOT NULL AND ema26 IS NOT NULL
+          AND isfinite(ema12 - ema26)) AS ok
+  FROM rec
+), rec2 AS (
+  SELECT user_id, rn, event_id, macd,
+         CAST(CASE WHEN ok THEN 1 ELSE 0 END AS INT) AS seg_len,
+         CAST(CASE WHEN ok THEN macd ELSE 0.0 END AS DOUBLE) AS run9,
+         CAST(NULL AS DOUBLE) AS sig
+  FROM mbase WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.event_id, b.macd,
+         CASE WHEN b.ok THEN r.seg_len + 1 ELSE 0 END AS seg_len,
+         CASE WHEN NOT b.ok THEN 0.0
+              WHEN r.seg_len + 1 <= 9 THEN r.run9 + b.macd
+              ELSE r.run9 END AS run9,
+         CASE WHEN NOT b.ok THEN NULL
+              WHEN r.seg_len + 1 < 9 THEN NULL
+              WHEN r.seg_len + 1 = 9 THEN (r.run9 + b.macd) / {c(9.0)}
+              WHEN r.sig = b.macd THEN r.sig
+              ELSE {c(1.0 - a9)} * r.sig + {c(a9)} * b.macd END AS sig
+  FROM rec2 r JOIN mbase b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT event_id, macd, sig AS macd_signal FROM rec2
+"""
+
+
+QUERIES["macd_signal"] = q_macd_signal
+ORACLES["macd_signal"] = _macd_oracle_sql()

@@ -138,6 +138,38 @@ def test_sessionize_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+def test_corpus_split_is_pure_projection(spark):
+    """Split assignment is a deterministic hash projection — any
+    Exchange would mean 10^12 rows shuffle for a column stamp."""
+    plan = _plan(spark, "corpus_split")
+    assert "Exchange" not in plan
+
+
+def test_sequence_pack_single_exchange(spark):
+    """Packing: the ordering window and the running sum must share ONE
+    hash partitioning on the shard key."""
+    import re
+
+    plan = _plan(spark, "sequence_pack")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_not_corpus(spark):
+    """The benchmark shingle-hash set broadcasts; the corpus side must
+    stream (a corpus scan inside a BroadcastExchange subtree would OOM
+    at 100 TB). The corpus filter must also reach the scan."""
+    import re
+
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # the broadcast relation must be the deduped benchmark HASH set:
+    # exactly one 8-byte column — never text or the corpus side
+    m = re.search(r"\(\d+\) BroadcastExchange\s*\nInput \[(\d+)\]: \[(h#\d+L)\]", plan)
+    assert m and m.group(1) == "1", plan
+    # both scans read only (doc_id, text) — column pruning reached them
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 2
+
+
 def test_corpus_sample_is_scan_level_filter(spark):
     """Deterministic sampling must push as a scan-level Filter with no
     exchange — sampling 10^12 files cannot afford a shuffle."""

@@ -73,6 +73,10 @@ ALLOWED_DOUBLES = {
     "hypertable_rollup": {"sum_value": "decimal-exact", "avg_value": "ieee-exact"},
     "indexed_rolling": {"rolling4": "decimal-exact"},
     "log_returns": {"log_ret": "rounded6"},
+    "macd_signal": {
+        "macd": "recursive-bit-exact",
+        "macd_signal": "recursive-bit-exact",
+    },
     "minhash_lsh": {"est_jaccard": "ieee-exact"},
     "ngram_jaccard": {"jaccard": "rounded6"},
     "null_semantics": {"poisoned_add": "ieee-exact", "safe_div": "ieee-exact"},

@@ -54,3 +54,100 @@ def test_scan_level_filter_no_shuffle(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in plan
+
+
+def test_hash_split_disjoint_total_and_deterministic(spark):
+    from data_curator_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = hash_split(
+        df, "doc_id", {"train": 900, "val": 50, "test": 50}, salt="s1"
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000  # total: every row assigned exactly once
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 1600 and 40 <= c["val"] + c["test"] <= 350
+    # deterministic under repartitioning
+    rows2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df.repartition(7), "doc_id", {"train": 900, "val": 50, "test": 50},
+            salt="s1",
+        ).collect()
+    }
+    assert rows2 == rows
+    # different salt -> different assignment (independence)
+    rows3 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df, "doc_id", {"train": 900, "val": 50, "test": 50}, salt="s2"
+        ).collect()
+    }
+    assert rows3 != rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1000"):
+        hash_split(df, "doc_id", {"train": 900, "val": 50})
+
+
+def test_pack_sequences_arithmetic_and_shard_independence(spark):
+    from data_curator_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (1, "a", 3000), (2, "a", 2000), (3, "a", 2000), (4, "a", 500),
+        (10, "b", 4096), (11, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = pack_sequences(df, "doc_id", "n_chars", 4096, "lang", salt="t")
+    got = {r["doc_id"]: (r["pack_bin"], r["pack_offset"]) for r in out.collect()}
+
+    # reconstruct the expected order with the same portable gate
+    from data_curator_spark.operators.sampling import sample_gate
+
+    order = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", sample_gate(F.col("doc_id"), "t").alias("g")).collect()
+    }
+    for lang, ids in (("a", [1, 2, 3, 4]), ("b", [10, 11])):
+        ordered = sorted(ids, key=lambda i: (order[i], i))
+        cum = 0
+        sizes = dict((r[0], r[2]) for r in rows)
+        for i in ordered:
+            assert got[i] == (cum // 4096, cum % 4096), (i, got[i], cum)
+            cum += sizes[i]
+    # shard 'b' packs independently of shard 'a' (bins restart at 0)
+    b_bins = {got[10], got[11]}
+    assert any(bin_ == 0 and off == 0 for bin_, off in b_bins)
+
+
+def test_contamination_overlap_planted(spark):
+    from data_curator_spark.operators.dedup import contamination_overlap
+
+    secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question text {secret} answer choices")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"training doc that leaked {secret} verbatim here"),
+            (2, f"another leak: {secret}."),
+            (3, "totally clean document with its own unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_overlap_grams"]
+        for r in contamination_overlap(
+            corpus, bench, "doc_id", "text", shingle_n=5, min_overlap=1
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1 shares the full 8-word secret -> 4 distinct 5-grams
+    assert out[1] == 4
+    # doc 2 ends with 'foxtrot.' (punctuation breaks the last grams)
+    assert out[2] >= 1
