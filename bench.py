@@ -150,9 +150,9 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "timing": "min_of_reps",
-                "core13_total_sec": round(
-                    sum(timings[k] for k in CORE13 if k in timings), 3
-                ),
+                # strict lookup: a renamed/dropped core query must
+                # KeyError here, not silently shrink the frozen subtotal
+                "core13_total_sec": round(sum(timings[k] for k in CORE13), 3),
                 "host_probe_sec": host_probe_sec(),
                 "pipeline_files_per_sec": round(n_files / pipe_sec, 1),
                 "pipeline_files": n_files,

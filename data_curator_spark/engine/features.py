@@ -375,6 +375,7 @@ def apply_recursive_features(
     id_col: str,
     order_col: str,
     specs: list[tuple[str, str, str, int]],
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Attach recursive feature columns via one grouped applyInPandas pass.
 
@@ -387,6 +388,12 @@ def apply_recursive_features(
     (calculations.py:1489-1724). ``sub`` takes "a:b" and emits a−b
     (n ignored); NaN propagates and the downstream EMA treats it as a
     segment reset, exactly like a Spark-side null.
+
+    ``tiebreak_col``: secondary sort key for determinism when
+    ``order_col`` repeats within a group — without it, tied rows keep
+    their arbitrary shuffle order and a recursion folds them in a
+    nondeterministic sequence (every downstream value in the segment
+    then diverges run-to-run AND from any (order, id)-ordered oracle).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -395,8 +402,10 @@ def apply_recursive_features(
     )
     in_cols = list(df.columns)
 
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         for out_name, kind, in_col, n in specs:
             if kind == "sub":
                 a, b = in_col.split(":")

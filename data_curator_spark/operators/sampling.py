@@ -76,11 +76,11 @@ def hash_split(
     test. Reproducible across reruns, engines and partitionings (same
     md5 gate as the samplers), and independent of any other salt's
     sample/split. Pure projection: zero shuffle at any scale."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if total != 1000:
         raise ValueError(f"split permilles must sum to 1000, got {total}")
-    if not splits:
-        raise ValueError("splits must be non-empty")
     gate = sample_gate(F.col(id_col), salt)
     expr = None
     cum = 0
@@ -119,7 +119,9 @@ def pack_sequences(
     window and the running sum; shards pack independently, so
     parallelism = number of shards (pass a salted shard key, e.g.
     ``with_bucket``, when a natural shard would skew). All-integer
-    arithmetic — bit-exact on any engine."""
+    arithmetic (LONG running sum, integer DIV — never a double
+    division, whose 2^53 mantissa would tear bins once a shard's
+    cumulative size passes ~9e15) — bit-exact on any engine."""
     from pyspark.sql import Window
 
     order = sample_gate(F.col(id_col), salt)
@@ -129,8 +131,12 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
-    return df.select(
-        "*",
-        (F.floor(cum_prev / context_len)).cast("long").alias("pack_bin"),
-        (cum_prev % context_len).cast("long").alias("pack_offset"),
+    return (
+        df.select("*", cum_prev.alias("__cum"))
+        .select(
+            "*",
+            F.expr(f"__cum DIV {int(context_len)}").alias("pack_bin"),
+            (F.col("__cum") % context_len).cast("long").alias("pack_offset"),
+        )
+        .drop("__cum")
     )

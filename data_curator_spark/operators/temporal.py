@@ -197,7 +197,9 @@ def sessionize(
     if dropped_ts_observation is not None:
         events = events.observe(
             dropped_ts_observation,
-            F.sum(F.col(ts_col).isNull().cast("long")).alias("null_ts_dropped"),
+            F.coalesce(
+                F.sum(F.col(ts_col).isNull().cast("long")), F.lit(0)
+            ).alias("null_ts_dropped"),
         )
     events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key).orderBy(ts_col, "__tie")

@@ -238,13 +238,20 @@ def with_near_dup(
     pair-graph sized (singletons never enter them). The corpus streams
     once through the final join against the broadcast-sized cluster
     table."""
+    from data_curator_spark.engine.cache import persist_tracked
     from data_curator_spark.operators.dedup import (
+        BROADCAST_LABEL_CAP,
         connected_components,
         lsh_candidate_ids,
         minhash_signatures,
     )
 
-    doc_id = F.concat_ws("\x1f", *[F.col(c) for c in id_cols])
+    # null id components get an explicit sentinel: concat_ws silently
+    # SKIPS nulls, so (repo='a', path=NULL) and (repo=NULL, path='a')
+    # would otherwise fuse into one identity and share a cluster fate
+    doc_id = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in id_cols]
+    )
     keyed = df.withColumn("__doc_id", doc_id)
     sigs = minhash_signatures(keyed, "__doc_id", content)
     pairs = lsh_candidate_ids(sigs, "__doc_id", max_bucket=max_bucket)
@@ -257,23 +264,27 @@ def with_near_dup(
         keyed.select("__doc_id"), pairs, "__doc_id", max_iter=max_iter
     ).select("__doc_id", "cluster_id")
     # non-singleton clusters only (= pair-touched ids): everything from
-    # here to the final corpus join is pair-graph sized
-    cc_t = cc.join(touched, on="__doc_id")
-    keep_flags = keyed.select("__doc_id", "keep").join(
-        F.broadcast(cc_t), on="__doc_id"
-    )
+    # here to the final corpus join is pair-graph sized. Persist once so
+    # the size probe and both consumers reuse it, and GATE the broadcast
+    # hint on the same cap as connected_components — a heavily
+    # duplicated crawl can make the touched set itself huge, and an
+    # unconditional broadcast would OOM instead of falling back to the
+    # AQE-chosen shuffle join
+    cc_t = persist_tracked(cc.join(touched, on="__doc_id"))
+    hint = F.broadcast if cc_t.count() <= BROADCAST_LABEL_CAP else (lambda f: f)
+    keep_flags = keyed.select("__doc_id", "keep").join(hint(cc_t), on="__doc_id")
     canon = keep_flags.groupBy("cluster_id").agg(
         F.coalesce(
             F.min(F.when(F.col("keep"), F.col("__doc_id"))),
             F.min("__doc_id"),
         ).alias("__canon")
     )
-    info = cc_t.join(F.broadcast(canon), on="cluster_id").select(
+    info = cc_t.join(hint(canon), on="cluster_id").select(
         "__doc_id",
         F.col("cluster_id").alias("near_dup_cluster"),
         (F.col("__doc_id") == F.col("__canon")).alias("near_dup_canonical"),
     )
-    out = keyed.join(F.broadcast(info), on="__doc_id", how="left")
+    out = keyed.join(hint(info), on="__doc_id", how="left")
     out = out.withColumn(
         "near_dup_cluster", F.coalesce("near_dup_cluster", "__doc_id")
     ).withColumn(

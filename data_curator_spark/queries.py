@@ -1398,7 +1398,9 @@ def q_ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_curator_spark.engine.features import apply_recursive_features
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    out = apply_recursive_features(ev, "user_id", "ts", [("ema12", "ema", "value", 12)])
+    out = apply_recursive_features(
+        ev, "user_id", "ts", [("ema12", "ema", "value", 12)], tiebreak_col="event_id"
+    )
     return out.select("event_id", "ema12")
 
 
@@ -1459,7 +1461,9 @@ def q_rsi_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_curator_spark.engine.features import apply_recursive_features
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    out = apply_recursive_features(ev, "user_id", "ts", [("rsi14", "rsi", "value", 14)])
+    out = apply_recursive_features(
+        ev, "user_id", "ts", [("rsi14", "rsi", "value", 14)], tiebreak_col="event_id"
+    )
     return out.select("event_id", "rsi14")
 
 
@@ -2218,7 +2222,7 @@ WITH g AS (
   SELECT doc_id, lang, n_chars, ({gate}) % 1000 AS ord FROM documents
 )
 SELECT doc_id, lang,
-       CAST(FLOOR(COALESCE(SUM(n_chars) OVER w, 0) / 4096) AS BIGINT) AS pack_bin,
+       CAST(COALESCE(SUM(n_chars) OVER w, 0) // 4096 AS BIGINT) AS pack_bin,
        CAST(COALESCE(SUM(n_chars) OVER w, 0) % 4096 AS BIGINT) AS pack_offset
 FROM g
 WINDOW w AS (PARTITION BY lang ORDER BY ord, doc_id
@@ -2267,6 +2271,7 @@ def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("macd", "sub", "ema12:ema26", 0),
             ("macd_signal", "ema", "macd", 9),
         ],
+        tiebreak_col="event_id",
     )
     return out.select("event_id", "macd", "macd_signal")
 
