@@ -3,8 +3,9 @@
 Re-expresses the reference's rolling/feature helpers
 (reference: src/kaxanuk/data_curator/features/helpers.py and
 features/calculations.py) as Spark Window expressions, plus grouped
-``applyInPandas`` kernels for the two genuinely-recursive operators
-(EMA, RSI) the SQL window model cannot express.
+Arrow-batched pandas kernels (partition-level mapInPandas) for the two
+genuinely-recursive operators (EMA, RSI) the SQL window model cannot
+express.
 
 Every expression partitions by an identifier column, so on a cluster the
 whole feature pass is a single hash shuffle on the identifier followed by
@@ -292,7 +293,7 @@ def dividend_adjustment_factor(
 
 
 # ---------------------------------------------------------------------------
-# Recursive kernels: EMA / RSI — grouped applyInPandas (Arrow-vectorized,
+# Recursive kernels: EMA / RSI — partition-level mapInPandas (Arrow-vectorized,
 # per-segment pandas ewm; zero per-row Python in the hot path)
 # ---------------------------------------------------------------------------
 
@@ -377,7 +378,7 @@ def apply_recursive_features(
     specs: list[tuple[str, str, str, int]],
     tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """Attach recursive feature columns via one grouped applyInPandas pass.
+    """Attach recursive feature columns via one Arrow-vectorized pandas pass.
 
     ``specs``: list of (out_name, kind, in_col, n) with kind ∈
     {"ema", "rsi", "sub"}. Specs evaluate IN ORDER and a later spec's

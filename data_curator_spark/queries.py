@@ -1393,7 +1393,7 @@ FROM (
 def q_ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA-12 per user over event values — seeded-SMA recursion with
     null reset (features/helpers.py:154-225) via ONE grouped
-    applyInPandas pass. Oracled bit-exactly by a DuckDB recursive CTE
+    Arrow-vectorized pandas pass. Oracled bit-exactly by a DuckDB recursive CTE
     replicating the same sequential arithmetic (SQL_EMA_RECURSIVE)."""
     from data_curator_spark.engine.features import apply_recursive_features
 
@@ -2252,8 +2252,8 @@ def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns; the signal is another EMA recursion OVER the MACD series,
     with null-segment resets). The whole chain — both component EMAs,
     the subtraction, AND the signal recursion over the derived series —
-    runs in ONE grouped applyInPandas pass: specs evaluate in order
-    within the pandas group, so no second shuffle on the same key
+    runs in ONE Arrow-vectorized pandas pass: specs evaluate in order
+    within each group, so no second shuffle on the same key
     (measured 2x at sf0.1 vs the two-pass version). Oracled bit-exactly
     by chained DuckDB recursive CTEs (MATERIALIZED intermediate — an
     inlined first recursion re-runs per second-recursion iteration,
@@ -2353,3 +2353,43 @@ SELECT event_id, macd, sig AS macd_signal FROM rec2
 
 QUERIES["macd_signal"] = q_macd_signal
 ORACLES["macd_signal"] = _macd_oracle_sql()
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary profile: EXACT distinct-token count,
+    total token count, and type/token ratio (rounded 6). Tokenization =
+    the dedup whitespace charset, so numbers line up with the shingle
+    ops. Scale shape: explode → two-level aggregation — the (lang,
+    token) partial-distinct combines map-side before the exact distinct
+    shuffle; no driver-side state."""
+    from data_curator_spark.operators.dedup import WS_RE
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.trim("text"), WS_RE)).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("lang").agg(
+        F.count_distinct("tok").alias("n_types"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.count_distinct("tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+SQL_VOCAB_STATS = f"""
+WITH t AS (
+  SELECT lang, unnest(string_split_regex(trim(text), {_WS_SQL})) AS tok
+  FROM documents
+)
+SELECT lang,
+       COUNT(DISTINCT tok) AS n_types,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio
+FROM t
+WHERE tok <> ''
+GROUP BY lang
+"""
+
+QUERIES["vocab_stats"] = q_vocab_stats
+ORACLES["vocab_stats"] = SQL_VOCAB_STATS

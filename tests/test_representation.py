@@ -98,6 +98,7 @@ ALLOWED_DOUBLES = {
     "sessionize": {"sum_value": "decimal-exact"},
     "sma_window": {"sma5": "decimal-exact"},
     "topk_orders": {"o_totalprice": "source-passthrough"},
+    "vocab_stats": {"type_token_ratio": "rounded6"},
     "volatility_window": {"vol21": "rounded6"},
 }
 
