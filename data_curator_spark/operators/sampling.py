@@ -140,3 +140,39 @@ def pack_sequences(
         )
         .drop("__cum")
     )
+
+
+def theta_distinct_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    log2_ratio: int = 6,
+) -> DataFrame:
+    """Fixed-threshold theta-sketch distinct estimator: hash every value
+    with the portable md5-prefix, keep only hashes below M/2^log2_ratio,
+    estimate distinct = (distinct sampled hashes) × 2^log2_ratio.
+
+    Why this shape at 100 TB: an EXACT distinct shuffles every distinct
+    value; this shuffles 1/2^log2_ratio of them (scan-level filter on
+    the hash), the per-group state is the sampled hash set, and two
+    sketches merge by union — the standard mergeable-sketch contract.
+    Unlike HLL (approx_count_distinct), the estimate is a DETERMINISTIC
+    integer function of the data — reproducible across engines, so the
+    correctness oracle is exact, and relative error ~ 1/sqrt(n_sampled).
+    """
+    from data_curator_spark.operators.dedup import hex_prefix_long
+
+    m_bits = 60  # hex_prefix_long(·, 15) is uniform in [0, 2^60)
+    threshold = 1 << (m_bits - log2_ratio)
+    h = hex_prefix_long(F.col(value_col).cast("string"), 15)
+    return (
+        df.select(F.col(group_col), h.alias("__h"))
+        .filter(F.col("__h") < threshold)
+        .groupBy(group_col)
+        .agg(F.count_distinct("__h").alias("n_sampled"))
+        .select(
+            group_col,
+            "n_sampled",
+            (F.col("n_sampled") * (1 << log2_ratio)).alias("est_distinct"),
+        )
+    )

@@ -2393,3 +2393,42 @@ GROUP BY lang
 
 QUERIES["vocab_stats"] = q_vocab_stats
 ORACLES["vocab_stats"] = SQL_VOCAB_STATS
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct-token estimate per language
+    (operators/sampling.py:theta_distinct_estimate): deterministic
+    hash-threshold sampling — 1/16 of the distinct space shuffles, the
+    estimate is an exact integer function of the data (oracle-exact,
+    unlike HLL). Compare with vocab_stats.n_types for the error."""
+    from data_curator_spark.operators.dedup import WS_RE
+    from data_curator_spark.operators.sampling import theta_distinct_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.trim("text"), WS_RE)).alias("tok")
+    ).filter(F.col("tok") != "")
+    return theta_distinct_estimate(toks, "lang", "tok", log2_ratio=4)
+
+
+def _distinct_sketch_oracle_sql() -> str:
+    h = _hex_long_sql("md5(tok)", 15)
+    threshold = 1 << (60 - 4)
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(string_split_regex(trim(text), {_WS_SQL})) AS tok
+  FROM documents
+), hx AS (
+  SELECT lang, ({h}) AS h FROM t WHERE tok <> ''
+)
+SELECT lang,
+       COUNT(DISTINCT h) AS n_sampled,
+       COUNT(DISTINCT h) * 16 AS est_distinct
+FROM hx
+WHERE h < {threshold}
+GROUP BY lang
+"""
+
+
+QUERIES["distinct_sketch"] = q_distinct_sketch
+ORACLES["distinct_sketch"] = _distinct_sketch_oracle_sql()

@@ -151,3 +151,36 @@ def test_contamination_overlap_planted(spark):
     assert out[1] == 4
     # doc 2 ends with 'foxtrot.' (punctuation breaks the last grams)
     assert out[2] >= 1
+
+
+def test_theta_distinct_estimate_accuracy(spark):
+    """Deterministic sketch: estimate within ~3/sqrt(n_sampled) of the
+    exact distinct count on a high-cardinality group, and every group
+    present (even ones whose sample is tiny — small groups are noisy by
+    design; callers read n_sampled as the confidence signal). Data is
+    fixed, so these are hard assertions, not flaky statistical ones."""
+    from data_curator_spark.operators.sampling import theta_distinct_estimate
+
+    df = spark.range(50_000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    ).unionByName(
+        spark.range(40).select(
+            F.lit("small").alias("g"), F.concat(F.lit("w"), F.col("id")).alias("v")
+        )
+    )
+    est = {
+        r["g"]: (r["est_distinct"], r["n_sampled"])
+        for r in theta_distinct_estimate(df, "g", "v", log2_ratio=4).collect()
+    }
+    e, n_sampled = est["big"]
+    assert n_sampled > 2000
+    rel = abs(e - 50_000) / 50_000
+    assert rel < 3.0 / (n_sampled ** 0.5), (e, rel)
+    # duplicates never inflate the estimate (sketch is over DISTINCT hashes)
+    est2 = {
+        r["g"]: r["est_distinct"]
+        for r in theta_distinct_estimate(
+            df.unionByName(df), "g", "v", log2_ratio=4
+        ).collect()
+    }
+    assert est2["big"] == e
