@@ -414,13 +414,30 @@ def apply_recursive_features(
     )
     in_cols = list(df.columns)
     out_names = [s[0] for s in specs]
-    sort_cols = [id_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
+    for _, kind, _, _ in specs:
+        if kind not in ("ema", "rsi", "sub"):
+            raise ValueError(f"unknown recursive kind {kind!r}")
+    # nulls LAST in the order key: the pre-rewrite pandas sort_values
+    # default AND the DuckDB oracles' ORDER BY both put nulls last;
+    # Spark's default asc_nulls_first would fold a null-ts row at the
+    # START of its series and diverge every downstream value
+    sort_cols = [
+        F.col(c).asc_nulls_last()
+        for c in [id_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
+    ]
 
     def run_specs(pdf: pd.DataFrame) -> pd.DataFrame:
         n_rows = len(pdf)
-        # contiguous group boundaries (partition is sorted by id first)
-        ids = pdf[id_col].to_numpy()
-        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        # contiguous group boundaries (partition is sorted by id first).
+        # Null-safe change detection: groupBy() treats all null ids as
+        # ONE group; a plain != would make each NaN id its own
+        # singleton (NaN != NaN) and silently change semantics
+        idser = pdf[id_col]
+        changed = (idser != idser.shift()) & ~(
+            idser.isna() & idser.shift().isna()
+        )
+        changed.iloc[0] = True
+        starts = np.flatnonzero(changed.to_numpy())
         bounds = np.r_[starts, n_rows]
         for out_name, kind, in_col, n in specs:
             if kind == "sub":
@@ -432,8 +449,6 @@ def apply_recursive_features(
             vals = pdf[in_col].to_numpy(dtype="float64", na_value=np.nan)
             out = np.empty(n_rows)
             kernel = _ema_array if kind == "ema" else _rsi_array
-            if kind not in ("ema", "rsi"):  # pragma: no cover
-                raise ValueError(f"unknown recursive kind {kind!r}")
             for i in range(len(starts)):
                 lo, hi = bounds[i], bounds[i + 1]
                 out[lo:hi] = kernel(vals[lo:hi], n)
@@ -451,7 +466,10 @@ def apply_recursive_features(
         if len(pdf):
             yield run_specs(pdf)
 
-    spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism * 2
-    part = df.repartition(n_parts, id_col).sortWithinPartitions(*sort_cols)
+    # no explicit partition count: repartition(key) honors
+    # spark.sql.shuffle.partitions — the documented memory knob for the
+    # per-partition pandas materialization (a hardcoded
+    # defaultParallelism multiple would silently ignore it, and at
+    # dynamic-allocation plan time defaultParallelism can be tiny)
+    part = df.repartition(id_col).sortWithinPartitions(*sort_cols)
     return part.mapInPandas(compute, schema=schema)

@@ -159,20 +159,30 @@ def theta_distinct_estimate(
     Unlike HLL (approx_count_distinct), the estimate is a DETERMINISTIC
     integer function of the data — reproducible across engines, so the
     correctness oracle is exact, and relative error ~ 1/sqrt(n_sampled).
-    """
-    from data_curator_spark.operators.dedup import hex_prefix_long
 
+    EVERY input group appears in the output — a group whose values all
+    hash above the threshold (likely when its cardinality is near or
+    below 2^log2_ratio) comes back with n_sampled = est_distinct = 0
+    rather than silently vanishing; read n_sampled as the confidence
+    signal and drop log2_ratio for small-group workloads.
+    """
     m_bits = 60  # hex_prefix_long(·, 15) is uniform in [0, 2^60)
     threshold = 1 << (m_bits - log2_ratio)
     h = hex_prefix_long(F.col(value_col).cast("string"), 15)
-    return (
+    sampled = (
         df.select(F.col(group_col), h.alias("__h"))
         .filter(F.col("__h") < threshold)
         .groupBy(group_col)
         .agg(F.count_distinct("__h").alias("n_sampled"))
+    )
+    groups = df.select(group_col).distinct()
+    return (
+        groups.join(sampled, on=group_col, how="left")
         .select(
             group_col,
-            "n_sampled",
-            (F.col("n_sampled") * (1 << log2_ratio)).alias("est_distinct"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            (F.coalesce("n_sampled", F.lit(0)) * (1 << log2_ratio)).alias(
+                "est_distinct"
+            ),
         )
     )

@@ -2355,6 +2355,18 @@ QUERIES["macd_signal"] = q_macd_signal
 ORACLES["macd_signal"] = _macd_oracle_sql()
 
 
+def _lang_tokens(d: DataFrame) -> DataFrame:
+    """(lang, tok) stream: the SHARED tokenization for vocab_stats and
+    distinct_sketch — one definition, kept in lockstep with the
+    oracles' string_split_regex(trim(text), _WS_SQL) / tok <> '' CTEs
+    (the two queries are meant to be compared against each other)."""
+    from data_curator_spark.operators.dedup import WS_RE
+
+    return d.select(
+        "lang", F.explode(F.split(F.trim("text"), WS_RE)).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary profile: EXACT distinct-token count,
     total token count, and type/token ratio (rounded 6). Tokenization =
@@ -2362,12 +2374,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops. Scale shape: explode → two-level aggregation — the (lang,
     token) partial-distinct combines map-side before the exact distinct
     shuffle; no driver-side state."""
-    from data_curator_spark.operators.dedup import WS_RE
-
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "lang", F.explode(F.split(F.trim("text"), WS_RE)).alias("tok")
-    ).filter(F.col("tok") != "")
+    toks = _lang_tokens(_t(spark, sf_dir, "documents"))
     return toks.groupBy("lang").agg(
         F.count_distinct("tok").alias("n_types"),
         F.count(F.lit(1)).alias("n_tokens"),
@@ -2420,13 +2427,15 @@ WITH t AS (
   FROM documents
 ), hx AS (
   SELECT lang, ({h}) AS h FROM t WHERE tok <> ''
+), agg AS (
+  SELECT lang, COUNT(DISTINCT h) AS n_sampled
+  FROM hx WHERE h < {threshold} GROUP BY lang
 )
-SELECT lang,
-       COUNT(DISTINCT h) AS n_sampled,
-       COUNT(DISTINCT h) * 16 AS est_distinct
-FROM hx
-WHERE h < {threshold}
-GROUP BY lang
+SELECT g.lang,
+       COALESCE(a.n_sampled, 0) AS n_sampled,
+       COALESCE(a.n_sampled, 0) * 16 AS est_distinct
+FROM (SELECT DISTINCT lang FROM hx) g
+LEFT JOIN agg a ON g.lang = a.lang
 """
 
 

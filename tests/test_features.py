@@ -363,3 +363,64 @@ def test_recursive_oracle_sql_matches_kernel_with_nulls(spark, tmp_path):
             n_rsi += 1
     # the reset paths actually produced post-reset values to compare
     assert n_ema > 50 and n_rsi > 50
+
+
+def test_apply_recursive_features_empty_and_singleton(spark):
+    """mapInPandas rewrite edges: an EMPTY input yields an empty frame
+    with the full output schema (no batches -> no yield); a single-row
+    group gets null EMA (window never fills) without touching the
+    boundary-slicing logic."""
+    from data_curator_spark.engine.features import apply_recursive_features
+
+    empty = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, value double")
+    out = apply_recursive_features(
+        empty, "user_id", "ts", [("ema3", "ema", "value", 3)], tiebreak_col="event_id"
+    )
+    assert out.columns == ["event_id", "user_id", "ts", "value", "ema3"]
+    assert out.count() == 0
+
+    import datetime as dt
+
+    one = spark.createDataFrame(
+        [(1, 7, dt.datetime(2024, 1, 1), 5.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rows = apply_recursive_features(
+        one, "user_id", "ts", [("ema3", "ema", "value", 3)], tiebreak_col="event_id"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["ema3"] is None
+
+
+def test_apply_recursive_features_null_order_key_folds_last(spark):
+    """Review r4b: a null order key must fold at the END of its series
+    (pandas sort_values na_position='last' == DuckDB NULLS LAST), not
+    Spark's default nulls-first — and a null value resets the EMA
+    segment wherever it lands."""
+    import datetime as dt
+
+    from data_curator_spark.engine.features import _ema_array, apply_recursive_features
+    import numpy as np
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, base, 1.0),
+        (2, 7, base + dt.timedelta(1), 2.0),
+        (3, 7, base + dt.timedelta(2), 3.0),
+        (4, 7, None, 99.0),  # null ts: must be LAST in the fold order
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["ema2"]
+        for r in apply_recursive_features(
+            df, "user_id", "ts", [("ema2", "ema", "value", 2)],
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    expect = _ema_array(np.array([1.0, 2.0, 3.0, 99.0]), 2)
+    for i, eid in enumerate([1, 2, 3, 4]):
+        e = expect[i]
+        assert (got[eid] is None) == bool(np.isnan(e))
+        if got[eid] is not None:
+            assert got[eid] == e, (eid, got[eid], e)

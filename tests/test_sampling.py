@@ -172,6 +172,8 @@ def test_theta_distinct_estimate_accuracy(spark):
         r["g"]: (r["est_distinct"], r["n_sampled"])
         for r in theta_distinct_estimate(df, "g", "v", log2_ratio=4).collect()
     }
+    assert set(est) == {"big", "small"}  # tiny groups survive (maybe 0s)
+    assert est["small"][0] == est["small"][1] * 16
     e, n_sampled = est["big"]
     assert n_sampled > 2000
     rel = abs(e - 50_000) / 50_000
