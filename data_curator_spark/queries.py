@@ -2172,7 +2172,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Benchmark shingle-hash set broadcasts; corpus never self-joins."""
     from data_curator_spark.operators.dedup import contamination_overlap
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return contamination_overlap(
@@ -2362,7 +2362,7 @@ def _lang_tokens(d: DataFrame) -> DataFrame:
     (the two queries are meant to be compared against each other)."""
     from data_curator_spark.operators.dedup import WS_RE
 
-    return d.select(
+    return _spread(d).select(
         "lang", F.explode(F.split(F.trim("text"), WS_RE)).alias("tok")
     ).filter(F.col("tok") != "")
 

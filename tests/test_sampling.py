@@ -186,3 +186,51 @@ def test_theta_distinct_estimate_accuracy(spark):
         ).collect()
     }
     assert est2["big"] == e
+
+
+def test_pack_sequences_property_matches_pandas_replay(spark):
+    """Property check on irregular sizes (hypothesis-style but with a
+    fixed seed so the Spark round-trip stays one job): for every shard,
+    offsets/bins must equal a pandas replay of the same portable order,
+    bins are non-decreasing along the order, and offset < context."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"s{rng.randrange(5)}", rng.choice([0, 1, 17, 4095, 4096, 4097, 90000]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, sz long")
+    from data_curator_spark.operators.sampling import pack_sequences, sample_gate
+
+    got = {
+        r["doc_id"]: (r["pack_bin"], r["pack_offset"])
+        for r in pack_sequences(df, "doc_id", "sz", 4096, "shard", salt="p").collect()
+    }
+    order = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", sample_gate(F.col("doc_id"), "p").alias("g")).collect()
+    }
+    by_shard: dict = {}
+    for i, shard, sz in rows:
+        by_shard.setdefault(shard, []).append((i, sz))
+    for shard, members in by_shard.items():
+        cum = 0
+        last_bin = -1
+        for i, sz in sorted(members, key=lambda t: (order[t[0]], t[0])):
+            b, off = got[i]
+            assert (b, off) == (cum // 4096, cum % 4096), (shard, i)
+            assert off < 4096 and b >= last_bin
+            last_bin = b
+            cum += sz
+
+
+def test_contamination_overlap_empty_benchmark(spark):
+    from data_curator_spark.operators.dedup import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "some words repeated words and more words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert contamination_overlap(corpus, bench, "doc_id", "text").count() == 0
