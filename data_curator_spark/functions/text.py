@@ -63,3 +63,14 @@ def rolling_content_hash(text: Column, window: int = 64) -> Column:
     n = F.length(text)
     starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(window))
     return F.transform(starts, lambda i: F.xxhash64(text.substr(i, F.lit(window))))
+
+
+def dedup_lines(text: Column) -> Column:
+    """Intra-document repetition removal: drop duplicate LINES keeping
+    the first occurrence, preserving original order (the Gopher/
+    RefinedWeb-style repetition scrub, line granularity). Pure column
+    expression — array_distinct keeps first-occurrence order — so the
+    whole pass is whole-stage codegen with zero shuffle."""
+    from pyspark.sql import functions as F
+
+    return F.array_join(F.array_distinct(F.split(text, "\n")), "\n")

@@ -2441,3 +2441,47 @@ LEFT JOIN agg a ON g.lang = a.lang
 
 QUERIES["distinct_sketch"] = q_distinct_sketch
 ORACLES["distinct_sketch"] = _distinct_sketch_oracle_sql()
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (functions/text.py:dedup_lines):
+    per doc, line count, unique-line count, and the sha256 of the text
+    with duplicate lines dropped (first occurrence kept, order
+    preserved). Zero shuffle — pure projection; the oracle rebuilds the
+    cleaned text via MIN(position) + ordered string_agg, so Spark's
+    array_distinct first-occurrence ordering is independently pinned."""
+    from data_curator_spark.functions.text import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    ls = F.split("text", "\n")
+    return d.select(
+        "doc_id",
+        F.size(ls).alias("n_lines"),
+        F.size(F.array_distinct(ls)).alias("n_unique_lines"),
+        F.sha2(dedup_lines(F.col("text")), 256).alias("clean_sha"),
+    )
+
+
+SQL_DEDUP_LINES = """
+WITH base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+), pos AS (
+  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM base
+), lines AS (
+  SELECT doc_id, i, ls[i] AS line FROM pos
+), firsts AS (
+  SELECT doc_id, line, MIN(i) AS fi FROM lines GROUP BY doc_id, line
+), cleaned AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) AS clean_text,
+         COUNT(*) AS n_unique_lines
+  FROM firsts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(b.ls) AS n_lines,
+       CAST(c.n_unique_lines AS INT) AS n_unique_lines,
+       sha256(c.clean_text) AS clean_sha
+FROM base b JOIN cleaned c ON b.doc_id = c.doc_id
+"""
+
+QUERIES["dedup_lines"] = q_dedup_lines
+ORACLES["dedup_lines"] = SQL_DEDUP_LINES

@@ -252,3 +252,15 @@ def test_connected_components_deep_chain_logarithmic(spark):
     bound = 2 * math.log2(d) + 3
     assert stats["rounds"] <= bound, (stats, bound)
     assert stats["peak_checkpoint_rdds"] <= 4, stats
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.functions.text import dedup_lines
+
+    text = "a\nb\na\nc\nb\na"
+    out = spark.createDataFrame([(text,)], "text string").select(
+        dedup_lines(F.col("text")).alias("c")
+    ).first()["c"]
+    assert out == "a\nb\nc"
