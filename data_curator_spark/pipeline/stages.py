@@ -166,12 +166,23 @@ def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
         fired.append(F.when(nxt != cur, F.lit(name)))
         cur = nxt
     scrubbed = cur
+    fired_arr = F.array_compact(F.array(*fired))
+    sha_orig = F.sha2(c, 256)
+    # no rule fired ⟹ scrubbed IS the original text: reuse its sha
+    # instead of hashing the full content a second time (most docs are
+    # untouched, and sha256 over content is one of the pass's largest
+    # per-row costs; the value is identical by the fired ⟺ changed
+    # contract above, so this is pure savings). Catalyst's
+    # subexpression elimination shares sha_orig/fired_arr across the
+    # two projections.
     return df.select(
         "*",
         scrubbed.alias("content_scrubbed"),
-        F.array_compact(F.array(*fired)).alias("scrub_rules_fired"),
-        F.sha2(c, 256).alias("sha256_original"),
-        F.sha2(scrubbed, 256).alias("sha256_scrubbed"),
+        fired_arr.alias("scrub_rules_fired"),
+        sha_orig.alias("sha256_original"),
+        F.when(F.size(fired_arr) == 0, sha_orig)
+        .otherwise(F.sha2(scrubbed, 256))
+        .alias("sha256_scrubbed"),
     )
 
 
