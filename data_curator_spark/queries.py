@@ -2485,3 +2485,69 @@ FROM base b JOIN cleaned c ON b.doc_id = c.doc_id
 
 QUERIES["dedup_lines"] = q_dedup_lines
 ORACLES["dedup_lines"] = SQL_DEDUP_LINES
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: word-bigram
+    duplication ratio (1 − unique/total) and top-bigram share — the
+    rules that catch templated/spammy text that line-level checks miss.
+    Scale shape: (doc, gram) partial counts combine map-side, then one
+    per-doc aggregate; grams never leave their doc's shuffle key. Docs
+    with <2 words have no bigrams and are excluded (both engines)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    from data_curator_spark.operators.dedup import WS_RE
+
+    words = F.split(F.trim("text"), WS_RE)
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.transform(idx, lambda i: F.array_join(F.slice(words, i, 2), " ")),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_unique_bigrams"),
+            F.max("n").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unique_bigrams",
+            F.round(
+                1.0 - F.col("n_unique_bigrams").cast("double") / F.col("n_bigrams"), 6
+            ).alias("dup_bigram_ratio"),
+            F.round(
+                F.col("top_count").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
+SQL_REPETITION_PROFILE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), {_WS_SQL}) AS ws FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM w WHERE len(ws) >= 2
+), c AS (
+  SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       COUNT(*) AS n_unique_bigrams,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_bigram_ratio,
+       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_share
+FROM c
+GROUP BY doc_id
+"""
+
+QUERIES["repetition_profile"] = q_repetition_profile
+ORACLES["repetition_profile"] = SQL_REPETITION_PROFILE

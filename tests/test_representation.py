@@ -88,6 +88,10 @@ ALLOWED_DOUBLES = {
         "avg_qty": "ieee-exact",
         "avg_price": "ieee-exact",
     },
+    "repetition_profile": {
+        "dup_bigram_ratio": "rounded6",
+        "top_bigram_share": "rounded6",
+    },
     "revenue_by_nation": {"revenue": "decimal-exact"},
     "rsi_recursive": {"rsi14": "recursive-bit-exact"},
     "scalar_functions": {
