@@ -43,8 +43,11 @@ HEADLINE = [
     # training-set assembly ops (added r4)
     "decontaminate",
     "sequence_pack",
-    # chained recursive kernels: 2 applyInPandas passes (added r4)
+    # chained recursive kernels in one Arrow pass (added r4)
     "macd_signal",
+    # intra-doc repetition ops (added r4)
+    "dedup_lines",
+    "repetition_profile",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))
