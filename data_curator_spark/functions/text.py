@@ -71,6 +71,4 @@ def dedup_lines(text: Column) -> Column:
     RefinedWeb-style repetition scrub, line granularity). Pure column
     expression — array_distinct keeps first-occurrence order — so the
     whole pass is whole-stage codegen with zero shuffle."""
-    from pyspark.sql import functions as F
-
     return F.array_join(F.array_distinct(F.split(text, "\n")), "\n")

@@ -2452,7 +2452,11 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_distinct first-occurrence ordering is independently pinned."""
     from data_curator_spark.functions.text import dedup_lines
 
-    d = _t(spark, sf_dir, "documents")
+    # NULL-text guard on BOTH sides: Spark would emit an all-null row
+    # while the oracle's inner join drops it (latent rowcount
+    # divergence; testdata has no null texts but the driver env is not
+    # ours to assume)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ls = F.split("text", "\n")
     return d.select(
         "doc_id",
@@ -2465,6 +2469,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_LINES = """
 WITH base AS (
   SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+  WHERE text IS NOT NULL
 ), pos AS (
   SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM base
 ), lines AS (
