@@ -514,11 +514,20 @@ def connected_components(
                 stats.get("peak_checkpoint_rdds", 0),
                 len(prev_ids | step_ids | new_ids),
             )
-        unchanged = (
-            labels.join(prev_labels.withColumnRenamed("label", "__old"), on="id")
-            .filter(F.col("label") != F.col("__old"))
-            .isEmpty()
-        )
+        if it == 0:
+            # round 1 can NEVER be the fixpoint when edges exist: every
+            # pair (a, b) with a < b lowers b's label below its identity
+            # value, so the convergence-check join here would be a
+            # guaranteed-false driver job — skip it (each job on a tiny
+            # graph costs more in fixed scheduling latency than the
+            # whole round's compute)
+            unchanged = False
+        else:
+            unchanged = (
+                labels.join(prev_labels.withColumnRenamed("label", "__old"), on="id")
+                .filter(F.col("label") != F.col("__old"))
+                .isEmpty()
+            )
         unpersist_rdd_ids(spark, prev_ids | step_ids)  # release round N-1 + the step temp
         prev_ids = new_ids
         prev_labels = labels
