@@ -45,7 +45,10 @@ HEADLINE = [
     "sequence_pack",
     # chained recursive kernels in one Arrow pass (added r4)
     "macd_signal",
-    # intra-doc repetition ops (added r4)
+    # intra-doc repetition ops (added r4). NOTE: repetition_profile was
+    # registered after the r4 driver snapshot, so its first hard-gate
+    # correctness row is CORRECTNESS_r05 — treat earlier bench numbers
+    # for it as driver-unverified (ADVICE r4; COVERAGE.md has the gap).
     "dedup_lines",
     "repetition_profile",
 ]

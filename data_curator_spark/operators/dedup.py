@@ -451,6 +451,10 @@ def connected_components(
     )
 
     spark = vertices.sparkSession
+    # self-pairs (id, id) are identity edges: they pass the emptiness
+    # gate below yet propagate nothing, which would make the round-1
+    # "cannot be the fixpoint" argument false — drop them here
+    pairs = pairs.filter(~F.col("id_a").eqNullSafe(F.col("id_b")))
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -514,13 +518,15 @@ def connected_components(
                 stats.get("peak_checkpoint_rdds", 0),
                 len(prev_ids | step_ids | new_ids),
             )
-        if it == 0:
-            # round 1 can NEVER be the fixpoint when edges exist: every
-            # pair (a, b) with a < b lowers b's label below its identity
-            # value, so the convergence-check join here would be a
+        if it == 0 and max_iter > 1:
+            # round 1 can NEVER be the fixpoint when non-self edges
+            # exist (self-pairs were filtered above): every pair (a, b)
+            # with a < b lowers b's label below its identity value, so
+            # the convergence-check join here would be a
             # guaranteed-false driver job — skip it (each job on a tiny
             # graph costs more in fixed scheduling latency than the
-            # whole round's compute)
+            # whole round's compute). With max_iter == 1 no later round
+            # exists to observe convergence, so run the real check.
             unchanged = False
         else:
             unchanged = (

@@ -78,6 +78,11 @@ def hash_split(
     sample/split. Pure projection: zero shuffle at any scale."""
     if not splits:
         raise ValueError("splits must be non-empty")
+    bad = {k: v for k, v in splits.items() if v < 0}
+    if bad:
+        # negative permilles can still sum to 1000 while inverting the
+        # cumulative thresholds — splits would silently overlap
+        raise ValueError(f"split permilles must be >= 0, got {bad}")
     total = sum(splits.values())
     if total != 1000:
         raise ValueError(f"split permilles must sum to 1000, got {total}")
@@ -122,6 +127,10 @@ def pack_sequences(
     arithmetic (LONG running sum, integer DIV — never a double
     division, whose 2^53 mantissa would tear bins once a shard's
     cumulative size passes ~9e15) — bit-exact on any engine."""
+    if context_len < 1:
+        # would otherwise surface as an opaque ANSI divide/modulo-by-
+        # zero (or nonsense negative bins) at execution time
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
     from pyspark.sql import Window
 
     order = sample_gate(F.col(id_col), salt)
@@ -176,8 +185,12 @@ def theta_distinct_estimate(
         .agg(F.count_distinct("__h").alias("n_sampled"))
     )
     groups = df.select(group_col).distinct()
+    # null-SAFE join: a NULL group key is a real group (groupBy keeps
+    # it) — a plain equi-join would never match it against its own
+    # sampled row and silently report n_sampled = 0
+    s = sampled.withColumnRenamed(group_col, "__g")
     return (
-        groups.join(sampled, on=group_col, how="left")
+        groups.join(s, on=F.col(group_col).eqNullSafe(F.col("__g")), how="left")
         .select(
             group_col,
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),

@@ -56,12 +56,6 @@ ALLOWED_DOUBLES = {
         "digit_ratio": "rounded6",
         "distinct_line_ratio": "rounded6",
     },
-    "corpus_profile": {
-        "avg_chars": "rounded6",
-        "p50_chars": "rounded6",
-        "p90_chars": "rounded6",
-        "p99_chars": "rounded6",
-    },
     "doc_token_stats": {
         "mean_word_len": "rounded6",
         "punct_ratio": "rounded6",
@@ -88,10 +82,6 @@ ALLOWED_DOUBLES = {
         "avg_qty": "ieee-exact",
         "avg_price": "ieee-exact",
     },
-    "repetition_profile": {
-        "dup_bigram_ratio": "rounded6",
-        "top_bigram_share": "rounded6",
-    },
     "revenue_by_nation": {"revenue": "decimal-exact"},
     "rsi_recursive": {"rsi14": "recursive-bit-exact"},
     "scalar_functions": {
@@ -100,6 +90,7 @@ ALLOWED_DOUBLES = {
         "abs_neg": "ieee-exact",
     },
     "sessionize": {"sum_value": "decimal-exact"},
+    "sessionize_sums": {"sum_value": "decimal-exact"},
     "sma_window": {"sma5": "decimal-exact"},
     "topk_orders": {"o_totalprice": "source-passthrough"},
     "vocab_stats": {"type_token_ratio": "rounded6"},
