@@ -69,21 +69,91 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def benchmark_shingle_hashes(
+    benchmark: DataFrame, content_col: str = "content", shingle_n: int = 5
+) -> list[int]:
+    """Distinct benchmark shingle-hash set, collected to the driver —
+    the broadcast artifact for ``streaming_contamination``. Same
+    portable md5-prefix hashing as the batch
+    ``operators.dedup.contamination_overlap``, so a file is flagged by
+    the stream iff the batch op would flag it. One batch job over the
+    (small) benchmark table; rerun only when the benchmark changes."""
+    from data_curator_spark.operators.dedup import hex_prefix_long, word_shingles
+
+    rows = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s")
+        )
+        .select(hex_prefix_long(F.col("s"), 15).alias("h"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r.h for r in rows)
+
+
+def streaming_contamination(
+    stream: DataFrame,
+    bench_hashes: list[int],
+    content_col: str = "content_scrubbed",
+    shingle_n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check lifted to the stream: per-file
+    overlap-gram count against the broadcast benchmark hash set, as a
+    PURE PROJECTION (array_intersect against the literal hash array) —
+    no shuffle, no streaming state, no watermark, so it composes with
+    any trigger and stays exactly-once under restart for free.
+
+    This is the streaming analog of the batch broadcast-hash-set join in
+    ``contamination_overlap`` (dedup.py): the benchmark set rides the
+    plan to every task the way a broadcast variable would. Sized for
+    real eval benchmarks (10^4-10^6 grams); for a benchmark union too
+    big to ship per-plan, run the batch op over the curated output
+    instead — a stream-side stateful join would hold unbounded state.
+
+    Adds ``n_overlap_grams``; rows at/over ``min_overlap`` flip to
+    keep=false with drop_reason='contaminated' (keep/drop_reason are
+    left untouched if absent — pre-curation streams just get the
+    counts)."""
+    from data_curator_spark.operators.dedup import hex_prefix_long, word_shingles
+
+    grams = word_shingles(F.col(content_col), shingle_n)
+    hashes = F.transform(grams, lambda s: hex_prefix_long(s, 15))
+    overlap = F.size(
+        F.array_intersect(hashes, F.lit(bench_hashes).cast("array<bigint>"))
+    )
+    out = stream.withColumn("n_overlap_grams", overlap)
+    if "keep" not in stream.columns:
+        return out
+    contaminated = F.col("n_overlap_grams") >= min_overlap
+    return out.withColumn(
+        "drop_reason",
+        F.when(F.col("keep") & contaminated, F.lit("contaminated")).otherwise(
+            F.col("drop_reason")
+        ),
+    ).withColumn("keep", F.col("keep") & ~contaminated)
+
+
 def run_stream_once(
     spark: SparkSession,
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
     dedup: bool = False,
+    bench_hashes: list[int] | None = None,
 ) -> None:
     """Drain everything currently in the landing dir (availableNow
     trigger), write curated output, stop. Restart-safe via checkpoint —
     already-processed input files are never reprocessed (the streaming
-    analog of the batch manifest resume)."""
+    analog of the batch manifest resume). ``bench_hashes`` (from
+    ``benchmark_shingle_hashes``) appends the contamination check over
+    the scrubbed content."""
     stream = read_corpus_stream(spark, input_dir)
     if dedup:
         stream = streaming_dedup(stream)
     curated = streaming_quality_filter(stream, spark)
+    if bench_hashes is not None:
+        curated = streaming_contamination(curated, bench_hashes)
     q = (
         curated.writeStream.format("parquet")
         .option("path", output_dir)

@@ -1,0 +1,108 @@
+"""Streaming benchmark-contamination check: batch parity + rate-limited
+incremental processing with checkpoint restart safety."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from data_curator_spark.operators.dedup import contamination_overlap
+from data_curator_spark.pipeline.corpus import generate_corpus
+from data_curator_spark.pipeline.stages import run_stages
+from data_curator_spark.streaming.quality_stream import (
+    benchmark_shingle_hashes,
+    run_stream_once,
+    streaming_contamination,
+)
+
+SHINGLE_N = 5
+
+
+def _land(pdf, path):
+    pdf = pdf.copy()
+    pdf["ingested_at"] = pd.Series(
+        [pd.Timestamp("2026-01-01")] * len(pdf), index=pdf.index
+    ).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_streaming_contamination_matches_batch_and_restarts(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = generate_corpus(80, seed=11)
+    # benchmark = 6 corpus contents verbatim (worst-case leak: the eval
+    # set is IN the training crawl) — guarantees hits
+    bench_pdf = corpus.iloc[:6][["repo", "path", "content"]].copy()
+    bench = spark.createDataFrame(bench_pdf)
+    bench_hashes = benchmark_shingle_hashes(bench, "content", shingle_n=SHINGLE_N)
+    assert len(bench_hashes) > 0
+
+    # rate-limited landing: 3 files < maxFilesPerTrigger drains in
+    # multiple micro-batches under availableNow
+    _land(corpus.iloc[:30], str(land / "b1.parquet"))
+    _land(corpus.iloc[30:60], str(land / "b2.parquet"))
+    _land(corpus.iloc[60:], str(land / "b3.parquet"))
+    run_stream_once(spark, str(land), out, ckpt, bench_hashes=bench_hashes)
+    got = spark.read.parquet(out)
+    assert got.count() == len(corpus)
+
+    # batch parity: same corpus through the batch stages, then the batch
+    # broadcast-hash-set op over the same scrubbed content
+    batch = run_stages(
+        spark.createDataFrame(corpus.drop(columns=["ingested_at"], errors="ignore")),
+        spark,
+    ).withColumn("file_id", F.concat_ws("\x1f", "repo", "path"))
+    bench_keyed = bench.withColumn(
+        "file_id", F.concat_ws("\x1f", "repo", "path")
+    ).withColumnRenamed("content", "content_scrubbed")
+    batch_flagged = contamination_overlap(
+        batch, bench_keyed, "file_id", "content_scrubbed",
+        shingle_n=SHINGLE_N, min_overlap=1,
+    )
+    batch_ids = {r.file_id for r in batch_flagged.collect()}
+
+    stream_ids = {
+        r.file_id
+        for r in got.withColumn("file_id", F.concat_ws("\x1f", "repo", "path"))
+        .filter(F.col("n_overlap_grams") >= 1)
+        .select("file_id")
+        .collect()
+    }
+    assert stream_ids == batch_ids
+    assert len(stream_ids) >= 6  # the 6 verbatim leaks at minimum
+
+    # contaminated rows are demoted with the right reason; untouched
+    # rows keep their original decision
+    demoted = got.filter(F.col("drop_reason") == "contaminated")
+    assert demoted.filter(~(F.col("n_overlap_grams") >= 1)).count() == 0
+    assert got.filter(F.col("keep") & (F.col("n_overlap_grams") >= 1)).count() == 0
+
+    # restart safety: a new file lands, rerun processes ONLY it
+    extra = generate_corpus(10, seed=12)
+    _land(extra, str(land / "b4.parquet"))
+    run_stream_once(spark, str(land), out, ckpt, bench_hashes=bench_hashes)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == len(corpus) + len(extra)
+    assert got2.groupBy("repo", "path", "commit").count().filter("count > 1").isEmpty()
+
+
+def test_streaming_contamination_projection_is_stateless(spark):
+    """The check must add NO streaming state: a pure projection plan
+    (no aggregation/join operators) so it composes with any trigger."""
+    pdf = pd.DataFrame(
+        {
+            "file_id": ["a", "b"],
+            "content_scrubbed": ["x y z w v u t s", "q r s t u v w x"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = streaming_contamination(df, [1, 2, 3], shingle_n=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+    # no keep column on input -> counts only, no demotion columns added
+    assert "keep" not in out.columns and "n_overlap_grams" in out.columns
