@@ -628,3 +628,85 @@ def contamination_overlap(
         .agg(F.count_distinct("h").alias("n_overlap_grams"))
         .filter(F.col("n_overlap_grams") >= min_overlap)
     )
+
+
+def strip_hot_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int,
+    delimiter: str = "\n",
+    out_col: str = "text_stripped",
+) -> DataFrame:
+    """EXECUTE boilerplate removal (the mining half is
+    ``q_boilerplate_ngrams``): drop every text segment — line for code/
+    web corpora, word for token pruning — whose corpus-wide DOCUMENT
+    frequency reaches ``min_df``, preserving the order of the
+    surviving segments. The RefinedWeb/CCNet-style strip of license
+    headers, nav chrome and template lines that near-dup clustering
+    deliberately leaves alone (those docs are not duplicates; their
+    *segments* are).
+
+    Output: the input plus ``out_col`` (null text stays null; a doc
+    whose every segment was hot becomes the empty string).
+
+    Scale shape: two phases. (1) DF counting shuffles only 8-byte
+    md5-prefix hashes of per-doc-DISTINCT segments — document text
+    never enters the exchange, and map-side partial counts collapse
+    the hot keys. (2) The strip is posexplode → anti-join against the
+    (tiny: at most total_segments/min_df rows, in practice far fewer)
+    hot-hash table → one groupBy(id) reassembly, so the full text
+    shuffles exactly ONCE, partitioned by doc id. The hot table's
+    broadcast hint is size-gated like every other small side in this
+    module (BROADCAST_LABEL_CAP) — an adversarial corpus where
+    'boilerplate' is most of the data falls back to the AQE-planned
+    shuffle join instead of OOMing the driver.
+
+    min_df is ABSOLUTE; callers wanting a fraction-of-corpus threshold
+    compute it from a count (see queries.q_boilerplate_strip, which
+    derives it as ceil(frac * n_docs) in both engines).
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    import re as _re
+
+    delim_re = _re.escape(delimiter)
+    segs = F.split(F.col(text_col), delim_re)
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    # per-doc-distinct BEFORE the shuffle: a segment repeated 10^4
+    # times inside one doc is one (hash) row, and DF semantics want
+    # distinct docs anyway
+    doc_hashes = base.filter(F.col(text_col).isNotNull()).select(
+        F.explode(F.array_distinct(segs)).alias("seg")
+    ).select(hex_prefix_long(F.col("seg"), 15).alias("h"))
+    hot = persist_tracked(
+        doc_hashes.groupBy("h").count().filter(F.col("count") >= min_df).select("h")
+    )
+    hint = F.broadcast if hot.count() <= BROADCAST_LABEL_CAP else (lambda d: d)
+
+    pos_segs = base.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+    kept = pos_segs.join(
+        hint(hot),
+        on=hex_prefix_long(F.col("seg"), 15) == F.col("h"),
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.getField("seg"),
+            ),
+            delimiter,
+        ).alias("__stripped")
+    )
+    out = df.join(rebuilt, on=id_col, how="left").withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+            F.coalesce("__stripped", F.lit(""))
+        ),
+    )
+    return out.drop("__stripped")

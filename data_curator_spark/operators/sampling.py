@@ -199,3 +199,59 @@ def theta_distinct_estimate(
             ),
         )
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    strata_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "budget",
+) -> DataFrame:
+    """Data-mixing to a per-stratum SIZE BUDGET (tokens/chars/bytes):
+    within each stratum, order documents by the portable id-hash
+    (reproducible shuffle order — same gate family as the samplers
+    above) and keep documents while the cumulative size BEFORE each one
+    is under the stratum's budget. The last kept doc may overshoot by
+    at most its own size — the standard quota-fill convention, which
+    guarantees every non-empty stratum with a positive budget
+    contributes at least one doc.
+
+    This is the "mix 30B code tokens with 10B wiki tokens" step of
+    assembling a training set: deterministic across reruns, engines and
+    partitionings, and auditable from ids alone. Strata missing from
+    ``budgets`` get ``default_budget`` (0 ⇒ dropped entirely).
+
+    Scale shape: ONE shuffle on the stratum key serves both the
+    ordering window and the running sum; the filter then prunes
+    map-side. All-integer running sums (LONG) — no doubles anywhere,
+    so the DuckDB oracle matches bit-for-bit. Like pack_sequences, a
+    stratum is one sort task: salt the stratum key (compose with a
+    hash bucket) if a single stratum's SURVIVING budget-window is too
+    big to sort in one task — the budget cap itself bounds the kept
+    prefix, so this matters only for extreme budgets.
+    """
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+    from pyspark.sql import Window
+
+    order = sample_gate(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    budget: Column = F.lit(default_budget)
+    for value, cap in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(cap)).otherwise(budget)
+    return (
+        df.select("*", cum_prev.alias("__cum_prev"))
+        .filter(F.col("__cum_prev") < budget)
+        .drop("__cum_prev")
+    )

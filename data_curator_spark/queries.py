@@ -2705,3 +2705,107 @@ GROUP BY doc_id
 
 QUERIES["repetition_profile"] = q_repetition_profile
 ORACLES["repetition_profile"] = SQL_REPETITION_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: boilerplate execution + budgeted data mixing
+# ---------------------------------------------------------------------------
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED boilerplate removal (operators/dedup.py:
+    strip_hot_segments): segments whose document frequency reaches 78%
+    of the corpus are stripped from every document, surviving segment
+    order preserved. Word granularity here (the documents table is
+    single-line); code/web corpora pass delimiter='\\n' for the
+    classic license-header/nav-chrome strip. The DF threshold derives
+    from the corpus size with integer-only ceil arithmetic so both
+    engines compute the identical cut."""
+    from data_curator_spark.operators.dedup import strip_hot_segments
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    n = d.filter(F.col("text").isNotNull()).count()
+    min_df = (78 * n + 99) // 100  # ceil(0.78 * n), integer-exact
+    out = strip_hot_segments(
+        d, "doc_id", "text", min_df=min_df, delimiter=" "
+    )
+    return out.select("doc_id", "text_stripped")
+
+
+SQL_BOILERPLATE_STRIP = """
+WITH n AS (
+  SELECT ((78 * COUNT(*) + 99) // 100) AS min_df
+  FROM documents WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS segs FROM documents
+), dh AS (
+  SELECT doc_id, unnest(list_distinct(segs)) AS seg
+  FROM w WHERE text IS NOT NULL
+), hot AS (
+  SELECT seg FROM (SELECT seg, COUNT(*) AS c FROM dh GROUP BY seg)
+  WHERE c >= (SELECT min_df FROM n)
+), pos AS (
+  SELECT doc_id, t.i AS pos, segs[t.i] AS seg
+  FROM w, (SELECT unnest(range(1, len(segs) + 1)) AS i) t
+  WHERE text IS NOT NULL
+), kept AS (
+  SELECT p.doc_id, p.pos, p.seg
+  FROM pos p ANTI JOIN hot h ON p.seg = h.seg
+), rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(r.txt, '') END AS text_stripped
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language char-budget data mixing (operators/sampling.py:
+    budget_sample): each lang contributes docs in portable hash order
+    until its budget fills — the "mix N tokens of X with M tokens of Y"
+    step of training-set assembly. All-integer running sums; one
+    shuffle on lang serving both window and filter."""
+    from data_curator_spark.operators.sampling import budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = budget_sample(
+        d, "doc_id", "n_chars", "lang",
+        budgets={"en": 20000, "zh": 8000}, default_budget=5000,
+        salt="r5mix",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _budget_sample_oracle_sql() -> str:
+    gate = _hex_long_sql("md5('r5mix:' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, n_chars, ({gate}) % 1000 AS ord FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev
+  FROM g
+)
+SELECT doc_id, lang, n_chars FROM c
+WHERE cum_prev < CASE lang WHEN 'en' THEN 20000 WHEN 'zh' THEN 8000
+                 ELSE 5000 END
+"""
+
+
+QUERIES.update(
+    {
+        "boilerplate_strip": q_boilerplate_strip,
+        "budget_sample": q_budget_sample,
+    }
+)
+ORACLES.update(
+    {
+        "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+        "budget_sample": _budget_sample_oracle_sql(),
+    }
+)

@@ -264,3 +264,66 @@ def test_dedup_lines_first_occurrence_order(spark):
         dedup_lines(F.col("text")).alias("c")
     ).first()["c"]
     assert out == "a\nb\nc"
+
+
+def test_strip_hot_segments_line_granularity(spark):
+    """The code-corpus use: license-header lines shared by >= min_df
+    docs are stripped; unique lines survive in order; a doc that was
+    ALL boilerplate becomes '', null text stays null."""
+    from data_curator_spark.operators.dedup import strip_hot_segments
+
+    header = "# licensed under apache-2.0\n# all rights reserved"
+    rows = [
+        (1, header + "\ndef f():\n    return 1"),
+        (2, header + "\ndef g():\n    return 2"),
+        (3, header),                      # pure boilerplate
+        (4, "def h():\n    return 3"),    # no boilerplate
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r.text_stripped
+        for r in strip_hot_segments(df, "doc_id", "text", min_df=3).collect()
+    }
+    assert out[1] == "def f():\n    return 1"
+    assert out[2] == "def g():\n    return 2"
+    assert out[3] == ""
+    assert out[4] == "def h():\n    return 3"
+    assert out[5] is None
+
+
+def test_strip_hot_segments_threshold_and_order(spark):
+    from data_curator_spark.operators.dedup import strip_hot_segments
+
+    df = spark.createDataFrame(
+        [(1, "x\ny\nz"), (2, "y\nx"), (3, "z\nx\nq")],
+        "doc_id int, text string",
+    )
+    # x in 3 docs, y and z in 2, q in 1 -> min_df=3 strips only x
+    out = {
+        r.doc_id: r.text_stripped
+        for r in strip_hot_segments(df, "doc_id", "text", min_df=3).collect()
+    }
+    assert out == {1: "y\nz", 2: "y", 3: "z\nq"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        strip_hot_segments(df, "doc_id", "text", min_df=0)
+
+
+def test_strip_hot_segments_intra_doc_repeats_count_once(spark):
+    """DF semantics: 100 copies inside ONE doc contribute 1 to the
+    document frequency (per-doc distinct before the count)."""
+    from data_curator_spark.operators.dedup import strip_hot_segments
+
+    df = spark.createDataFrame(
+        [(1, "\n".join(["spam"] * 100)), (2, "ham")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.text_stripped
+        for r in strip_hot_segments(df, "doc_id", "text", min_df=2).collect()
+    }
+    # spam's DF is 1, below min_df=2: nothing stripped
+    assert out[1] == "\n".join(["spam"] * 100)
+    assert out[2] == "ham"

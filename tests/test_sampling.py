@@ -234,3 +234,98 @@ def test_contamination_overlap_empty_benchmark(spark):
     )
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert contamination_overlap(corpus, bench, "doc_id", "text").count() == 0
+
+
+def test_budget_sample_quota_semantics(spark):
+    from data_curator_spark.operators.sampling import budget_sample
+
+    rows = [(i, "en" if i % 2 else "de", 100) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = budget_sample(
+        df, "doc_id", "n_chars", "lang",
+        budgets={"en": 450}, default_budget=200, salt="t",
+    )
+    by_lang = {
+        r.lang: r.total
+        for r in out.groupBy("lang").agg(F.sum("n_chars").alias("total")).collect()
+    }
+    # quota-fill: kept total is the smallest prefix sum >= budget,
+    # overshooting by at most one doc (here 100 chars)
+    assert 450 <= by_lang["en"] <= 549
+    assert 200 <= by_lang["de"] <= 299
+
+
+def test_budget_sample_zero_budget_drops_and_positive_keeps_one(spark):
+    from data_curator_spark.operators.sampling import budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 10_000), (2, "a", 10_000), (3, "b", 99)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = budget_sample(
+        df, "doc_id", "n_chars", "lang",
+        budgets={"a": 1, "b": 0}, default_budget=0, salt="t",
+    ).collect()
+    # budget 1 < any doc size still keeps exactly one doc (cum_prev=0);
+    # budget 0 drops the stratum entirely
+    assert len(out) == 1 and out[0].lang == "a"
+
+
+def test_budget_sample_partitioning_invariant(spark):
+    from data_curator_spark.operators.sampling import budget_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3], 50 + i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kw = dict(budgets={"en": 900}, default_budget=700, salt="t")
+    a = {r.doc_id for r in budget_sample(df, "doc_id", "n_chars", "lang", **kw).collect()}
+    b = {
+        r.doc_id
+        for r in budget_sample(
+            df.repartition(7), "doc_id", "n_chars", "lang", **kw
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_budget_sample_validation(spark):
+    import pytest as _pytest
+
+    from data_curator_spark.operators.sampling import budget_sample
+
+    df = spark.createDataFrame([(1, "a", 1)], "doc_id long, lang string, n_chars long")
+    with _pytest.raises(ValueError):
+        budget_sample(df, "doc_id", "n_chars", "lang", budgets={"a": -1})
+    with _pytest.raises(ValueError):
+        budget_sample(df, "doc_id", "n_chars", "lang", budgets={}, default_budget=-5)
+
+
+def test_hash_split_rejects_negative_permille(spark):
+    import pytest as _pytest
+
+    from data_curator_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match=">= 0"):
+        hash_split(df, "doc_id", {"train": 1100, "val": -100})
+
+
+def test_pack_sequences_rejects_bad_context_len(spark):
+    import pytest as _pytest
+
+    from data_curator_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, "a", 10)], "doc_id long, lang string, n_chars long")
+    with _pytest.raises(ValueError, match="context_len"):
+        pack_sequences(df, "doc_id", "n_chars", 0, "lang")
+
+
+def test_theta_distinct_null_group_counted(spark):
+    from data_curator_spark.operators.sampling import theta_distinct_estimate
+
+    rows = [(None, f"v{i}") for i in range(2000)] + [("g", f"w{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r.grp: r for r in theta_distinct_estimate(df, "grp", "val").collect()}
+    assert set(out) == {None, "g"}
+    # the NULL group's 2000 values must actually be sampled (the old
+    # null-unsafe equi-join reported 0 forever)
+    assert out[None].n_sampled > 0 and out[None].est_distinct > 0
