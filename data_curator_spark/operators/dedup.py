@@ -647,20 +647,27 @@ def strip_hot_segments(
     deliberately leaves alone (those docs are not duplicates; their
     *segments* are).
 
-    Output: the input plus ``out_col`` (null text stays null; a doc
-    whose every segment was hot becomes the empty string).
+    Output: (``id_col``, ``out_col``) — one row per input row; null
+    text stays null, a doc whose every segment was hot becomes the
+    empty string. Callers needing other columns join on ``id_col``
+    (keeping the operator's own plan to a single text shuffle).
 
     Scale shape: two phases. (1) DF counting shuffles only 8-byte
     md5-prefix hashes of per-doc-DISTINCT segments — document text
     never enters the exchange, and map-side partial counts collapse
-    the hot keys. (2) The strip is posexplode → anti-join against the
+    the hot keys. (2) The strip is posexplode → LEFT join against the
     (tiny: at most total_segments/min_df rows, in practice far fewer)
-    hot-hash table → one groupBy(id) reassembly, so the full text
-    shuffles exactly ONCE, partitioned by doc id. The hot table's
-    broadcast hint is size-gated like every other small side in this
-    module (BROADCAST_LABEL_CAP) — an adversarial corpus where
-    'boilerplate' is most of the data falls back to the AQE-planned
-    shuffle join instead of OOMing the driver.
+    hot-hash table to flag hot segments → ONE groupBy(id) reassembly
+    that filters the flagged segments inside the aggregate — so the
+    full text shuffles exactly ONCE, partitioned by doc id, and the
+    original table is never re-joined (an earlier draft anti-joined
+    then left-joined back to the input, which shuffled the corpus text
+    a second time just to recover all-stripped/null docs). Null-text
+    rows rejoin via a column-pruned union. The hot table's broadcast
+    hint is size-gated like every other small side in this module
+    (BROADCAST_LABEL_CAP) — an adversarial corpus where 'boilerplate'
+    is most of the data falls back to the AQE-planned shuffle join
+    instead of OOMing the driver.
 
     min_df is ABSOLUTE; callers wanting a fraction-of-corpus threshold
     compute it from a count (see queries.q_boilerplate_strip, which
@@ -689,24 +696,29 @@ def strip_hot_segments(
         F.col(id_col),
         F.posexplode(segs).alias("pos", "seg"),
     )
-    kept = pos_segs.join(
+    flagged = pos_segs.join(
         hint(hot),
         on=hex_prefix_long(F.col("seg"), 15) == F.col("h"),
-        how="left_anti",
+        how="left",
+    ).select(
+        id_col, "pos", "seg", F.col("h").isNotNull().alias("__hot")
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    # split('') yields [''], so every non-null-text doc contributes at
+    # least one segment row and survives the groupBy even when every
+    # segment is hot (filter inside the aggregate, not before it)
+    rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg", "__hot"))),
+                    lambda s: ~s.getField("__hot"),
+                ),
                 lambda s: s.getField("seg"),
             ),
             delimiter,
-        ).alias("__stripped")
+        ).alias(out_col)
     )
-    out = df.join(rebuilt, on=id_col, how="left").withColumn(
-        out_col,
-        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
-            F.coalesce("__stripped", F.lit(""))
-        ),
+    null_rows = base.filter(F.col(text_col).isNull()).select(
+        F.col(id_col), F.lit(None).cast("string").alias(out_col)
     )
-    return out.drop("__stripped")
+    return rebuilt.unionByName(null_rows)

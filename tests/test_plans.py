@@ -203,3 +203,28 @@ def test_connected_components_never_moves_the_corpus(spark):
 
     for sub in re.findall(r"BroadcastExchange.*?(?=\n\(\d+\) [A-Z])", plan, re.S):
         assert "Scan parquet" not in sub
+
+
+def test_budget_sample_single_exchange(spark):
+    """budget_sample: one shuffle on the stratum key serves BOTH the
+    ordering window and the running-sum filter."""
+    import re
+
+    plan = _plan(spark, "budget_sample")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan and "SortMergeJoin" not in plan
+
+
+def test_boilerplate_strip_text_shuffles_once(spark):
+    """strip_hot_segments: the hot-hash table broadcasts (never a
+    sort-merge join against the corpus), and the document text passes
+    through exactly ONE hash exchange — the groupBy(doc_id)
+    reassembly. A regression that re-joins the original table would
+    add a second doc_id exchange carrying text."""
+    import re
+
+    plan = _plan(spark, "boilerplate_strip")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # formatted mode prints exchange arguments on their own line
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1
