@@ -516,3 +516,110 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    k: int = 5,
+    scale_bits: int = 15,
+) -> DataFrame:
+    """Per-group embedding OUTLIERS by cosine distance to the group
+    centroid — the SemDeDup/self-curation-style pruning signal that
+    flags mislabeled, off-topic or garbage documents inside each
+    cluster/language/source bucket.
+
+    Output: the ``k`` least-central rows per group as
+    (``id_col``, ``group_col``, centroid_sim, outlier_rank), rank 1 =
+    farthest from the centroid; ties broken by id. Rows with a null
+    vector are excluded; an all-zero vector (or group) gets a null
+    similarity and ranks FIRST (nulls are the most suspicious rows).
+
+    Determinism (what makes this oracle-able when a float centroid is
+    not): coordinates are quantized to integers with
+    FLOOR(x · 2^scale_bits) — floor of an exactly-scaled dyadic is
+    EXACT, no rounding ties — so the per-group coordinate sums are
+    all-integer (order-independent, unlike double sums, which
+    reassociate differently across engines), and the centroid is the
+    truncating integer division sum/n (Spark ``DIV`` and DuckDB ``//``
+    both truncate toward zero). The only floats are the final per-row
+    scalar dot/norm chain — association-order-free — rounded to 6
+    places on both sides (the established 'rounded6' class for cosine
+    outputs). Overflow-safe by construction: |dot| ≤ dim·2^(2·scale_bits)
+    = 2^36 at the defaults, far inside BIGINT.
+
+    Scale shape: 3 narrow exchanges. (1) posexplode → (group, pos)
+    integer partial sums — map-side combine, 16 B per coordinate.
+    (2) collect the per-group centroid arrays (n_groups × dim rows —
+    tiny) and BROADCAST them back onto the corpus: vectors never
+    shuffle for the join. (3) the top-k window shuffles only
+    (id, group, sim) — the vector columns are dropped before the rank
+    exchange. The per-group k is a heap-sized window, never a global
+    sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= scale_bits <= 24:
+        # 2·scale_bits + log2(dim) must stay far inside the 63-bit
+        # budget even for high-dim embeddings (4096-dim at 24 bits:
+        # 2^60 — the cap keeps misuse impossible)
+        raise ValueError(f"scale_bits must be in [1, 24], got {scale_bits}")
+    from pyspark.sql import Window
+
+    q = float(1 << scale_bits)
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(q)).cast("long")
+    )
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(group_col), xq.alias("__xq")
+    )
+
+    ex = base.select(group_col, F.posexplode("__xq").alias("pos", "v"))
+    sums = ex.groupBy(group_col, "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # truncating integer division, portable: Spark DIV and DuckDB //
+    # both truncate toward zero (verified on negative operands)
+    cent = sums.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.expr("s DIV n").alias("c")))
+            ),
+            lambda s: s.getField("c"),
+        ).alias("__cq")
+    )
+
+    joined = base.join(F.broadcast(cent), on=group_col)
+    dot = F.aggregate(
+        F.zip_with("__xq", "__cq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nx = F.aggregate(
+        F.transform("__xq", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform("__cq", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(
+        F.try_divide(
+            dot.cast("double"),
+            F.sqrt(nx.cast("double")) * F.sqrt(nc.cast("double")),
+        ),
+        6,
+    )
+    scored = joined.select(
+        F.col(id_col), F.col(group_col), sim.alias("centroid_sim")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("centroid_sim").asc_nulls_first(), F.col(id_col).asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("outlier_rank"))
+        .filter(F.col("outlier_rank") <= k)
+    )

@@ -2809,3 +2809,57 @@ ORACLES.update(
         "budget_sample": _budget_sample_oracle_sql(),
     }
 )
+
+
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers (operators/similarity.py:
+    centroid_outliers): the 5 vectors least cosine-similar to their
+    label's quantized integer centroid — the SemDeDup-style pruning
+    signal. Integer-exact centroid (floor-quantized coords, truncating
+    div), ROUND(,6) only on the final per-row cosine."""
+    from data_curator_spark.operators.similarity import centroid_outliers
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(e, "vec_id", "embedding", "label", k=5)
+
+
+SQL_CENTROID_OUTLIERS = """
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)) AS xq
+  FROM embeddings WHERE embedding IS NOT NULL
+), e AS (
+  SELECT label, t.pos, xq[t.pos] AS v
+  FROM b, (SELECT unnest(range(1, len(xq) + 1)) AS pos) t
+), s AS (
+  SELECT label, pos, SUM(v) AS sv, COUNT(*) AS n FROM e GROUP BY label, pos
+), c AS (
+  SELECT label, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS cq
+  FROM s GROUP BY label
+), j AS (
+  SELECT b.vec_id, b.label,
+         CAST(list_sum(list_transform(range(1, len(xq) + 1),
+              i -> xq[i] * cq[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(xq, x -> x * x)) AS BIGINT) AS nx,
+         CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS nc
+  FROM b JOIN c USING (label)
+), sc AS (
+  SELECT vec_id, label,
+         ROUND(CASE WHEN nx = 0 OR nc = 0 THEN NULL
+               ELSE CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+               END, 6) AS centroid_sim
+  FROM j
+), r AS (
+  SELECT vec_id, label, centroid_sim,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY centroid_sim ASC NULLS FIRST, vec_id)
+           AS outlier_rank
+  FROM sc
+)
+SELECT vec_id, label, centroid_sim, outlier_rank FROM r WHERE outlier_rank <= 5
+"""
+
+QUERIES["centroid_outliers"] = q_centroid_outliers
+ORACLES["centroid_outliers"] = SQL_CENTROID_OUTLIERS

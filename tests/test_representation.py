@@ -47,6 +47,7 @@ ALLOWED_DOUBLES = {
     "ann_lsh": {"sim": "rounded6"},
     "asof_join": {"view_value": "source-passthrough"},
     "boilerplate_ngrams": {"doc_share": "ieee-exact"},
+    "centroid_outliers": {"centroid_sim": "rounded6"},
     "cmf_window": {"cmf21": "rounded6"},
     "coalescing_merge": {"o_totalprice": "source-passthrough"},
     "dividend_adjustment": {"adj_factor": "rounded6"},

@@ -309,3 +309,47 @@ def test_ivf_tolerates_bad_corpus_and_query_vectors(spark):
     finally:
         sim_mod.ASSIGN_EXPR_MAX_CENTROIDS = old
     assert sorted(map(tuple, out_udf)) == sorted(map(tuple, rows))
+
+
+def test_centroid_outliers_flags_the_planted_outlier(spark):
+    from data_curator_spark.operators.similarity import centroid_outliers
+
+    # group 'a': 9 vectors near (1, 0), one planted at (-1, 0)
+    rows = [(i, "a", [1.0, 0.01 * i]) for i in range(9)]
+    rows.append((99, "a", [-1.0, 0.0]))
+    rows += [(200 + i, "b", [0.0, 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, grp string, vec array<float>")
+    out = centroid_outliers(df, "vec_id", "vec", "grp", k=2)
+    got = {(r.grp, r.outlier_rank): r.vec_id for r in out.collect()}
+    assert got[("a", 1)] == 99  # the planted outlier ranks first
+    assert len([k for k in got if k[0] == "a"]) == 2
+    assert len([k for k in got if k[0] == "b"]) == 2
+
+
+def test_centroid_outliers_null_and_zero_vectors(spark):
+    from data_curator_spark.operators.similarity import centroid_outliers
+
+    rows = [
+        (1, "g", [1.0, 1.0]),
+        (2, "g", [1.0, 0.9]),
+        (3, "g", [0.0, 0.0]),   # zero vector -> null sim, ranks first
+        (4, "g", None),         # null vector -> excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, grp string, vec array<float>")
+    out = centroid_outliers(df, "vec_id", "vec", "grp", k=10).collect()
+    ids = [r.vec_id for r in sorted(out, key=lambda r: r.outlier_rank)]
+    assert 4 not in ids
+    assert ids[0] == 3
+    assert next(r for r in out if r.vec_id == 3).centroid_sim is None
+
+
+def test_centroid_outliers_validation(spark):
+    import pytest as _pytest
+
+    from data_curator_spark.operators.similarity import centroid_outliers
+
+    df = spark.createDataFrame([(1, "g", [1.0])], "vec_id long, grp string, vec array<float>")
+    with _pytest.raises(ValueError):
+        centroid_outliers(df, "vec_id", "vec", "grp", k=0)
+    with _pytest.raises(ValueError):
+        centroid_outliers(df, "vec_id", "vec", "grp", scale_bits=30)
