@@ -51,6 +51,11 @@ HEADLINE = [
     # for it as driver-unverified (ADVICE r4; COVERAGE.md has the gap).
     "dedup_lines",
     "repetition_profile",
+    # r5 additions: executed boilerplate removal, budgeted data mixing,
+    # embedding centroid outliers (first driver-gate rows: CORRECTNESS_r05)
+    "boilerplate_strip",
+    "budget_sample",
+    "centroid_outliers",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))
