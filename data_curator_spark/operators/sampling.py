@@ -31,6 +31,17 @@ def sample_gate(id_col: Column, salt: str) -> Column:
     )
 
 
+def _strata_case(strata_col: str, mapping: dict[str, int], default: int) -> Column:
+    """``mapping`` as a chained CASE on the stratum column (sorted for a
+    deterministic expression), out-of-dict strata → ``default``. Shared
+    by stratified_sample (keep-rates) and budget_sample (size budgets)
+    so per-stratum lookup semantics cannot drift between them."""
+    out: Column = F.lit(default)
+    for value, n in sorted(mapping.items()):
+        out = F.when(F.col(strata_col) == value, F.lit(n)).otherwise(out)
+    return out
+
+
 def hash_sample(
     df: DataFrame, id_col: str, rate_permille: int, salt: str = "sample"
 ) -> DataFrame:
@@ -53,10 +64,7 @@ def stratified_sample(
     rate map becomes a CASE expression — still a scan-level filter, so
     downsampling a dominant source costs zero shuffle."""
     gate = sample_gate(F.col(id_col), salt)
-    rate: Column = F.lit(default_permille)
-    for value, permille in sorted(rates_permille.items()):
-        rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
-    return df.filter(gate < rate)
+    return df.filter(gate < _strata_case(strata_col, rates_permille, default_permille))
 
 
 def hash_split(
@@ -247,9 +255,7 @@ def budget_sample(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
-    budget: Column = F.lit(default_budget)
-    for value, cap in sorted(budgets.items()):
-        budget = F.when(F.col(strata_col) == value, F.lit(cap)).otherwise(budget)
+    budget = _strata_case(strata_col, budgets, default_budget)
     return (
         df.select("*", cum_prev.alias("__cum_prev"))
         .filter(F.col("__cum_prev") < budget)

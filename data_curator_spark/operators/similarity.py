@@ -534,7 +534,10 @@ def centroid_outliers(
     Output: the ``k`` least-central rows per group as
     (``id_col``, ``group_col``, centroid_sim, outlier_rank), rank 1 =
     farthest from the centroid; ties broken by id. Rows with a null
-    vector are excluded; an all-zero vector (or group) gets a null
+    vector OR any null element are excluded (Spark's fold would
+    null-poison where DuckDB's list_sum skips nulls — excluding the
+    whole malformed vector keeps both engines and both aggregation
+    layers consistent); an all-zero vector (or group) gets a null
     similarity and ranks FIRST (nulls are the most suspicious rows).
 
     Determinism (what makes this oracle-able when a float centroid is
@@ -571,9 +574,10 @@ def centroid_outliers(
     xq = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(q)).cast("long")
     )
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), F.col(group_col), xq.alias("__xq")
-    )
+    base = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(id_col), F.col(group_col), xq.alias("__xq"))
 
     ex = base.select(group_col, F.posexplode("__xq").alias("pos", "v"))
     sums = ex.groupBy(group_col, "pos").agg(
@@ -590,7 +594,11 @@ def centroid_outliers(
         ).alias("__cq")
     )
 
-    joined = base.join(F.broadcast(cent), on=group_col)
+    # size-gated like every small side in this module: SemDeDup-style
+    # usage can have millions of cluster groups × high dim — an
+    # unconditional broadcast of n_groups×dim bigints would OOM instead
+    # of falling back to the AQE-planned shuffle join
+    joined = base.join(_gated_broadcast(cent), on=group_col)
     dot = F.aggregate(
         F.zip_with("__xq", "__cq", lambda a, b: a * b),
         F.lit(0).cast("long"),

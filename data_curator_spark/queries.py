@@ -2000,13 +2000,19 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; with ~tens of langs over 10^12 docs the per-lang sort is
     the cost — at that scale swap the window for a two-pass
     count-then-rank-filter on the same partitioning (noted here so the
-    checked pattern's limit is explicit)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    checked pattern's limit is explicit).
+
+    NULL n_chars rows COUNT toward n_docs (the r4 contract: the profile
+    covers every doc) but are invisible to the percentile machinery:
+    they sort last (Spark needs asc_nulls_last — its asc default is
+    nulls FIRST, DuckDB's is nulls last) and the rank targets use the
+    NON-NULL count, so a rank can never land on a null row."""
+    d = _t(spark, sf_dir, "documents")
     lang_w = Window.partitionBy("lang")
     # ties in n_chars make row_number nondeterministic ACROSS rows but
     # the SELECTED VALUE is identical (we output n_chars itself)
-    rn = F.row_number().over(lang_w.orderBy(F.col("n_chars").asc()))
-    cnt = F.count(F.lit(1)).over(lang_w)
+    rn = F.row_number().over(lang_w.orderBy(F.col("n_chars").asc_nulls_last()))
+    cnt = F.count("n_chars").over(lang_w)  # non-null count
     r = d.select("lang", "n_chars", rn.alias("rn"), cnt.alias("cnt"))
 
     def pick(rank_expr: str) -> F.Column:
@@ -2025,10 +2031,9 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_PROFILE = """
 WITH r AS (
   SELECT lang, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
-         COUNT(*) OVER (PARTITION BY lang) AS cnt
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars NULLS LAST) AS rn,
+         COUNT(n_chars) OVER (PARTITION BY lang) AS cnt
   FROM documents
-  WHERE n_chars IS NOT NULL
 )
 SELECT lang, COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
@@ -2046,7 +2051,7 @@ def q_corpus_profile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy integers, no window) — if corpus_profile stays driver-red
     while this is green, the divergence is in the rank machinery; if
     BOTH are red, it is in the plain aggregate/canon layer."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -2057,7 +2062,7 @@ def q_corpus_profile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_PROFILE_COUNTS = """
 SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
        MAX(n_chars) AS max_chars
-FROM documents WHERE n_chars IS NOT NULL
+FROM documents
 GROUP BY lang
 """
 
@@ -2725,24 +2730,36 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(_t(spark, sf_dir, "documents"))
     n = d.filter(F.col("text").isNotNull()).count()
-    min_df = (78 * n + 99) // 100  # ceil(0.78 * n), integer-exact
+    # ceil(0.78 * n), integer-exact; max(,1) so an all-null/empty corpus
+    # degrades to "nothing is hot" instead of tripping the operator's
+    # min_df >= 1 validation
+    min_df = max((78 * n + 99) // 100, 1)
     out = strip_hot_segments(
         d, "doc_id", "text", min_df=min_df, delimiter=" "
     )
     return out.select("doc_id", "text_stripped")
 
 
-SQL_BOILERPLATE_STRIP = """
+def _boilerplate_strip_oracle_sql() -> str:
+    # segments are md5-prefix-HASHED on both sides (not raw-string
+    # compared): the parity gate must exercise the same hash layer the
+    # Spark operator strips by, so a hex_prefix_long regression or a
+    # collision-driven overstrip shows up as an oracle mismatch instead
+    # of being structurally invisible
+    h = _hex_long_sql("md5(seg)", 15)
+    hp = _hex_long_sql("md5(p.seg)", 15)
+    return f"""
 WITH n AS (
-  SELECT ((78 * COUNT(*) + 99) // 100) AS min_df
+  SELECT GREATEST((78 * COUNT(*) + 99) // 100, 1) AS min_df
   FROM documents WHERE text IS NOT NULL
 ), w AS (
   SELECT doc_id, text, string_split(text, ' ') AS segs FROM documents
 ), dh AS (
-  SELECT doc_id, unnest(list_distinct(segs)) AS seg
-  FROM w WHERE text IS NOT NULL
+  SELECT ({h}) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(segs)) AS seg
+        FROM w WHERE text IS NOT NULL)
 ), hot AS (
-  SELECT seg FROM (SELECT seg, COUNT(*) AS c FROM dh GROUP BY seg)
+  SELECT h FROM (SELECT h, COUNT(*) AS c FROM dh GROUP BY h)
   WHERE c >= (SELECT min_df FROM n)
 ), pos AS (
   SELECT doc_id, t.i AS pos, segs[t.i] AS seg
@@ -2750,7 +2767,7 @@ WITH n AS (
   WHERE text IS NOT NULL
 ), kept AS (
   SELECT p.doc_id, p.pos, p.seg
-  FROM pos p ANTI JOIN hot h ON p.seg = h.seg
+  FROM pos p ANTI JOIN hot ON ({hp}) = hot.h
 ), rebuilt AS (
   SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS txt
   FROM kept GROUP BY doc_id
@@ -2805,7 +2822,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
-        "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+        "boilerplate_strip": _boilerplate_strip_oracle_sql(),
         "budget_sample": _budget_sample_oracle_sql(),
     }
 )
@@ -2828,7 +2845,9 @@ WITH b AS (
   SELECT vec_id, label,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)) AS xq
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), e AS (
   SELECT label, t.pos, xq[t.pos] AS v
   FROM b, (SELECT unnest(range(1, len(xq) + 1)) AS pos) t

@@ -91,6 +91,15 @@ def benchmark_shingle_hashes(
     return sorted(r.h for r in rows)
 
 
+# above this many benchmark grams the literal-array path is replaced by
+# a broadcast-variable set probe: array_intersect against a plan literal
+# re-walks the whole benchmark per ROW (measured: 200k rows × 100k-item
+# literal did not finish in 290 s; the same rows against a shared set
+# probe are O(row grams) each), so the literal is only ever correct for
+# small stopword-sized benchmarks
+LITERAL_BENCH_MAX = 2048
+
+
 def streaming_contamination(
     stream: DataFrame,
     bench_hashes: list[int],
@@ -99,31 +108,57 @@ def streaming_contamination(
     min_overlap: int = 1,
 ) -> DataFrame:
     """Benchmark-contamination check lifted to the stream: per-file
-    overlap-gram count against the broadcast benchmark hash set, as a
-    PURE PROJECTION (array_intersect against the literal hash array) —
-    no shuffle, no streaming state, no watermark, so it composes with
-    any trigger and stays exactly-once under restart for free.
+    overlap-gram count against the benchmark hash set, as a PURE
+    PROJECTION — no shuffle, no streaming state, no watermark, so it
+    composes with any trigger and stays exactly-once under restart for
+    free.
 
-    This is the streaming analog of the batch broadcast-hash-set join in
-    ``contamination_overlap`` (dedup.py): the benchmark set rides the
-    plan to every task the way a broadcast variable would. Sized for
-    real eval benchmarks (10^4-10^6 grams); for a benchmark union too
-    big to ship per-plan, run the batch op over the curated output
-    instead — a stream-side stateful join would hold unbounded state.
+    Two delivery mechanisms for the set, both stateless (the streaming
+    analog of the batch broadcast-hash-set join in
+    ``contamination_overlap``):
 
-    Adds ``n_overlap_grams``; rows at/over ``min_overlap`` flip to
-    keep=false with drop_reason='contaminated' (keep/drop_reason are
-    left untouched if absent — pre-curation streams just get the
-    counts)."""
+    - ≤ LITERAL_BENCH_MAX grams: the hashes ride the plan as a literal
+      array (pure JVM ``array_intersect`` — zero Python).
+    - larger (real eval benchmarks, 10^4–10^6 grams): a Spark broadcast
+      variable holding a frozenset, probed by one Arrow-batched pandas
+      UDF over the JVM-computed gram-hash arrays — the set is built
+      once per executor, each row costs O(its own grams), not
+      O(|benchmark|) as the literal would (measured collapse at 10^5).
+
+    Adds ``n_overlap_grams``; when the frame carries the pipeline's
+    keep/drop_reason pair, rows at/over ``min_overlap`` flip to
+    keep=false with drop_reason='contaminated' (both columns absent →
+    pre-curation streams just get the counts)."""
     from data_curator_spark.operators.dedup import hex_prefix_long, word_shingles
 
     grams = word_shingles(F.col(content_col), shingle_n)
     hashes = F.transform(grams, lambda s: hex_prefix_long(s, 15))
-    overlap = F.size(
-        F.array_intersect(hashes, F.lit(bench_hashes).cast("array<bigint>"))
-    )
+    if len(bench_hashes) <= LITERAL_BENCH_MAX:
+        overlap = F.size(
+            F.array_intersect(hashes, F.lit(bench_hashes).cast("array<bigint>"))
+        )
+    else:
+        bc = stream.sparkSession.sparkContext.broadcast(frozenset(bench_hashes))
+
+        def count_overlap(batch):
+            import pandas as pd
+
+            s = bc.value
+            return pd.Series(
+                [
+                    sum(1 for h in set(arr) if h in s) if arr is not None else None
+                    for arr in batch
+                ],
+                dtype="object",
+            ).astype("Int64")
+
+        overlap_udf = F.pandas_udf(count_overlap, "long")
+        overlap = overlap_udf(hashes)
     out = stream.withColumn("n_overlap_grams", overlap)
-    if "keep" not in stream.columns:
+    if "keep" not in stream.columns or "drop_reason" not in stream.columns:
+        # demotion needs the keep/drop_reason PAIR; referencing a
+        # missing drop_reason would fail analysis even though the keep
+        # flip alone is well-defined
         return out
     contaminated = F.col("n_overlap_grams") >= min_overlap
     return out.withColumn(

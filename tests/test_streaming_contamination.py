@@ -106,3 +106,41 @@ def test_streaming_contamination_projection_is_stateless(spark):
     assert "Join" not in plan and "Aggregate" not in plan
     # no keep column on input -> counts only, no demotion columns added
     assert "keep" not in out.columns and "n_overlap_grams" in out.columns
+
+
+def test_large_benchmark_set_probe_matches_literal_path(spark, monkeypatch):
+    """The >LITERAL_BENCH_MAX broadcast-set UDF path must count exactly
+    like the literal array_intersect path."""
+    import data_curator_spark.streaming.quality_stream as qs
+
+    pdf = pd.DataFrame(
+        {
+            "fid": ["a", "b", "c"],
+            "content_scrubbed": [
+                "one two three four five six",
+                "seven eight nine ten eleven twelve",
+                None,
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    bench = benchmark_shingle_hashes(
+        spark.createDataFrame(
+            pd.DataFrame({"content": ["one two three four five", "x y z w v"]})
+        ),
+        "content",
+        shingle_n=SHINGLE_N,
+    )
+    lit_out = {
+        r.fid: r.n_overlap_grams
+        for r in qs.streaming_contamination(df, bench, shingle_n=SHINGLE_N).collect()
+    }
+    monkeypatch.setattr(qs, "LITERAL_BENCH_MAX", 0)  # force the UDF path
+    udf_out = {
+        r.fid: r.n_overlap_grams
+        for r in qs.streaming_contamination(df, bench, shingle_n=SHINGLE_N).collect()
+    }
+    assert lit_out == udf_out
+    # null text -> word_shingles yields an EMPTY array (not null), so
+    # overlap is 0 on both paths — same convention as the batch ops
+    assert lit_out["a"] >= 1 and lit_out["b"] == 0 and lit_out["c"] == 0
