@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_curator_spark.engine.cache import persist_tracked
+
 
 # query-side (id, vector) frames are broadcast only below this row
 # count (~2M × (8B + 64×8B) ≈ 1 GB worst case at dim=64 — inside the
@@ -525,6 +527,7 @@ def centroid_outliers(
     group_col: str,
     k: int = 5,
     scale_bits: int = 15,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-group embedding OUTLIERS by cosine distance to the group
     centroid — the SemDeDup/self-curation-style pruning signal that
@@ -534,11 +537,18 @@ def centroid_outliers(
     Output: the ``k`` least-central rows per group as
     (``id_col``, ``group_col``, centroid_sim, outlier_rank), rank 1 =
     farthest from the centroid; ties broken by id. Rows with a null
-    vector OR any null element are excluded (Spark's fold would
-    null-poison where DuckDB's list_sum skips nulls — excluding the
-    whole malformed vector keeps both engines and both aggregation
-    layers consistent); an all-zero vector (or group) gets a null
-    similarity and ranks FIRST (nulls are the most suspicious rows).
+    vector, any null element, or (when ``dim`` is given) the wrong
+    length are excluded (Spark's fold would null-poison where DuckDB's
+    list_sum skips nulls — excluding the whole malformed vector keeps
+    both engines and both aggregation layers consistent); an all-zero
+    vector (or group) gets a null similarity and ranks FIRST (nulls are
+    the most suspicious rows).
+
+    PRECONDITION: vectors within a group share one dimension. A ragged
+    row zip_with-pads against the centroid (null sim, ranks first) in
+    Spark but gets a partial dot in a range-indexed SQL oracle — pass
+    ``dim`` to filter ragged rows out deterministically when the
+    source cannot guarantee uniform length.
 
     Determinism (what makes this oracle-able when a float centroid is
     not): coordinates are quantized to integers with
@@ -574,10 +584,14 @@ def centroid_outliers(
     xq = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(q)).cast("long")
     )
-    base = df.filter(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    ).select(F.col(id_col), F.col(group_col), xq.alias("__xq"))
+    valid = F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+    if dim is not None:
+        valid = valid & (F.size(vec_col) == dim)
+    base = df.filter(valid).select(
+        F.col(id_col), F.col(group_col), xq.alias("__xq")
+    )
 
     ex = base.select(group_col, F.posexplode("__xq").alias("pos", "v"))
     sums = ex.groupBy(group_col, "pos").agg(
@@ -597,7 +611,11 @@ def centroid_outliers(
     # size-gated like every small side in this module: SemDeDup-style
     # usage can have millions of cluster groups × high dim — an
     # unconditional broadcast of n_groups×dim bigints would OOM instead
-    # of falling back to the AQE-planned shuffle join
+    # of falling back to the AQE-planned shuffle join. Persist FIRST:
+    # the gate's size probe is an action, and without it the whole
+    # corpus-wide explode→sum centroid pipeline would run twice (probe
+    # + join)
+    cent = persist_tracked(cent)
     joined = base.join(_gated_broadcast(cent), on=group_col)
     dot = F.aggregate(
         F.zip_with("__xq", "__cq", lambda a, b: a * b),

@@ -99,6 +99,29 @@ def benchmark_shingle_hashes(
 # small stopword-sized benchmarks
 LITERAL_BENCH_MAX = 2048
 
+# one broadcast per DISTINCT benchmark content per application: a
+# long-lived driver that restarts its stream (the documented
+# restart-safety pattern) must not pile up a fresh multi-MB broadcast
+# of the SAME hash set on every restart. Keyed by content digest;
+# superseded benchmark versions are not destroyed (a running query may
+# still reference them) — they are bounded by the number of benchmark
+# REVISIONS, not restarts.
+_BENCH_BC_CACHE: dict = {}
+
+
+def _bench_broadcast(sc, bench_hashes: list[int]):
+    import hashlib
+
+    import numpy as np
+
+    digest = hashlib.sha256(
+        np.asarray(sorted(bench_hashes), dtype=np.int64).tobytes()
+    ).hexdigest()
+    key = (sc.applicationId, digest)
+    if key not in _BENCH_BC_CACHE:
+        _BENCH_BC_CACHE[key] = sc.broadcast(frozenset(bench_hashes))
+    return _BENCH_BC_CACHE[key]
+
 
 def streaming_contamination(
     stream: DataFrame,
@@ -125,10 +148,14 @@ def streaming_contamination(
       once per executor, each row costs O(its own grams), not
       O(|benchmark|) as the literal would (measured collapse at 10^5).
 
-    Adds ``n_overlap_grams``; when the frame carries the pipeline's
-    keep/drop_reason pair, rows at/over ``min_overlap`` flip to
-    keep=false with drop_reason='contaminated' (both columns absent →
-    pre-curation streams just get the counts)."""
+    Adds ``n_overlap_grams`` (BIGINT on both paths — the output schema
+    must not flip with benchmark size, or a checkpointed parquet sink
+    accumulates mixed int32/int64 files); when the frame carries the
+    pipeline's keep/drop_reason pair, rows at/over ``min_overlap`` flip
+    to keep=false with drop_reason='contaminated'. BOTH columns absent →
+    pre-curation streams just get the counts; ONE of the pair present
+    is a malformed pipeline frame and raises rather than silently
+    letting contaminated rows keep keep=true."""
     from data_curator_spark.operators.dedup import hex_prefix_long, word_shingles
 
     grams = word_shingles(F.col(content_col), shingle_n)
@@ -136,9 +163,9 @@ def streaming_contamination(
     if len(bench_hashes) <= LITERAL_BENCH_MAX:
         overlap = F.size(
             F.array_intersect(hashes, F.lit(bench_hashes).cast("array<bigint>"))
-        )
+        ).cast("long")
     else:
-        bc = stream.sparkSession.sparkContext.broadcast(frozenset(bench_hashes))
+        bc = _bench_broadcast(stream.sparkSession.sparkContext, bench_hashes)
 
         def count_overlap(batch):
             import pandas as pd
@@ -155,10 +182,16 @@ def streaming_contamination(
         overlap_udf = F.pandas_udf(count_overlap, "long")
         overlap = overlap_udf(hashes)
     out = stream.withColumn("n_overlap_grams", overlap)
-    if "keep" not in stream.columns or "drop_reason" not in stream.columns:
-        # demotion needs the keep/drop_reason PAIR; referencing a
-        # missing drop_reason would fail analysis even though the keep
-        # flip alone is well-defined
+    has_keep = "keep" in stream.columns
+    has_reason = "drop_reason" in stream.columns
+    if has_keep != has_reason:
+        raise ValueError(
+            "streaming_contamination: frame carries "
+            f"{'keep' if has_keep else 'drop_reason'} without its pair — "
+            "demotion needs BOTH keep and drop_reason (or neither for a "
+            "counts-only check)"
+        )
+    if not has_keep:
         return out
     contaminated = F.col("n_overlap_grams") >= min_overlap
     return out.withColumn(

@@ -353,3 +353,16 @@ def test_centroid_outliers_validation(spark):
         centroid_outliers(df, "vec_id", "vec", "grp", k=0)
     with _pytest.raises(ValueError):
         centroid_outliers(df, "vec_id", "vec", "grp", scale_bits=30)
+
+
+def test_centroid_outliers_dim_filter_excludes_ragged(spark):
+    from data_curator_spark.operators.similarity import centroid_outliers
+
+    rows = [
+        (1, "g", [1.0, 0.0]),
+        (2, "g", [0.9, 0.1]),
+        (3, "g", [1.0]),  # ragged
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, grp string, vec array<float>")
+    out = centroid_outliers(df, "vec_id", "vec", "grp", k=10, dim=2).collect()
+    assert {r.vec_id for r in out} == {1, 2}

@@ -144,3 +144,23 @@ def test_large_benchmark_set_probe_matches_literal_path(spark, monkeypatch):
     # null text -> word_shingles yields an EMPTY array (not null), so
     # overlap is 0 on both paths — same convention as the batch ops
     assert lit_out["a"] >= 1 and lit_out["b"] == 0 and lit_out["c"] == 0
+
+
+def test_asymmetric_keep_pair_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"content_scrubbed": ["a b c"], "keep": [True]})
+    )
+    with _pytest.raises(ValueError, match="pair"):
+        streaming_contamination(df, [1, 2, 3], shingle_n=2)
+
+
+def test_overlap_column_is_long_on_both_paths(spark, monkeypatch):
+    import data_curator_spark.streaming.quality_stream as qs
+
+    df = spark.createDataFrame(pd.DataFrame({"content_scrubbed": ["a b c d e f"]}))
+    t1 = dict(qs.streaming_contamination(df, [1], shingle_n=2).dtypes)
+    monkeypatch.setattr(qs, "LITERAL_BENCH_MAX", 0)
+    t2 = dict(qs.streaming_contamination(df, [1], shingle_n=2).dtypes)
+    assert t1["n_overlap_grams"] == t2["n_overlap_grams"] == "bigint"
