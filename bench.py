@@ -56,6 +56,7 @@ HEADLINE = [
     "boilerplate_strip",
     "budget_sample",
     "centroid_outliers",
+    "unigram_surprisal",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))

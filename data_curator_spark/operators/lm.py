@@ -1,0 +1,104 @@
+"""Corpus-trained unigram language-model scoring.
+
+The KenLM-style perplexity gate in the quality pipeline
+(pipeline/model.py) scores against a FIXED broadcast model; this
+operator trains the simplest useful LM — unigram MLE — on the corpus
+ITSELF and scores every document against it, the self-scoring pass
+that flags statistically-anomalous documents (gibberish, wrong
+language, binary spill) without any external artifact.
+
+Reference analog: none (the reference has no language modeling);
+engine-added for corpus curation, same family as the north-rule's
+"KenLM-style n-gram perplexity scoring".
+
+Why integer micro-nats: a document's log-probability is a SUM of
+per-token doubles, and double addition reassociates differently across
+engines/partitionings — un-oracle-able. Quantizing each WORD's log-prob
+once to an integer (FLOOR(ln(p)·2^20), computed per VOCAB entry, not
+per token) makes the per-doc sum an integer sum: exact, commutative,
+identical in any engine. ln is evaluated on the same IEEE double
+count/total quotient in both engines; a 1-ulp libm divergence flips a
+FLOOR only when ln(p)·2^20 sits within an ulp of an integer
+(~2^-32 per vocab entry — and fixed per dataset, so the oracle gate
+catches it deterministically rather than flaking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_curator_spark.engine.cache import persist_tracked
+from data_curator_spark.operators.dedup import WS_RE
+
+# micro-nat quantization: FLOOR(ln(p) · 2^20). |ln(p)| < 50 for any
+# vocab above 1e-22 probability → |lp_q| < 2^26; a doc of 10^9 tokens
+# sums to < 2^56 — inside BIGINT with headroom.
+LP_SCALE_BITS = 20
+
+# vocab tables above this row count are joined by shuffle instead of
+# broadcast (same convention as dedup.BROADCAST_LABEL_CAP)
+VOCAB_BROADCAST_CAP = 5_000_000
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document surprisal under the corpus's own unigram MLE:
+
+        surprisal_unats = Σ_tokens −FLOOR(ln(count_w / total) · 2^20)
+
+    (positive; higher = more surprising). Also emits n_tokens and the
+    mean per-token surprisal as an exact integer division — callers
+    divide by 2^20 for nats, or keep the integers for thresholding.
+    Docs with null text or zero tokens are excluded (no distribution
+    to score them under).
+
+    Scale shape: training is ONE hash aggregation (word → count) with
+    map-side combine; the resulting vocab table (word, quantized
+    log-prob) is bounded by DISTINCT-word count, size-gated to
+    broadcast (VOCAB_BROADCAST_CAP) with shuffle-join fallback for
+    web-scale vocabularies. Scoring is explode → vocab join → ONE
+    groupBy(id) summing integers (8 B per token through the final
+    shuffle). Every token hits the vocab by construction (trained on
+    the same corpus), so the join is inner with no loss.
+    """
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    toks = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), F.explode(words).alias("w"))
+
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total_row = counts.agg(F.sum("c").alias("t")).collect()[0]
+    total = int(total_row["t"] or 0)
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, surprisal_unats long, "
+            "mean_surprisal_unats long"
+        )
+    lp_q = F.floor(
+        F.log(F.col("c").cast("double") / F.lit(float(total)))
+        * F.lit(float(1 << LP_SCALE_BITS))
+    ).cast("long")
+    vocab = persist_tracked(counts.select("w", lp_q.alias("lp")))
+    hint = (
+        F.broadcast
+        if vocab.limit(VOCAB_BROADCAST_CAP + 1).count() <= VOCAB_BROADCAST_CAP
+        else (lambda d: d)
+    )
+    return (
+        toks.join(hint(vocab), on="w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp")).alias("surprisal_unats"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "surprisal_unats",
+            F.expr("surprisal_unats DIV n_tokens").alias("mean_surprisal_unats"),
+        )
+    )

@@ -2882,3 +2882,41 @@ SELECT vec_id, label, centroid_sim, outlier_rank FROM r WHERE outlier_rank <= 5
 
 QUERIES["centroid_outliers"] = q_centroid_outliers
 ORACLES["centroid_outliers"] = SQL_CENTROID_OUTLIERS
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM surprisal per document
+    (operators/lm.py:unigram_surprisal) — the KenLM-family statistical
+    anomaly score, made exactly oracle-able by quantizing each VOCAB
+    word's log-prob to integer micro-nats once (per-doc sums are then
+    integer, order-independent). Higher = more anomalous."""
+    from data_curator_spark.operators.lm import unigram_surprisal
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return unigram_surprisal(d, "doc_id", "text")
+
+
+SQL_UNIGRAM_SURPRISAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT SUM(c) AS t FROM vocab
+), lp AS (
+  SELECT w,
+         CAST(floor(ln(CAST(c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE))
+              * 1048576.0) AS BIGINT) AS lp
+  FROM vocab
+)
+SELECT toks.doc_id,
+       COUNT(*) AS n_tokens,
+       -SUM(lp.lp) AS surprisal_unats,
+       CAST((-SUM(lp.lp)) // COUNT(*) AS BIGINT) AS mean_surprisal_unats
+FROM toks JOIN lp USING (w)
+GROUP BY toks.doc_id
+"""
+
+QUERIES["unigram_surprisal"] = q_unigram_surprisal
+ORACLES["unigram_surprisal"] = SQL_UNIGRAM_SURPRISAL

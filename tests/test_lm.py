@@ -1,0 +1,49 @@
+"""Corpus-trained unigram surprisal: anomaly ordering, edge cases,
+partitioning invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_curator_spark.operators.lm import unigram_surprisal
+
+
+def test_rare_word_docs_are_more_surprising(spark):
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "zyzzogeton quux flarn the"))  # rare words
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_surprisal(df, "doc_id", "text").collect()}
+    common_mean = out[0].mean_surprisal_unats
+    rare_mean = out[99].mean_surprisal_unats
+    assert rare_mean > common_mean
+    # all docs scored, integer outputs, positive surprisal
+    assert len(out) == 21
+    assert all(r.surprisal_unats > 0 for r in out.values())
+
+
+def test_null_and_empty_text_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    out = unigram_surprisal(df, "doc_id", "text").collect()
+    assert {r.doc_id for r in out} == {1}
+
+
+def test_empty_corpus_returns_empty_frame(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = unigram_surprisal(df, "doc_id", "text")
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "n_tokens", "surprisal_unats", "mean_surprisal_unats"
+    }
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, f"w{i % 7} w{i % 3} common") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, unigram_surprisal(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, unigram_surprisal(df.repartition(13), "doc_id", "text").collect())
+    )
+    assert a == b
