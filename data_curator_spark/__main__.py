@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
         "+ connected components; boilerplate-bucket guard on by default)",
     )
     p.add_argument(
+        "--decontaminate", default=None, metavar="BENCHMARK_PARQUET",
+        help="parquet of eval-benchmark docs (column: content); corpus "
+        "files sharing a word 5-gram with any benchmark doc are dropped "
+        "with drop_reason=contaminated",
+    )
+    p.add_argument(
         "--layout", choices=["overwrite", "mvcc"], default="overwrite",
         help="overwrite = one physical copy per bucket (default); "
         "mvcc = immutable run partitions with time travel + vacuum",
@@ -105,6 +111,15 @@ def main(argv: list[str] | None = None) -> int:
         from data_curator_spark.session import build_session
 
         spark = build_session("quality-filter-pipeline")
+        bench_hashes = None
+        if args.decontaminate:
+            from data_curator_spark.streaming.quality_stream import (
+                benchmark_shingle_hashes,
+            )
+
+            bench_hashes = benchmark_shingle_hashes(
+                spark.read.parquet(args.decontaminate), "content"
+            )
         if args.layout == "mvcc":
             from data_curator_spark.pipeline.mvcc import run_pipeline_mvcc
 
@@ -113,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_buckets=args.buckets,
                 reprocess_buckets=set(args.reprocess) if args.reprocess else None,
                 near_dup=args.near_dup,
+                bench_hashes=bench_hashes,
             )
         else:
             from data_curator_spark.pipeline.runner import run_pipeline
@@ -120,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
             stats = run_pipeline(
                 spark, args.input, args.output, args.manifest,
                 n_buckets=args.buckets, near_dup=args.near_dup,
+                bench_hashes=bench_hashes,
             )
         print(json.dumps(stats))
         spark.stop()

@@ -102,3 +102,87 @@ def unigram_surprisal(
             F.expr("surprisal_unats DIV n_tokens").alias("mean_surprisal_unats"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document surprisal under the corpus's own BIGRAM MLE — the
+    n-gram step of "KenLM-style n-gram perplexity scoring"
+    (BASELINE.json north_star), self-trained like unigram_surprisal:
+
+        P(w_i | w_{i-1}) = count(w_{i-1} w_i) / count_left(w_{i-1})
+
+    where count_left counts w_{i-1} occurrences AS A LEFT CONTEXT
+    (tokens 1..n-1), so every conditional is well-formed and ≤ 1 by
+    construction. A doc's surprisal is the sum of −ln P over its n−1
+    bigram positions, quantized per VOCAB BIGRAM to integer micro-nats
+    exactly like unigram_surprisal (per-doc integer sums — exact,
+    order-free, engine-portable). Docs with < 2 tokens have no bigram
+    positions and are excluded.
+
+    An MLE bigram model has no smoothing — unseen transitions cannot
+    occur when scoring the training corpus itself, which is the point:
+    this is a SELF-scoring anomaly gate (templated/spammy text scores
+    near 0; incoherent token salad scores high), not a held-out LM.
+
+    Scale shape: two hash aggregations (bigram counts; left-context
+    counts), one size-gated broadcast join between them to form the
+    conditional table, then explode → vocab join → ONE integer
+    groupBy(id). The bigram vocab is the big table — it shuffles as
+    (pair, count) with map-side combine and falls back to a shuffle
+    join past VOCAB_BROADCAST_CAP.
+    """
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    toked = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), words.alias("__ws"))
+    # bigram positions 1..n-1: (left, right) pairs in doc order
+    pairs = toked.filter(F.size("__ws") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("__ws", i).alias("l"),
+                    F.element_at("__ws", i + 1).alias("r"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.l").alias("l"), F.col("bg.r").alias("r"))
+
+    bigram_counts = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+    left_counts = pairs.groupBy("l").agg(F.count(F.lit(1)).alias("c_l"))
+    lp_q = F.floor(
+        F.log(F.col("c_lr").cast("double") / F.col("c_l").cast("double"))
+        * F.lit(float(1 << LP_SCALE_BITS))
+    ).cast("long")
+
+    def _gate(d: DataFrame):
+        return (
+            F.broadcast(d)
+            if d.limit(VOCAB_BROADCAST_CAP + 1).count() <= VOCAB_BROADCAST_CAP
+            else d
+        )
+
+    vocab = persist_tracked(
+        bigram_counts.join(_gate(persist_tracked(left_counts)), on="l").select(
+            "l", "r", lp_q.alias("lp")
+        )
+    )
+    return (
+        pairs.join(_gate(vocab), on=["l", "r"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("lp")).alias("surprisal_unats"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "surprisal_unats",
+            F.expr("surprisal_unats DIV n_bigrams").alias("mean_surprisal_unats"),
+        )
+    )

@@ -445,6 +445,7 @@ def run_pipeline_mvcc(
     reprocess_buckets: set[int] | None = None,
     crash_before_commit: bool = False,
     near_dup: bool = False,
+    bench_hashes: list[int] | None = None,
 ) -> dict:
     """Run/resume the pipeline with the MVCC layout.
 
@@ -468,7 +469,9 @@ def run_pipeline_mvcc(
     skip = (done - redo) | set(fail_buckets or ())
     todo = raw.filter(~F.col("bucket").isin(list(skip))) if skip else raw
 
-    result = run_stages(todo, spark, near_dup=near_dup).select("bucket", *OUTPUT_COLS)
+    result = run_stages(
+        todo, spark, near_dup=near_dup, bench_hashes=bench_hashes
+    ).select("bucket", *OUTPUT_COLS)
     observation, result = attach_lineage_observation(result, run_id)
     # IMMUTABLE write: append under this run's partition — never touches
     # other runs' files, so no overwrite mode gymnastics and no torn

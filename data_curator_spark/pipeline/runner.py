@@ -197,6 +197,7 @@ def run_pipeline(
     n_buckets: int = DEFAULT_N_BUCKETS,
     fail_buckets: set[int] | None = None,
     near_dup: bool = False,
+    bench_hashes: list[int] | None = None,
 ) -> dict:
     """Run (or resume) the pipeline.
 
@@ -222,7 +223,9 @@ def run_pipeline(
     if fail_buckets:
         todo = todo.filter(~F.col("bucket").isin(list(fail_buckets)))
 
-    result = run_stages(todo, spark, near_dup=near_dup).select("bucket", *OUTPUT_COLS)
+    result = run_stages(
+        todo, spark, near_dup=near_dup, bench_hashes=bench_hashes
+    ).select("bucket", *OUTPUT_COLS)
     # run-level lineage totals ride the WRITE pass for free and
     # cross-check the per-bucket metrics below. Per-bucket metrics do NOT
     # use observe: that needs ~3·n_buckets conditional sums evaluated per

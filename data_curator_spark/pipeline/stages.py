@@ -309,7 +309,10 @@ def with_near_dup(
 
 
 def run_stages(
-    df: DataFrame, spark: SparkSession, near_dup: bool = False
+    df: DataFrame,
+    spark: SparkSession,
+    near_dup: bool = False,
+    bench_hashes: list[int] | None = None,
 ) -> DataFrame:
     """Full stage chain over the raw corpus table. Model scoring is
     gated on the heuristics (contract: model columns are null for
@@ -317,9 +320,26 @@ def run_stages(
 
     ``near_dup=True`` appends the corpus-level near-duplicate stage
     (off by default: the reference's keep/drop label contract has no
-    dedup dimension, and the F1 gate compares against those labels)."""
+    dedup dimension, and the F1 gate compares against those labels).
+
+    ``bench_hashes`` (from streaming.quality_stream.
+    benchmark_shingle_hashes) appends eval-benchmark decontamination
+    over the scrubbed content: contaminated rows flip to keep=false /
+    drop_reason='contaminated'. Runs BEFORE near-dup so canonical
+    selection (which prefers kept members) never elects a contaminated
+    copy as a cluster's survivor."""
     out = with_heuristics(df)
     out = with_model_scores(out, spark, gate=heuristics_pass_expr())
     out = with_scrub(out)
     out = with_decision(out)
+    if bench_hashes is not None:
+        # function-level import: quality_stream imports run_stages at
+        # module top, so a top-level import here would be circular.
+        # The check itself is engine-agnostic column logic (batch and
+        # streaming share one implementation).
+        from data_curator_spark.streaming.quality_stream import (
+            streaming_contamination,
+        )
+
+        out = streaming_contamination(out, bench_hashes)
     return with_near_dup(out) if near_dup else out

@@ -2920,3 +2920,44 @@ GROUP BY toks.doc_id
 
 QUERIES["unigram_surprisal"] = q_unigram_surprisal
 ORACLES["unigram_surprisal"] = SQL_UNIGRAM_SURPRISAL
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained BIGRAM-LM surprisal per document
+    (operators/lm.py:bigram_surprisal) — the n-gram perplexity gate:
+    P(w|prev) = c(prev,w)/c_left(prev), integer micro-nat quantization
+    per vocab bigram, exact integer per-doc sums."""
+    from data_curator_spark.operators.lm import bigram_surprisal
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return bigram_surprisal(d, "doc_id", "text")
+
+
+SQL_BIGRAM_SURPRISAL = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), {_WS_SQL}) AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), p AS (
+  SELECT doc_id, ws[t.i] AS l, ws[t.i + 1] AS r
+  FROM w, (SELECT unnest(range(1, len(ws))) AS i) t
+  WHERE len(ws) >= 2
+), bc AS (
+  SELECT l, r, COUNT(*) AS c_lr FROM p GROUP BY l, r
+), lc AS (
+  SELECT l, COUNT(*) AS c_l FROM p GROUP BY l
+), lp AS (
+  SELECT bc.l, bc.r,
+         CAST(floor(ln(CAST(c_lr AS DOUBLE) / CAST(c_l AS DOUBLE))
+              * 1048576.0) AS BIGINT) AS lp
+  FROM bc JOIN lc USING (l)
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_bigrams,
+       -SUM(lp.lp) AS surprisal_unats,
+       CAST((-SUM(lp.lp)) // COUNT(*) AS BIGINT) AS mean_surprisal_unats
+FROM p JOIN lp ON p.l = lp.l AND p.r = lp.r
+GROUP BY p.doc_id
+"""
+
+QUERIES["bigram_surprisal"] = q_bigram_surprisal
+ORACLES["bigram_surprisal"] = SQL_BIGRAM_SURPRISAL

@@ -111,3 +111,34 @@ def test_cli_mvcc_layout_snapshots_travel_vacuum(tmp_path):
 
     vac = json.loads([l for l in run("vacuum", "--output", out, "--manifest", man) if l.startswith("{")][-1])
     assert vac["removed_runs"] == []  # no crashes -> nothing to remove
+
+
+def test_cli_pipeline_decontaminate_flag(spark, tmp_path):
+    """--decontaminate drops corpus files sharing 5-grams with the
+    benchmark parquet, end to end through the CLI (subprocess — the
+    in-process main() stops its own SparkSession)."""
+    from data_curator_spark.pipeline.corpus import generate_corpus
+
+    corpus = generate_corpus(60, seed=21)
+    corpus_path = str(tmp_path / "c.parquet")
+    corpus.to_parquet(corpus_path, index=False)
+    # benchmark leaks 4 corpus contents verbatim
+    bench_path = str(tmp_path / "bench.parquet")
+    corpus.iloc[:4][["content"]].to_parquet(bench_path, index=False)
+
+    out_dir = str(tmp_path / "out")
+    manifest = str(tmp_path / "m")
+    json.loads(_run(
+        "pipeline", "--input", corpus_path, "--output", out_dir,
+        "--manifest", manifest, "--buckets", "4",
+        "--decontaminate", bench_path,
+    ))
+    got = spark.read.parquet(out_dir)
+    # n_overlap_grams is a stage-internal column (OUTPUT_COLS is the
+    # runner's stable schema); the demotion itself is the contract.
+    # Only rows the QUALITY gate kept are re-labeled 'contaminated'
+    # (already-dropped rows keep their original drop_reason), so the
+    # demoted count is <= the 4 leaked docs, >= 1 in practice
+    demoted = got.filter("drop_reason = 'contaminated'")
+    assert 1 <= demoted.count() <= 4
+    assert demoted.filter("keep").count() == 0

@@ -47,3 +47,29 @@ def test_partitioning_invariance(spark):
         map(tuple, unigram_surprisal(df.repartition(13), "doc_id", "text").collect())
     )
     assert a == b
+
+
+def test_bigram_surprisal_flags_token_salad(spark):
+    from data_curator_spark.operators.lm import bigram_surprisal
+
+    # 20 copies of a rigid template (deterministic transitions,
+    # surprisal ~0) + one doc with the SAME words jumbled
+    rows = [(i, "a b c d a b c d a b c d") for i in range(20)]
+    rows.append((99, "d a c b d c a d b c b a"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_surprisal(df, "doc_id", "text").collect()}
+    assert out[99].mean_surprisal_unats > out[0].mean_surprisal_unats
+    assert out[0].n_bigrams == 11
+
+
+def test_bigram_surprisal_excludes_short_docs(spark):
+    from data_curator_spark.operators.lm import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, None), (3, "two words")],
+        "doc_id long, text string",
+    )
+    out = bigram_surprisal(df, "doc_id", "text").collect()
+    assert {r.doc_id for r in out} == {3}
+    # a lone transition has probability 1 -> surprisal exactly 0
+    assert out[0].surprisal_unats == 0
