@@ -228,3 +228,16 @@ def test_boilerplate_strip_text_shuffles_once(spark):
     assert "BroadcastHashJoin" in plan
     # formatted mode prints exchange arguments on their own line
     assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1
+
+
+def test_lm_surprisal_broadcast_vocab_single_doc_exchange(spark):
+    """unigram/bigram surprisal: vocab joins broadcast (never SMJ
+    against the token stream) and the per-doc integer sum is the ONLY
+    doc_id exchange."""
+    import re
+
+    for name in ("unigram_surprisal", "bigram_surprisal"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1, name
