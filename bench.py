@@ -57,6 +57,8 @@ HEADLINE = [
     "budget_sample",
     "centroid_outliers",
     "unigram_surprisal",
+    "bigram_surprisal",
+    "bpe_merge_candidates",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))

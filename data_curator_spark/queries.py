@@ -2961,3 +2961,58 @@ GROUP BY p.doc_id
 
 QUERIES["bigram_surprisal"] = q_bigram_surprisal
 ORACLES["bigram_surprisal"] = SQL_BIGRAM_SURPRISAL
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration over the corpus: the top-30 most
+    frequent adjacent CHARACTER pairs, weighted by word frequency — the
+    merge candidates a tokenizer-fitting job would collapse next.
+
+    Scale shape (the standard BPE counting optimization): the corpus
+    shuffles once into a DISTINCT-word frequency table (map-side
+    combine); pair extraction then explodes only distinct words —
+    orders of magnitude smaller than the token stream — and the
+    deterministic top-k (count desc, pair asc) compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Character slicing is UTF-8-character-based in both engines, so CJK
+    text counts identically."""
+    from data_curator_spark.operators.dedup import WS_RE
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), WS_RE)).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
+SQL_BPE_MERGE_CANDIDATES = f"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(text), {_WS_SQL})) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM t WHERE w <> '' GROUP BY w
+), p AS (
+  SELECT substr(w, CAST(t.i AS INT), 2) AS pair, c
+  FROM wc, (SELECT unnest(range(1, length(w))) AS i) t
+  WHERE length(w) >= 2
+)
+SELECT pair, SUM(c) AS cnt FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 30
+"""
+
+QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
+ORACLES["bpe_merge_candidates"] = SQL_BPE_MERGE_CANDIDATES

@@ -241,3 +241,12 @@ def test_lm_surprisal_broadcast_vocab_single_doc_exchange(spark):
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1, name
+
+
+def test_bpe_merge_candidates_heap_topk_over_distinct_words(spark):
+    """BPE pair mining: top-k compiles to TakeOrderedAndProject and the
+    pair counts aggregate with map-side partials — never a global sort
+    of the corpus-wide pair distribution."""
+    plan = _plan(spark, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
