@@ -329,3 +329,24 @@ def test_theta_distinct_null_group_counted(spark):
     # the NULL group's 2000 values must actually be sampled (the old
     # null-unsafe equi-join reported 0 forever)
     assert out[None].n_sampled > 0 and out[None].est_distinct > 0
+
+
+def test_budget_sample_monotone_in_budget(spark):
+    """Raising a stratum's budget only ADDS documents (the hash order
+    and running sums are fixed, the threshold moves) — the property
+    that makes budget sweeps reproducible supersets."""
+    from data_curator_spark.operators.sampling import budget_sample
+
+    rows = [(i, "en", 37 + (i * 13) % 91) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    prev: set = set()
+    for budget in (0, 100, 500, 2000, 10_000_000):
+        kept = {
+            r.doc_id
+            for r in budget_sample(
+                df, "doc_id", "n_chars", "lang", budgets={"en": budget}, salt="m"
+            ).collect()
+        }
+        assert prev <= kept, budget
+        prev = kept
+    assert len(prev) == 199  # huge budget keeps everything
