@@ -402,6 +402,7 @@ def connected_components(
     id_col: str,
     max_iter: int = 25,
     stats: dict | None = None,
+    assume_unique_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup CLUSTERS from candidate pairs: assign every vertex the
     minimum id reachable through the pair graph (its connected
@@ -455,11 +456,19 @@ def connected_components(
     # gate below yet propagate nothing, which would make the round-1
     # "cannot be the fixpoint" argument false — drop them here
     pairs = pairs.filter(~F.col("id_a").eqNullSafe(F.col("id_b")))
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    if not assume_unique_pairs:
+        # duplicate pairs only waste propagation work (min is idempotent)
+        # but the dedup costs a full edge shuffle — callers whose pairs
+        # are unique by construction (lsh_candidate_ids ends in
+        # dropDuplicates) pass assume_unique_pairs=True to skip it: the
+        # two union branches cannot collide with each other (id_a <
+        # id_b on one side, > on the other)
+        edges = edges.distinct()
     edges = persist_tracked(edges)
 
     identity = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))

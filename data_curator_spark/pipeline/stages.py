@@ -272,7 +272,8 @@ def with_near_dup(
         .distinct()
     )
     cc = connected_components(
-        keyed.select("__doc_id"), pairs, "__doc_id", max_iter=max_iter
+        keyed.select("__doc_id"), pairs, "__doc_id", max_iter=max_iter,
+        assume_unique_pairs=True,  # lsh_candidate_ids ends in dropDuplicates
     ).select("__doc_id", "cluster_id")
     # non-singleton clusters only (= pair-touched ids): everything from
     # here to the final corpus join is pair-graph sized. Persist once so

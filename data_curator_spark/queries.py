@@ -1231,7 +1231,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8).filter(
         F.col("est_jaccard") >= 0.5
     )
-    return connected_components(d.select("doc_id"), pairs, "doc_id")
+    # lsh_candidate_pairs ends in dropDuplicates, so the edge-dedup
+    # shuffle inside connected_components is provably redundant here
+    return connected_components(
+        d.select("doc_id"), pairs, "doc_id", assume_unique_pairs=True
+    )
 
 
 def _dedup_clusters_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
