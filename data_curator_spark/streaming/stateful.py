@@ -90,3 +90,72 @@ def streaming_ema(df: DataFrame, span: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BUDGET_OUTPUT = StructType(
+    [
+        StructField("stratum", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("size", LongType(), True),
+        StructField("cum_before", LongType(), False),
+        StructField("admitted", LongType(), False),
+    ]
+)
+BUDGET_STATE = StructType([StructField("cum", LongType(), True)])
+
+
+def streaming_budget_gate(
+    df: DataFrame, budgets: dict[str, int], default_budget: int = 0
+) -> DataFrame:
+    """Streaming analog of operators.sampling.budget_sample: admit
+    documents per stratum until its size budget fills, carrying the
+    cumulative admitted size across micro-batches (state = ONE long per
+    stratum — bounded forever, no watermark needed).
+
+    Same quota-fill convention as the batch op: a doc is admitted iff
+    the cumulative size BEFORE it is under the stratum's budget, so the
+    last admitted doc may overshoot by its own size and every non-empty
+    stratum with a positive budget admits at least one doc. Unlike the
+    batch op (which orders by a portable hash for reproducibility), a
+    stream admits in ARRIVAL order — the operator emits every row with
+    its admission verdict (admitted 1/0) and running offset, so the
+    sink can route rejects to an overflow table instead of silently
+    dropping them.
+
+    Input schema: (stratum string, doc_id string, size long). Null/
+    negative sizes count as 0 (admitted if the budget is open, never
+    consuming budget).
+    """
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stratum = key[0]
+        budget = budgets.get(stratum, default_budget)
+        cum = state.get[0] if state.exists else 0
+        out_rows: list[tuple[Any, ...]] = []
+        for pdf in pdfs:
+            for doc_id, size in zip(pdf["doc_id"], pdf["size"]):
+                s = 0 if pd.isna(size) else max(int(size), 0)
+                admit = 1 if cum < budget else 0
+                out_rows.append((stratum, str(doc_id), s, cum, admit))
+                if admit:
+                    cum += s
+        state.update((cum,))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["stratum", "doc_id", "size", "cum_before", "admitted"],
+        )
+
+    return df.groupBy("stratum").applyInPandasWithState(
+        update,
+        outputStructType=BUDGET_OUTPUT,
+        stateStructType=BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -117,3 +117,63 @@ def test_streaming_ema_inf_resets_like_batch(spark, tmp_path):
             assert pd.isna(g)
         else:
             assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_streaming_budget_gate_state_across_batches(spark, tmp_path):
+    """Budget state carries across micro-batches: a stratum filled in
+    batch 1 admits nothing in batch 2; quota-fill overshoot by at most
+    one doc; every row is emitted with a verdict (rejects routable)."""
+    from data_curator_spark.streaming.stateful import streaming_budget_gate
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land_batch(idx, rows):
+        pdf = pd.DataFrame(rows, columns=["stratum", "doc_id", "size"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(land / f"b{idx}.parquet"),
+        )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "stratum string, doc_id string, size long"
+        ).parquet(str(land))
+        q = (
+            streaming_budget_gate(
+                stream, budgets={"en": 250}, default_budget=100
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land_batch(1, [("en", "e1", 100), ("en", "e2", 100), ("de", "d1", 60)])
+    drain()
+    land_batch(2, [("en", "e3", 100), ("en", "e4", 100), ("de", "d2", 60), ("de", "d3", 60)])
+    drain()
+
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 7
+    # en budget 250: e1(0)+e2(100) admitted, e3 admitted at cum 200
+    # (overshoot by one doc), e4 rejected at cum 300
+    assert [got[d].admitted for d in ("e1", "e2", "e3", "e4")] == [1, 1, 1, 0]
+    assert got["e4"].cum_before == 300
+    # de default budget 100: d1(0)+d2(60) admitted, d3 rejected at 120
+    assert [got[d].admitted for d in ("d1", "d2", "d3")] == [1, 1, 0]
+
+
+def test_streaming_budget_gate_validation(spark):
+    import pytest as _pytest
+
+    from data_curator_spark.streaming.stateful import streaming_budget_gate
+
+    df = spark.createDataFrame([("a", "x", 1)], "stratum string, doc_id string, size long")
+    with _pytest.raises(ValueError):
+        streaming_budget_gate(df, budgets={"a": -1})
