@@ -159,3 +159,57 @@ def streaming_budget_gate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PACK_OUTPUT = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("size", LongType(), True),
+        StructField("pack_bin", LongType(), False),
+        StructField("pack_offset", LongType(), False),
+    ]
+)
+PACK_STATE = StructType([StructField("cum", LongType(), True)])
+
+
+def streaming_pack(df: DataFrame, context_len: int) -> DataFrame:
+    """Streaming analog of operators.sampling.pack_sequences: cut each
+    shard's arriving document stream into ``context_len``-sized bins
+    with straddle offsets, the running size carried across
+    micro-batches (state = ONE long per shard). Arrival order IS the
+    pack order — the streaming layout for continuously-assembled
+    training shards; use the batch op when reproducible hash order
+    matters. All-integer arithmetic, same bin convention as batch:
+    bin = cum_before // context_len, offset = cum_before % context_len.
+    Null/negative sizes occupy zero space (emitted at the current
+    offset). Input schema: (shard string, doc_id string, size long)."""
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = key[0]
+        cum = state.get[0] if state.exists else 0
+        out_rows: list[tuple[Any, ...]] = []
+        for pdf in pdfs:
+            for doc_id, size in zip(pdf["doc_id"], pdf["size"]):
+                s = 0 if pd.isna(size) else max(int(size), 0)
+                out_rows.append(
+                    (shard, str(doc_id), s, cum // context_len, cum % context_len)
+                )
+                cum += s
+        state.update((cum,))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["shard", "doc_id", "size", "pack_bin", "pack_offset"],
+        )
+
+    return df.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=PACK_OUTPUT,
+        stateStructType=PACK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -177,3 +177,47 @@ def test_streaming_budget_gate_validation(spark):
     df = spark.createDataFrame([("a", "x", 1)], "stratum string, doc_id string, size long")
     with _pytest.raises(ValueError):
         streaming_budget_gate(df, budgets={"a": -1})
+
+
+def test_streaming_pack_state_across_batches(spark, tmp_path):
+    """Pack offsets continue seamlessly across micro-batches and shards
+    pack independently — matches the batch bin convention."""
+    from data_curator_spark.streaming.stateful import streaming_pack
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land_batch(idx, rows):
+        pdf = pd.DataFrame(rows, columns=["shard", "doc_id", "size"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(land / f"b{idx}.parquet"),
+        )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "shard string, doc_id string, size long"
+        ).parquet(str(land))
+        q = (
+            streaming_pack(stream, context_len=100)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land_batch(1, [("a", "x1", 60), ("a", "x2", 60), ("b", "y1", 30)])
+    drain()
+    land_batch(2, [("a", "x3", 90), ("b", "y2", 80)])
+    drain()
+
+    got = {r.doc_id: (r.pack_bin, r.pack_offset) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {
+        "x1": (0, 0), "x2": (0, 60), "x3": (1, 20),   # 0,60,120 cumulative
+        "y1": (0, 0), "y2": (0, 30),                  # shard b independent
+    }
