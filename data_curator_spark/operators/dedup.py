@@ -40,6 +40,15 @@ P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: affine-hash modulus
 BROADCAST_LABEL_CAP = 5_000_000
 
 
+def size_gated_broadcast(df: DataFrame, cap: int = BROADCAST_LABEL_CAP) -> DataFrame:
+    """``F.broadcast(df)`` only when df is provably small: bounded
+    probe (limit(cap+1).count()), shuffle-join fallback above the cap.
+    The single broadcast-gating idiom for every small side in the
+    operator library — keep call sites on this helper so the gate
+    convention cannot drift."""
+    return F.broadcast(df) if df.limit(cap + 1).count() <= cap else df
+
+
 def hex_prefix_long(c: Column, n_hex: int) -> Column:
     """First ``n_hex`` hex digits of md5(c) as a non-negative long.
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_curator_spark.engine.cache import persist_tracked
-from data_curator_spark.operators.dedup import WS_RE
+from data_curator_spark.operators.dedup import WS_RE, size_gated_broadcast
 
 # micro-nat quantization: FLOOR(ln(p) · 2^20). |ln(p)| < 50 for any
 # vocab above 1e-22 probability → |lp_q| < 2^26; a doc of 10^9 tokens
@@ -70,26 +70,32 @@ def unigram_surprisal(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col), F.explode(words).alias("w"))
 
-    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # persist BEFORE the total: the scalar collect and the vocab
+    # materialization are two consumers of the same corpus-wide
+    # explode+groupBy — unpersisted, training would run twice
+    counts = persist_tracked(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     total_row = counts.agg(F.sum("c").alias("t")).collect()[0]
     total = int(total_row["t"] or 0)
     if total == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, n_tokens long, surprisal_unats long, "
-            "mean_surprisal_unats long"
-        )
+        # empty frame with the INPUT's id type — hardcoding long would
+        # flip the schema between the empty and non-empty paths
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        id_field = df.schema[id_col]
+        schema = StructType([
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("n_tokens", LongType(), False),
+            StructField("surprisal_unats", LongType(), False),
+            StructField("mean_surprisal_unats", LongType(), False),
+        ])
+        return df.sparkSession.createDataFrame([], schema)
     lp_q = F.floor(
         F.log(F.col("c").cast("double") / F.lit(float(total)))
         * F.lit(float(1 << LP_SCALE_BITS))
     ).cast("long")
-    vocab = persist_tracked(counts.select("w", lp_q.alias("lp")))
-    hint = (
-        F.broadcast
-        if vocab.limit(VOCAB_BROADCAST_CAP + 1).count() <= VOCAB_BROADCAST_CAP
-        else (lambda d: d)
-    )
+    vocab = counts.select("w", lp_q.alias("lp"))
     return (
-        toks.join(hint(vocab), on="w")
+        toks.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -153,27 +159,27 @@ def bigram_surprisal(
         ).alias("bg"),
     ).select(id_col, F.col("bg.l").alias("l"), F.col("bg.r").alias("r"))
 
-    bigram_counts = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
-    left_counts = pairs.groupBy("l").agg(F.count(F.lit(1)).alias("c_l"))
+    # persist: bigram_counts feeds BOTH the left-context marginal and
+    # the conditional table; the scoring join re-reads pairs separately
+    bigram_counts = persist_tracked(
+        pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+    )
+    # c_l(l) = Σ_r c_lr(l, r): derive the marginal from the (tiny)
+    # bigram-vocab table instead of re-aggregating the corpus-sized
+    # pairs stream — removes an entire corpus pass
+    left_counts = bigram_counts.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
     lp_q = F.floor(
         F.log(F.col("c_lr").cast("double") / F.col("c_l").cast("double"))
         * F.lit(float(1 << LP_SCALE_BITS))
     ).cast("long")
 
-    def _gate(d: DataFrame):
-        return (
-            F.broadcast(d)
-            if d.limit(VOCAB_BROADCAST_CAP + 1).count() <= VOCAB_BROADCAST_CAP
-            else d
-        )
-
     vocab = persist_tracked(
-        bigram_counts.join(_gate(persist_tracked(left_counts)), on="l").select(
-            "l", "r", lp_q.alias("lp")
-        )
+        bigram_counts.join(
+            size_gated_broadcast(left_counts, VOCAB_BROADCAST_CAP), on="l"
+        ).select("l", "r", lp_q.alias("lp"))
     )
     return (
-        pairs.join(_gate(vocab), on=["l", "r"])
+        pairs.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on=["l", "r"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -193,7 +193,11 @@ def streaming_contamination(
         )
     if not has_keep:
         return out
-    contaminated = F.col("n_overlap_grams") >= min_overlap
+    # coalesce: null content -> null gram count, and `keep & ~NULL`
+    # would turn keep=true into keep=NULL — a row neither kept nor
+    # accounted as dropped (vanishes from filter("keep") and from
+    # lineage keep-sums). Unknown contamination must not poison keep.
+    contaminated = F.coalesce(F.col("n_overlap_grams") >= min_overlap, F.lit(False))
     return out.withColumn(
         "drop_reason",
         F.when(F.col("keep") & contaminated, F.lit("contaminated")).otherwise(

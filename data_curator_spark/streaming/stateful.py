@@ -95,6 +95,7 @@ def streaming_ema(df: DataFrame, span: int) -> DataFrame:
 BUDGET_OUTPUT = StructType(
     [
         StructField("stratum", StringType(), False),
+        StructField("seq", LongType(), False),
         StructField("doc_id", StringType(), False),
         StructField("size", LongType(), True),
         StructField("cum_before", LongType(), False),
@@ -117,14 +118,18 @@ def streaming_budget_gate(
     last admitted doc may overshoot by its own size and every non-empty
     stratum with a positive budget admits at least one doc. Unlike the
     batch op (which orders by a portable hash for reproducibility), a
-    stream admits in ARRIVAL order — the operator emits every row with
-    its admission verdict (admitted 1/0) and running offset, so the
-    sink can route rejects to an overflow table instead of silently
-    dropping them.
+    stream admits in ``seq`` order — rows inside a micro-batch arrive
+    in NONDETERMINISTIC shuffle order (multi-file/multi-partition
+    batches interleave arbitrarily), so like streaming_ema the caller
+    supplies a per-stratum ``seq`` and the operator sorts each batch by
+    it; without that, a recomputed batch could admit a DIFFERENT
+    subset near a full budget. Every row is emitted with its admission
+    verdict (admitted 1/0) and running offset, so the sink can route
+    rejects to an overflow table instead of silently dropping them.
 
-    Input schema: (stratum string, doc_id string, size long). Null/
-    negative sizes count as 0 (admitted if the budget is open, never
-    consuming budget).
+    Input schema: (stratum string, seq long, doc_id string, size long).
+    Null/negative sizes count as 0 (admitted if the budget is open,
+    never consuming budget).
     """
     for k, v in budgets.items():
         if v < 0:
@@ -140,16 +145,17 @@ def streaming_budget_gate(
         cum = state.get[0] if state.exists else 0
         out_rows: list[tuple[Any, ...]] = []
         for pdf in pdfs:
-            for doc_id, size in zip(pdf["doc_id"], pdf["size"]):
+            pdf = pdf.sort_values("seq")
+            for seq, doc_id, size in zip(pdf["seq"], pdf["doc_id"], pdf["size"]):
                 s = 0 if pd.isna(size) else max(int(size), 0)
                 admit = 1 if cum < budget else 0
-                out_rows.append((stratum, str(doc_id), s, cum, admit))
+                out_rows.append((stratum, int(seq), str(doc_id), s, cum, admit))
                 if admit:
                     cum += s
         state.update((cum,))
         yield pd.DataFrame(
             out_rows,
-            columns=["stratum", "doc_id", "size", "cum_before", "admitted"],
+            columns=["stratum", "seq", "doc_id", "size", "cum_before", "admitted"],
         )
 
     return df.groupBy("stratum").applyInPandasWithState(
@@ -164,6 +170,7 @@ def streaming_budget_gate(
 PACK_OUTPUT = StructType(
     [
         StructField("shard", StringType(), False),
+        StructField("seq", LongType(), False),
         StructField("doc_id", StringType(), False),
         StructField("size", LongType(), True),
         StructField("pack_bin", LongType(), False),
@@ -177,13 +184,15 @@ def streaming_pack(df: DataFrame, context_len: int) -> DataFrame:
     """Streaming analog of operators.sampling.pack_sequences: cut each
     shard's arriving document stream into ``context_len``-sized bins
     with straddle offsets, the running size carried across
-    micro-batches (state = ONE long per shard). Arrival order IS the
-    pack order — the streaming layout for continuously-assembled
-    training shards; use the batch op when reproducible hash order
-    matters. All-integer arithmetic, same bin convention as batch:
-    bin = cum_before // context_len, offset = cum_before % context_len.
-    Null/negative sizes occupy zero space (emitted at the current
-    offset). Input schema: (shard string, doc_id string, size long)."""
+    micro-batches (state = ONE long per shard). Pack order is the
+    caller-supplied per-shard ``seq`` (batches sort by it — intra-batch
+    shuffle order is nondeterministic, and a recomputed batch must
+    reproduce identical bins); use the batch op when reproducible
+    HASH order matters. All-integer arithmetic, same bin convention as
+    batch: bin = cum_before // context_len, offset = cum_before %
+    context_len. Null/negative sizes occupy zero space (emitted at the
+    current offset). Input schema: (shard string, seq long,
+    doc_id string, size long)."""
     if context_len < 1:
         raise ValueError(f"context_len must be >= 1, got {context_len}")
 
@@ -194,16 +203,18 @@ def streaming_pack(df: DataFrame, context_len: int) -> DataFrame:
         cum = state.get[0] if state.exists else 0
         out_rows: list[tuple[Any, ...]] = []
         for pdf in pdfs:
-            for doc_id, size in zip(pdf["doc_id"], pdf["size"]):
+            pdf = pdf.sort_values("seq")
+            for seq, doc_id, size in zip(pdf["seq"], pdf["doc_id"], pdf["size"]):
                 s = 0 if pd.isna(size) else max(int(size), 0)
                 out_rows.append(
-                    (shard, str(doc_id), s, cum // context_len, cum % context_len)
+                    (shard, int(seq), str(doc_id), s,
+                     cum // context_len, cum % context_len)
                 )
                 cum += s
         state.update((cum,))
         yield pd.DataFrame(
             out_rows,
-            columns=["shard", "doc_id", "size", "pack_bin", "pack_offset"],
+            columns=["shard", "seq", "doc_id", "size", "pack_bin", "pack_offset"],
         )
 
     return df.groupBy("shard").applyInPandasWithState(

@@ -131,7 +131,7 @@ def test_streaming_budget_gate_state_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def land_batch(idx, rows):
-        pdf = pd.DataFrame(rows, columns=["stratum", "doc_id", "size"])
+        pdf = pd.DataFrame(rows, columns=["stratum", "seq", "doc_id", "size"])
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
             str(land / f"b{idx}.parquet"),
@@ -139,7 +139,7 @@ def test_streaming_budget_gate_state_across_batches(spark, tmp_path):
 
     def drain():
         stream = spark.readStream.schema(
-            "stratum string, doc_id string, size long"
+            "stratum string, seq long, doc_id string, size long"
         ).parquet(str(land))
         q = (
             streaming_budget_gate(
@@ -154,9 +154,10 @@ def test_streaming_budget_gate_state_across_batches(spark, tmp_path):
         )
         q.awaitTermination()
 
-    land_batch(1, [("en", "e1", 100), ("en", "e2", 100), ("de", "d1", 60)])
+    land_batch(1, [("en", 1, "e1", 100), ("en", 2, "e2", 100), ("de", 1, "d1", 60)])
     drain()
-    land_batch(2, [("en", "e3", 100), ("en", "e4", 100), ("de", "d2", 60), ("de", "d3", 60)])
+    land_batch(2, [("en", 3, "e3", 100), ("en", 4, "e4", 100),
+                   ("de", 2, "d2", 60), ("de", 3, "d3", 60)])
     drain()
 
     got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
@@ -174,7 +175,9 @@ def test_streaming_budget_gate_validation(spark):
 
     from data_curator_spark.streaming.stateful import streaming_budget_gate
 
-    df = spark.createDataFrame([("a", "x", 1)], "stratum string, doc_id string, size long")
+    df = spark.createDataFrame(
+        [("a", 1, "x", 1)], "stratum string, seq long, doc_id string, size long"
+    )
     with _pytest.raises(ValueError):
         streaming_budget_gate(df, budgets={"a": -1})
 
@@ -190,7 +193,7 @@ def test_streaming_pack_state_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def land_batch(idx, rows):
-        pdf = pd.DataFrame(rows, columns=["shard", "doc_id", "size"])
+        pdf = pd.DataFrame(rows, columns=["shard", "seq", "doc_id", "size"])
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
             str(land / f"b{idx}.parquet"),
@@ -198,7 +201,7 @@ def test_streaming_pack_state_across_batches(spark, tmp_path):
 
     def drain():
         stream = spark.readStream.schema(
-            "shard string, doc_id string, size long"
+            "shard string, seq long, doc_id string, size long"
         ).parquet(str(land))
         q = (
             streaming_pack(stream, context_len=100)
@@ -211,9 +214,10 @@ def test_streaming_pack_state_across_batches(spark, tmp_path):
         )
         q.awaitTermination()
 
-    land_batch(1, [("a", "x1", 60), ("a", "x2", 60), ("b", "y1", 30)])
+    # batch 1 lands SHUFFLED within the file — seq must drive the order
+    land_batch(1, [("a", 2, "x2", 60), ("b", 1, "y1", 30), ("a", 1, "x1", 60)])
     drain()
-    land_batch(2, [("a", "x3", 90), ("b", "y2", 80)])
+    land_batch(2, [("a", 3, "x3", 90), ("b", 2, "y2", 80)])
     drain()
 
     got = {r.doc_id: (r.pack_bin, r.pack_offset) for r in spark.read.parquet(out_dir).collect()}
