@@ -192,3 +192,75 @@ def bigram_surprisal(
             F.expr("surprisal_unats DIV n_bigrams").alias("mean_surprisal_unats"),
         )
     )
+
+
+def heldout_surprisal(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Held-out perplexity: train a Laplace-smoothed unigram LM on one
+    corpus, score ANOTHER — the actual KenLM-style quality gate of the
+    north rule (score web documents under a clean-reference LM), where
+    unigram_surprisal/bigram_surprisal are the self-scoring anomaly
+    variants.
+
+    Smoothing (add-one over an open vocabulary):
+
+        P(w)   = (c_w + 1) / (T + V + 1)    for w in the train vocab
+        P(UNK) = 1         / (T + V + 1)    for any unseen word
+
+    (T = train token count, V = train vocab size; probabilities sum to
+    (T+V)/(T+V+1) + mass for one unseen type — the standard open-vocab
+    Laplace estimator.) Per-vocab-entry integer micro-nat quantization
+    exactly as unigram_surprisal; the single UNK log-prob is one more
+    quantized integer, computed driver-side from the two scalars.
+
+    Scale shape: training is one hash aggregation over the train split;
+    the vocab (word, lp) is size-gated to broadcast with shuffle-join
+    fallback. Scoring is explode → LEFT join (misses coalesce to the
+    UNK row — the "one left-anti UNK path" folded into the join) → ONE
+    integer groupBy(id). The T/V scalars are a single bounded collect.
+    """
+    import math
+
+    def toks(d: DataFrame) -> DataFrame:
+        words = F.split(F.trim(F.col(text_col)), WS_RE)
+        return d.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        ).select(F.col(id_col), F.explode(words).alias("w"))
+
+    counts = persist_tracked(
+        toks(train_df).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = counts.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total, vsize = int(row["t"] or 0), int(row["v"] or 0)
+    denom = total + vsize + 1
+    # same libm ln + FLOOR quantization as the vocab rows, one scalar
+    unk_lp = math.floor(math.log(1.0 / denom) * (1 << LP_SCALE_BITS))
+    lp_q = F.floor(
+        F.log((F.col("c") + 1).cast("double") / F.lit(float(denom)))
+        * F.lit(float(1 << LP_SCALE_BITS))
+    ).cast("long")
+    vocab = counts.select("w", lp_q.alias("lp"))
+    scored = toks(score_df).join(
+        size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w", how="left"
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(F.coalesce(F.col("lp"), F.lit(unk_lp)))).alias(
+                "surprisal_unats"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "surprisal_unats",
+            F.expr("surprisal_unats DIV n_tokens").alias("mean_surprisal_unats"),
+        )
+    )

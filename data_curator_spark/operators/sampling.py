@@ -147,7 +147,11 @@ def pack_sequences(
         .orderBy(order, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    # clamp null/negative sizes to 0 (zero-width docs) — parity with
+    # streaming_pack, which clamps per row; a negative size shrinking
+    # the running offset would tear bin assignment between the two forms
+    clamped = F.greatest(F.coalesce(F.col(size_col), F.lit(0)), F.lit(0))
+    cum_prev = F.coalesce(F.sum(clamped).over(w), F.lit(0)).cast("long")
     return (
         df.select("*", cum_prev.alias("__cum"))
         .select(
@@ -254,7 +258,11 @@ def budget_sample(
         .orderBy(order, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    # clamp null/negative sizes to 0 — parity with streaming_budget_gate
+    # (a negative size must never REFUND budget, or the batch and
+    # streaming forms of the op admit different sets on the same input)
+    clamped = F.greatest(F.coalesce(F.col(size_col), F.lit(0)), F.lit(0))
+    cum_prev = F.coalesce(F.sum(clamped).over(w), F.lit(0)).cast("long")
     budget = _strata_case(strata_col, budgets, default_budget)
     return (
         df.select("*", cum_prev.alias("__cum_prev"))

@@ -59,8 +59,10 @@ def streaming_ema(df: DataFrame, span: int) -> DataFrame:
         else:
             cur, window = None, []
         out_rows: list[tuple[Any, ...]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("seq")
+        # concat before sorting — see streaming_budget_gate
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
             for seq, v in zip(pdf["seq"], pdf["value"]):
                 # reset on null AND ±Inf — _ema_array treats any
                 # non-finite value as a segment boundary; feeding Inf
@@ -144,8 +146,13 @@ def streaming_budget_gate(
         budget = budgets.get(stratum, default_budget)
         cum = state.get[0] if state.exists else 0
         out_rows: list[tuple[Any, ...]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("seq")
+        # concat BEFORE sorting: a group above arrow.maxRecordsPerBatch
+        # arrives as multiple chunks in nondeterministic shuffle order —
+        # per-chunk sorts are not a global seq order, and a recomputed
+        # micro-batch could admit a different subset near a full budget
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
             for seq, doc_id, size in zip(pdf["seq"], pdf["doc_id"], pdf["size"]):
                 s = 0 if pd.isna(size) else max(int(size), 0)
                 admit = 1 if cum < budget else 0
@@ -202,8 +209,10 @@ def streaming_pack(df: DataFrame, context_len: int) -> DataFrame:
         shard = key[0]
         cum = state.get[0] if state.exists else 0
         out_rows: list[tuple[Any, ...]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("seq")
+        # concat before sorting — see streaming_budget_gate
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("seq")
             for seq, doc_id, size in zip(pdf["seq"], pdf["doc_id"], pdf["size"]):
                 s = 0 if pd.isna(size) else max(int(size), 0)
                 out_rows.append(

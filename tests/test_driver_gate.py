@@ -1,0 +1,45 @@
+"""Driver-gate window management (r5 verdict item 2).
+
+The driver's correctness harness checks only the FIRST 50 entries of
+__spark_entry__.queries() (discovered r5: CORRECTNESS_r04/_r05 each hold
+exactly 50 rows, and the missing rows were precisely registrations 51+).
+Registration order is therefore the gate's priority list. These guards
+make silent overflow impossible: every registered query must fit inside
+the window and carry an oracle, so every operator the repo claims gets a
+hard-gate verdict each round.
+"""
+
+DRIVER_GATE_WINDOW = 50
+
+
+def test_registry_fits_driver_gate_window():
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    assert len(qs) <= DRIVER_GATE_WINDOW, (
+        f"{len(qs)} queries registered but the driver checks only the "
+        f"first {DRIVER_GATE_WINDOW}; merge or retire variants "
+        f"(LEGACY_QUERIES) — overflow: {qs[DRIVER_GATE_WINDOW:]}"
+    )
+
+
+def test_every_registered_query_is_oracled():
+    import __spark_entry__ as entry
+
+    qs = set(entry.queries())
+    oracled = set(entry.oracle_sql())
+    assert oracled <= qs, f"orphan oracles: {sorted(oracled - qs)}"
+    # rows-only (non-SQL-expressible) queries are allowed but must be a
+    # conscious decision — list them here when one is introduced
+    rows_only_allowed: set[str] = set()
+    missing = qs - oracled - rows_only_allowed
+    assert not missing, f"queries with no oracle: {sorted(missing)}"
+
+
+def test_legacy_queries_do_not_overlap_registry():
+    import __spark_entry__ as entry
+    from data_curator_spark.queries import LEGACY_ORACLES, LEGACY_QUERIES
+
+    qs = set(entry.queries())
+    assert not qs & set(LEGACY_QUERIES)
+    assert set(LEGACY_QUERIES) == set(LEGACY_ORACLES)

@@ -73,3 +73,69 @@ def test_bigram_surprisal_excludes_short_docs(spark):
     assert {r.doc_id for r in out} == {3}
     # a lone transition has probability 1 -> surprisal exactly 0
     assert out[0].surprisal_unats == 0
+
+
+def test_heldout_unseen_words_take_unk_logprob(spark):
+    """A held-out doc of entirely unseen words scores exactly
+    n_tokens · (−unk_lp); mixed docs land between all-seen and
+    all-unseen; UNK is the most surprising value in the model."""
+    import math
+
+    from data_curator_spark.operators.lm import LP_SCALE_BITS, heldout_surprisal
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the cat sat"),          # all seen
+            (101, "zyzzogeton flarn quux"),  # all UNK
+            (102, "the zyzzogeton"),       # mixed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in heldout_surprisal(train, score, "doc_id", "text").collect()
+    }
+    assert set(out) == {100, 101, 102}
+    # replicate the Laplace estimator: T=60 tokens, V=5 types
+    total, vsize = 60, 5
+    denom = total + vsize + 1
+    unk_lp = math.floor(math.log(1.0 / denom) * (1 << LP_SCALE_BITS))
+    assert out[101].surprisal_unats == 3 * (-unk_lp)
+    assert out[101].mean_surprisal_unats == -unk_lp
+    # UNK is rarer than any trained word → strictly most surprising
+    assert (
+        out[100].mean_surprisal_unats
+        < out[102].mean_surprisal_unats
+        < out[101].mean_surprisal_unats
+    )
+
+
+def test_heldout_train_and_score_are_independent_frames(spark):
+    """Scoring must not leak score-split tokens into training: the same
+    score doc gets a different surprisal when the train corpus changes,
+    and an identical one when only the SCORE set grows."""
+    from data_curator_spark.operators.lm import heldout_surprisal
+
+    train_a = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    train_b = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta gamma")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    score_more = spark.createDataFrame(
+        [(9, "alpha beta"), (10, "alpha alpha alpha alpha")],
+        "doc_id long, text string",
+    )
+    a = heldout_surprisal(train_a, score, "doc_id", "text").collect()[0]
+    b = heldout_surprisal(train_b, score, "doc_id", "text").collect()[0]
+    assert a.surprisal_unats != b.surprisal_unats
+    a2 = {
+        r.doc_id: r
+        for r in heldout_surprisal(train_a, score_more, "doc_id", "text").collect()
+    }[9]
+    assert a2.surprisal_unats == a.surprisal_unats

@@ -8,13 +8,13 @@ from __future__ import annotations
 
 import pytest
 
-from data_curator_spark.queries import QUERIES
+from data_curator_spark.queries import LEGACY_QUERIES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
+    df = (QUERIES.get(name) or LEGACY_QUERIES[name])(spark, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -51,6 +51,27 @@ def test_window_chain_single_exchange_per_key(spark):
     # one hash partitioning on user_id, no extra shuffles
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Window" in plan
+
+
+def test_merged_rolling_features_single_exchange(spark):
+    """The r6 merged query's whole premise: all five window features
+    partition by user_id, so ONE hashpartitioning exchange must serve
+    every window (the descending dividend window re-sorts, never
+    re-shuffles). Two exchanges would mean the merge made the plan
+    WORSE than the component queries."""
+    import re
+
+    plan = _plan(spark, "rolling_features")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_merged_recursions_single_shuffle(spark):
+    """EMA12+RSI14 share one repartition+sort → one Arrow pass."""
+    import re
+
+    plan = _plan(spark, "recursions")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
 def test_antijoin_strategy(spark):

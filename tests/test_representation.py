@@ -48,9 +48,7 @@ ALLOWED_DOUBLES = {
     "asof_join": {"view_value": "source-passthrough"},
     "boilerplate_ngrams": {"doc_share": "ieee-exact"},
     "centroid_outliers": {"centroid_sim": "rounded6"},
-    "cmf_window": {"cmf21": "rounded6"},
     "coalescing_merge": {"o_totalprice": "source-passthrough"},
-    "dividend_adjustment": {"adj_factor": "rounded6"},
     "corpus_heuristics": {
         "avg_line_len": "rounded6",
         "alnum_ratio": "rounded6",
@@ -62,12 +60,9 @@ ALLOWED_DOUBLES = {
         "punct_ratio": "rounded6",
         "stop_ratio": "rounded6",
     },
-    "ema_recursive": {"ema12": "recursive-bit-exact"},
     "embedding_near_dup": {"sim": "rounded6"},
-    "embedding_norms": {"l2": "ieee-exact"},
     "hypertable_rollup": {"sum_value": "decimal-exact", "avg_value": "ieee-exact"},
     "indexed_rolling": {"rolling4": "decimal-exact"},
-    "log_returns": {"log_ret": "rounded6"},
     "macd_signal": {
         "macd": "recursive-bit-exact",
         "macd_signal": "recursive-bit-exact",
@@ -83,19 +78,26 @@ ALLOWED_DOUBLES = {
         "avg_qty": "ieee-exact",
         "avg_price": "ieee-exact",
     },
+    "recursions": {
+        "ema12": "recursive-bit-exact",
+        "rsi14": "recursive-bit-exact",
+    },
     "revenue_by_nation": {"revenue": "decimal-exact"},
-    "rsi_recursive": {"rsi14": "recursive-bit-exact"},
+    "rolling_features": {
+        "sma5": "decimal-exact",
+        "vol21": "rounded6",
+        "log_ret": "rounded6",
+        "cmf21": "rounded6",
+        "adj_factor": "rounded6",
+    },
     "scalar_functions": {
         "mod_floored": "ieee-exact",
         "scaled_millions": "ieee-exact",
         "abs_neg": "ieee-exact",
     },
     "sessionize": {"sum_value": "decimal-exact"},
-    "sessionize_sums": {"sum_value": "decimal-exact"},
-    "sma_window": {"sma5": "decimal-exact"},
     "topk_orders": {"o_totalprice": "source-passthrough"},
     "vocab_stats": {"type_token_ratio": "rounded6"},
-    "volatility_window": {"vol21": "rounded6"},
 }
 
 VALID_REASONS = {
@@ -164,6 +166,65 @@ def test_whitelist_has_no_stale_entries(spark):
             if c not in have:
                 stale.append(f"{name}.{c} not in query output")
     assert not stale, "\n".join(stale)
+
+
+def test_oracle_output_types_are_driver_portable():
+    """Audit the DuckDB-side type of every oracle output column (r5
+    verdict item 3).
+
+    Root cause of rounds 3-5's driver reds: DuckDB types SUM(integer) —
+    plain or windowed — as HUGEINT, which Arrow surfaces as
+    decimal128(38,0). A harness that canonicalizes through Arrow then
+    renders those values as decimals and the hash diverges from Spark's
+    int64 while row-count and name-based schema checks stay green. The
+    local fetchall() replica converts to Python int and can never see
+    it, which is why the divergence survived three rounds.
+
+    This test plans (not executes) every registered oracle on local
+    DuckDB and fails if any OUTPUT column is HUGEINT / UHUGEINT /
+    DECIMAL / TIMESTAMP — the whole class of representation-fragile
+    types becomes structurally impossible to register.
+    """
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", SF_DIR)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders "
+        "lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    forbidden = {"HUGEINT", "UHUGEINT"}
+    problems = []
+    for name, sql in sorted(entry.oracle_sql().items()):
+        try:
+            rel = con.sql(sql)
+        except Exception as exc:  # planning failure is its own bug
+            problems.append(f"{name}: oracle failed to plan: {exc}")
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            base = t.split("(")[0]
+            if base in forbidden or base.startswith("DECIMAL"):
+                problems.append(
+                    f"{name}.{col}: DuckDB type {t} — Arrow renders this "
+                    "as decimal128 and the driver hash diverges from "
+                    "Spark int64; CAST(... AS BIGINT) in the oracle SQL"
+                )
+            elif base.startswith("TIMESTAMP"):
+                problems.append(
+                    f"{name}.{col}: raw {t} oracle output — emit "
+                    "epoch-micros BIGINT on both sides"
+                )
+    assert not problems, "\n".join(problems)
 
 
 @pytest.fixture(scope="module", autouse=True)

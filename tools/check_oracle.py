@@ -91,12 +91,30 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         probs = []
+        # Arrow-type audit (r5 root cause): fetchall() converts HUGEINT
+        # to Python int and hides it, but the DRIVER canonicalizes
+        # through Arrow where HUGEINT renders as decimal128 and
+        # hash-diverges from Spark int64. Flag the whole fragile class
+        # here so local runs reproduce the driver red.
+        for c, t in zip(ocols, otypes):
+            base = t.split("(")[0]
+            if base in ("HUGEINT", "UHUGEINT") or base.startswith("DECIMAL"):
+                probs.append(
+                    f"oracle column {c} has DuckDB type {t} "
+                    "(Arrow decimal128 != Spark int64 in the driver "
+                    "harness) — CAST(... AS BIGINT) in the oracle SQL"
+                )
+            elif base.startswith("TIMESTAMP"):
+                probs.append(
+                    f"oracle column {c} is {t} — emit epoch-micros BIGINT"
+                )
         if len(srows) != len(orows):
             probs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
