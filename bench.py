@@ -63,6 +63,11 @@ HEADLINE = [
     "bpe_merge_candidates",
     # r6: held-out Laplace-unigram perplexity (train split -> score split)
     "heldout_perplexity",
+    # r6: PII/toxicity scrub contract + DSIR importance weights
+    "pii_scrub",
+    "dsir_importance",
+    # r6 merged per-doc stats (ex doc_token_stats + corpus_heuristics)
+    "doc_quality_stats",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))

@@ -194,6 +194,35 @@ def bigram_surprisal(
     )
 
 
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word) explode of non-empty docs — the shared tokenizer of
+    every LM op in this module (WS_RE, trim, null/blank exclusion)."""
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    return df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), F.explode(words).alias("w"))
+
+
+def _laplace_vocab(toks: DataFrame) -> tuple[DataFrame, int]:
+    """Train an add-one (open-vocab Laplace) unigram model from a
+    (.., w) token frame: returns the (w, lp) quantized vocab table and
+    the single quantized UNK log-prob. lp = FLOOR(ln((c+1)/(T+V+1)) ·
+    2^20); UNK = FLOOR(ln(1/(T+V+1)) · 2^20). One hash aggregation +
+    one bounded scalar collect."""
+    import math
+
+    counts = persist_tracked(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    row = counts.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")).collect()[0]
+    total, vsize = int(row["t"] or 0), int(row["v"] or 0)
+    denom = total + vsize + 1
+    unk_lp = math.floor(math.log(1.0 / denom) * (1 << LP_SCALE_BITS))
+    lp_q = F.floor(
+        F.log((F.col("c") + 1).cast("double") / F.lit(float(denom)))
+        * F.lit(float(1 << LP_SCALE_BITS))
+    ).cast("long")
+    return counts.select("w", lp_q.alias("lp")), unk_lp
+
+
 def heldout_surprisal(
     train_df: DataFrame,
     score_df: DataFrame,
@@ -223,30 +252,8 @@ def heldout_surprisal(
     UNK row — the "one left-anti UNK path" folded into the join) → ONE
     integer groupBy(id). The T/V scalars are a single bounded collect.
     """
-    import math
-
-    def toks(d: DataFrame) -> DataFrame:
-        words = F.split(F.trim(F.col(text_col)), WS_RE)
-        return d.filter(
-            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-        ).select(F.col(id_col), F.explode(words).alias("w"))
-
-    counts = persist_tracked(
-        toks(train_df).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    )
-    row = counts.agg(
-        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    total, vsize = int(row["t"] or 0), int(row["v"] or 0)
-    denom = total + vsize + 1
-    # same libm ln + FLOOR quantization as the vocab rows, one scalar
-    unk_lp = math.floor(math.log(1.0 / denom) * (1 << LP_SCALE_BITS))
-    lp_q = F.floor(
-        F.log((F.col("c") + 1).cast("double") / F.lit(float(denom)))
-        * F.lit(float(1 << LP_SCALE_BITS))
-    ).cast("long")
-    vocab = counts.select("w", lp_q.alias("lp"))
-    scored = toks(score_df).join(
+    vocab, unk_lp = _laplace_vocab(_tokens(train_df, id_col, text_col))
+    scored = _tokens(score_df, id_col, text_col).join(
         size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w", how="left"
     )
     return (
@@ -262,5 +269,67 @@ def heldout_surprisal(
             "n_tokens",
             "surprisal_unats",
             F.expr("surprisal_unats DIV n_tokens").alias("mean_surprisal_unats"),
+        )
+    )
+
+
+def dsir_log_weights(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): score
+    each raw document by how much more likely it is under a TARGET
+    distribution (e.g. a clean reference corpus) than under the raw
+    SOURCE distribution:
+
+        log w(doc) = Σ_tokens [ln P_target(w) − ln P_source(w)]
+
+    with both unigram models Laplace-smoothed over open vocabularies
+    (_laplace_vocab) so unseen words take each side's UNK log-prob.
+    Integer micro-nat quantization per vocab entry keeps the per-doc
+    sum an exact, engine-portable integer (can be negative: more
+    source-like than target-like). Downstream, sampling ∝ w completes
+    DSIR; the weights themselves are the operator — selection policy
+    (top-k, threshold, Gumbel resampling) is the caller's.
+
+    Scale shape: two hash aggregations (one per training corpus), two
+    size-gated broadcast vocab tables, then explode → two LEFT joins →
+    ONE integer groupBy(id). The score corpus streams through once.
+    """
+    vt, unk_t = _laplace_vocab(_tokens(target_df, id_col, text_col))
+    vs, unk_s = _laplace_vocab(_tokens(source_df, id_col, text_col))
+    scored = (
+        _tokens(score_df, id_col, text_col)
+        .join(
+            size_gated_broadcast(vt.withColumnRenamed("lp", "lp_t"),
+                                 VOCAB_BROADCAST_CAP),
+            on="w", how="left",
+        )
+        .join(
+            size_gated_broadcast(vs.withColumnRenamed("lp", "lp_s"),
+                                 VOCAB_BROADCAST_CAP),
+            on="w", how="left",
+        )
+    )
+    delta = F.coalesce(F.col("lp_t"), F.lit(unk_t)) - F.coalesce(
+        F.col("lp_s"), F.lit(unk_s)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(delta).alias("log_weight_unats"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "log_weight_unats",
+            F.expr("log_weight_unats DIV n_tokens").alias(
+                "mean_log_weight_unats"
+            ),
         )
     )

@@ -1192,7 +1192,6 @@ QUERIES.update(
         # doc_fingerprint + embedding_norms retired to LEGACY_QUERIES in
         # r6 (subsumed by doc_token_stats / embedding_near_dup) to keep
         # the registry inside the driver's 50-row gate window.
-        "doc_token_stats": q_doc_token_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1205,7 +1204,6 @@ QUERIES.update(
 
 ORACLES.update(
     {
-        "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": SQL_MINHASH_LSH,
@@ -1744,8 +1742,59 @@ SELECT
 FROM h
 """
 
-QUERIES["corpus_heuristics"] = q_corpus_heuristics
-ORACLES["corpus_heuristics"] = SQL_CORPUS_HEURISTICS
+def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r6 gate query: per-document token/quality statistics
+    (functions/text.py — the former doc_token_stats) AND the pipeline's
+    heuristic columns + rule decision (pipeline/stages.py:
+    with_heuristics — the former corpus_heuristics) in ONE scan of
+    documents. Both component queries were pure per-doc projections
+    over the same table, so the merge halves the scan work and frees a
+    driver-gate slot; components remain in LEGACY_QUERIES."""
+    from data_curator_spark.functions import text as T
+    from data_curator_spark.pipeline import spec
+    from data_curator_spark.pipeline.stages import with_heuristics
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    h = with_heuristics(d)
+    c = F.col("content")
+    return h.select(
+        "doc_id",
+        T.whitespace_token_count(c).alias("ws_tokens"),
+        T.bpe_token_count(c).alias("bpe_tokens"),
+        T.mean_word_length(c).alias("mean_word_len"),
+        T.punct_ratio(c).alias("punct_ratio"),
+        T.stopword_ratio(c, ["the", "a", "and", "of", "to"]).alias("stop_ratio"),
+        "n_chars",
+        "n_lines",
+        "max_line_len",
+        F.round("avg_line_len", 6).alias("avg_line_len"),
+        F.round("alnum_ratio", 6).alias("alnum_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("distinct_line_ratio", 6).alias("distinct_line_ratio"),
+        (
+            (F.col("n_chars") >= spec.MIN_CHARS)
+            & (F.col("max_line_len") <= spec.MAX_LINE_LENGTH)
+            & (F.col("avg_line_len") <= spec.MAX_AVG_LINE_LENGTH)
+            & (F.col("alnum_ratio") >= spec.MIN_ALNUM_RATIO)
+            & (F.col("digit_ratio") <= spec.MAX_DIGIT_RATIO)
+        ).alias("heuristics_pass"),
+    )
+
+
+SQL_DOC_QUALITY_STATS = f"""
+WITH ts AS ({SQL_DOC_TOKEN_STATS}), ch AS ({SQL_CORPUS_HEURISTICS})
+SELECT ts.doc_id, ts.ws_tokens, ts.bpe_tokens, ts.mean_word_len,
+       ts.punct_ratio, ts.stop_ratio,
+       ch.n_chars, ch.n_lines, ch.max_line_len, ch.avg_line_len,
+       ch.alnum_ratio, ch.digit_ratio, ch.distinct_line_ratio,
+       ch.heuristics_pass
+FROM ts JOIN ch ON ts.doc_id = ch.doc_id
+"""
+
+QUERIES["doc_quality_stats"] = q_doc_quality_stats
+ORACLES["doc_quality_stats"] = SQL_DOC_QUALITY_STATS
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2069,14 +2118,12 @@ GROUP BY lang
 QUERIES.update(
     {
         "sessionize": q_sessionize,
-        "corpus_sample": q_corpus_sample,
         "corpus_profile": q_corpus_profile,
     }
 )
 ORACLES.update(
     {
         "sessionize": SQL_SESSIONIZE,
-        "corpus_sample": _corpus_sample_oracle_sql(),
         "corpus_profile": SQL_CORPUS_PROFILE,
     }
 )
@@ -2382,6 +2429,57 @@ FROM g
 """
 
 
+def q_sampling_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r6 gate query: deterministic train/val/test split
+    assignment (operators/sampling.py:hash_split, ex-corpus_split) AND
+    the per-source stratified keep gate (stratified_sample's md5 gate,
+    ex-corpus_sample, emitted as a boolean instead of a filter) in ONE
+    zero-shuffle projection over documents. The two salts ("r4", "r3")
+    are independent by construction, so the merged output carries both
+    decisions per row; components remain in LEGACY_QUERIES."""
+    from data_curator_spark.operators.sampling import (
+        _strata_case,
+        hash_split,
+        sample_gate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        d, "doc_id", {"train": 900, "val": 50, "test": 50}, salt="r4"
+    )
+    keep_gate = sample_gate(F.col("doc_id"), "r3") < _strata_case(
+        "source", {"web": 100, "wiki": 500}, 300
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_chars", "split",
+        keep_gate.alias("in_sample"),
+    )
+
+
+def _sampling_gates_oracle_sql() -> str:
+    split_gate = _hex_long_sql("md5('r4:' || CAST(doc_id AS VARCHAR))", 8)
+    sample_g = _hex_long_sql("md5('r3:' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, source, n_chars,
+         ({split_gate}) % 1000 AS sgate,
+         ({sample_g}) % 1000 AS kgate
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars,
+       CASE WHEN sgate < 900 THEN 'train'
+            WHEN sgate < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       kgate < CASE source WHEN 'web' THEN 100 WHEN 'wiki' THEN 500
+               ELSE 300 END AS in_sample
+FROM g
+"""
+
+
+QUERIES["sampling_gates"] = q_sampling_gates
+ORACLES["sampling_gates"] = _sampling_gates_oracle_sql()
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scan
     (operators/dedup.py:contamination_overlap): every 50th doc stands in
@@ -2478,14 +2576,12 @@ WINDOW w AS (PARTITION BY pack_shard ORDER BY ord, doc_id
 
 QUERIES.update(
     {
-        "corpus_split": q_corpus_split,
         "decontaminate": q_decontaminate,
         "sequence_pack": q_sequence_pack,
     }
 )
 ORACLES.update(
     {
-        "corpus_split": _corpus_split_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
     }
@@ -3183,6 +3279,145 @@ ORACLES["heldout_perplexity"] = _heldout_perplexity_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# r6 addition: PII/toxicity scrub as an oracled query
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule's regex PII/toxicity scrub (pipeline/stages.py:
+    with_scrub) as a hard-gated query: per doc, the sha256 of the
+    original and of the scrubbed text, which rules fired, and the
+    UNTOUCHED flag — the per-row invariant the rule names ("content
+    sha256 equality" for untouched rows) verified by the oracle on
+    every row. Pure projection, chained JVM-side regexp_replace, zero
+    shuffle; the fired flags are change detection on the chain, so
+    untouched ⟺ sha-equal by construction."""
+    from data_curator_spark.pipeline.stages import with_scrub
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = with_scrub(d.select("doc_id", F.col("text").alias("content")))
+    return out.select(
+        "doc_id",
+        "sha256_original",
+        "sha256_scrubbed",
+        F.array_join("scrub_rules_fired", ",").alias("rules_fired"),
+        (F.size("scrub_rules_fired") == 0).alias("untouched"),
+    )
+
+
+def _pii_scrub_oracle_sql() -> str:
+    # build the chained-replace CTEs from the SAME rule table the Spark
+    # stage uses (pipeline/spec.py:SCRUB_RULES) so oracle and engine
+    # cannot drift; DuckDB regexp_replace needs the explicit 'g' flag
+    # to match Spark's replace-all semantics
+    from data_curator_spark.pipeline.spec import SCRUB_RULES
+
+    ctes = ["base AS (SELECT doc_id, text AS c0 FROM documents "
+            "WHERE text IS NOT NULL)"]
+    fired = []
+    prev = "base"
+    for i, (name, pattern, repl) in enumerate(SCRUB_RULES, start=1):
+        assert "'" not in pattern and "'" not in repl, name
+        ctes.append(
+            f"r{i} AS (SELECT *, regexp_replace(c{i-1}, '{pattern}', "
+            f"'{repl}', 'g') AS c{i} FROM {prev})"
+        )
+        fired.append(f"CASE WHEN c{i} <> c{i-1} THEN '{name}' END")
+        prev = f"r{i}"
+    n = len(SCRUB_RULES)
+    return f"""
+WITH {', '.join(ctes)}
+SELECT doc_id,
+       sha256(c0) AS sha256_original,
+       sha256(c{n}) AS sha256_scrubbed,
+       concat_ws(',', {', '.join(fired)}) AS rules_fired,
+       (c{n} = c0) AS untouched
+FROM {prev}
+"""
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+ORACLES["pii_scrub"] = _pii_scrub_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# r6 addition: DSIR importance weights (target-vs-source unigram LMs)
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/lm.py:dsir_log_weights): the
+    src0-src3 strata stand in for the clean TARGET corpus, the rest
+    is the raw SOURCE; every raw doc gets log(P_target/P_source) under two
+    Laplace unigram models in exact integer micro-nats. Positive =
+    target-like (keep-leaning) — the data-selection step between
+    quality filtering and budget mixing."""
+    from data_curator_spark.operators.lm import dsir_log_weights
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tgt_sources = ["src0", "src1", "src2", "src3"]
+    target = d.filter(F.col("source").isin(tgt_sources))
+    source = d.filter(~F.col("source").isin(tgt_sources))
+    return dsir_log_weights(target, source, source, "doc_id", "text")
+
+
+_SQL_DSIR = f"""
+WITH tt AS (
+  SELECT unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    AND text IS NOT NULL AND trim(text) <> ''
+), tv AS (
+  SELECT w, COUNT(*) AS c FROM tt GROUP BY w
+), ttot AS (
+  SELECT CAST(SUM(c) AS BIGINT) + COUNT(*) + 1 AS denom FROM tv
+), tlp AS (
+  SELECT w, CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                          / CAST((SELECT denom FROM ttot) AS DOUBLE))
+             * 1048576.0) AS BIGINT) AS lp_t
+  FROM tv
+), tunk AS (
+  SELECT CAST(floor(ln(1.0 / CAST(denom AS DOUBLE)) * 1048576.0) AS BIGINT)
+           AS lp
+  FROM ttot
+), st AS (
+  SELECT unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
+  FROM documents WHERE NOT (source IN ('src0', 'src1', 'src2', 'src3'))
+    AND text IS NOT NULL AND trim(text) <> ''
+), sv AS (
+  SELECT w, COUNT(*) AS c FROM st GROUP BY w
+), stot AS (
+  SELECT CAST(SUM(c) AS BIGINT) + COUNT(*) + 1 AS denom FROM sv
+), slp AS (
+  SELECT w, CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                          / CAST((SELECT denom FROM stot) AS DOUBLE))
+             * 1048576.0) AS BIGINT) AS lp_s
+  FROM sv
+), sunk AS (
+  SELECT CAST(floor(ln(1.0 / CAST(denom AS DOUBLE)) * 1048576.0) AS BIGINT)
+           AS lp
+  FROM stot
+), sc AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
+  FROM documents WHERE NOT (source IN ('src0', 'src1', 'src2', 'src3'))
+    AND text IS NOT NULL AND trim(text) <> ''
+)
+SELECT sc.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(COALESCE(tlp.lp_t, (SELECT lp FROM tunk))
+                - COALESCE(slp.lp_s, (SELECT lp FROM sunk))) AS BIGINT)
+         AS log_weight_unats,
+       CAST(SUM(COALESCE(tlp.lp_t, (SELECT lp FROM tunk))
+                - COALESCE(slp.lp_s, (SELECT lp FROM sunk))) // COUNT(*)
+            AS BIGINT) AS mean_log_weight_unats
+FROM sc LEFT JOIN tlp ON sc.w = tlp.w LEFT JOIN slp ON sc.w = slp.w
+GROUP BY sc.doc_id
+"""
+
+QUERIES["dsir_importance"] = q_dsir_importance
+ORACLES["dsir_importance"] = _SQL_DSIR
+
+
+# ---------------------------------------------------------------------------
 # Legacy (deregistered) queries
 # ---------------------------------------------------------------------------
 # The driver's correctness gate reads only the first 50 rows of QUERIES
@@ -3209,6 +3444,10 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rsi_recursive": q_rsi_recursive,
     "embedding_norms": q_embedding_norms,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_token_stats": q_doc_token_stats,
+    "corpus_heuristics": q_corpus_heuristics,
+    "corpus_sample": q_corpus_sample,
+    "corpus_split": q_corpus_split,
 }
 
 LEGACY_ORACLES: dict[str, str] = {
@@ -3223,4 +3462,8 @@ LEGACY_ORACLES: dict[str, str] = {
     "rsi_recursive": SQL_RSI_RECURSIVE,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "corpus_heuristics": SQL_CORPUS_HEURISTICS,
+    "corpus_sample": _corpus_sample_oracle_sql(),
+    "corpus_split": _corpus_split_oracle_sql(),
 }

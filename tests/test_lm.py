@@ -139,3 +139,32 @@ def test_heldout_train_and_score_are_independent_frames(spark):
         for r in heldout_surprisal(train_a, score_more, "doc_id", "text").collect()
     }[9]
     assert a2.surprisal_unats == a.surprisal_unats
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """A raw doc written in the target's vocabulary must get a higher
+    log weight than one written in the source's own vocabulary; weights
+    are exact integers and can be negative."""
+    from data_curator_spark.operators.lm import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(i, "clean prose about science and history") for i in range(10)],
+        "doc_id long, text string",
+    )
+    source = spark.createDataFrame(
+        [(100 + i, "buy cheap pills now click here") for i in range(10)]
+        + [(200, "clean prose about science"), (201, "buy pills here now")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_log_weights(
+            target, source, source, "doc_id", "text"
+        ).collect()
+    }
+    assert len(out) == 12
+    # target-like doc scores above the spammy one
+    assert out[200].log_weight_unats > out[201].log_weight_unats
+    # spam dominates the source corpus -> spam doc is source-like (negative)
+    assert out[201].log_weight_unats < 0
+    assert all(isinstance(r.log_weight_unats, int) for r in out.values())

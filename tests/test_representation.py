@@ -49,16 +49,14 @@ ALLOWED_DOUBLES = {
     "boilerplate_ngrams": {"doc_share": "ieee-exact"},
     "centroid_outliers": {"centroid_sim": "rounded6"},
     "coalescing_merge": {"o_totalprice": "source-passthrough"},
-    "corpus_heuristics": {
+    "doc_quality_stats": {
+        "mean_word_len": "rounded6",
+        "punct_ratio": "rounded6",
+        "stop_ratio": "rounded6",
         "avg_line_len": "rounded6",
         "alnum_ratio": "rounded6",
         "digit_ratio": "rounded6",
         "distinct_line_ratio": "rounded6",
-    },
-    "doc_token_stats": {
-        "mean_word_len": "rounded6",
-        "punct_ratio": "rounded6",
-        "stop_ratio": "rounded6",
     },
     "embedding_near_dup": {"sim": "rounded6"},
     "hypertable_rollup": {"sum_value": "decimal-exact", "avg_value": "ieee-exact"},
