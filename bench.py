@@ -68,6 +68,11 @@ HEADLINE = [
     "dsir_importance",
     # r6 merged per-doc stats (ex doc_token_stats + corpus_heuristics)
     "doc_quality_stats",
+    # r6: full BPE train+encode and the merged line/bigram repetition
+    # query (dedup_lines + repetition_profile stay above as the frozen
+    # legacy anchors)
+    "bpe_encode",
+    "line_repetition",
 ]
 
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "8000"))

@@ -40,6 +40,15 @@ LP_SCALE_BITS = 20
 # broadcast (same convention as dedup.BROADCAST_LABEL_CAP)
 VOCAB_BROADCAST_CAP = 5_000_000
 
+# stupid-backoff discount (Brants et al. 2007, "Large Language Models in
+# Machine Translation" — the standard web-scale n-gram backoff: no
+# normalization, fixed alpha = 0.4), quantized ONCE to integer
+# micro-nats. The backoff score of an unseen bigram is defined as this
+# integer PLUS the unigram's quantized lp (sum of quantized components,
+# not a re-quantized product — exact and engine-portable by
+# construction). Oracles must import this constant, never re-derive it.
+STUPID_BACKOFF_LP = -960801  # == math.floor(math.log(0.4) * 2**20)
+
 
 def unigram_surprisal(
     df: DataFrame,
@@ -141,23 +150,7 @@ def bigram_surprisal(
     (pair, count) with map-side combine and falls back to a shuffle
     join past VOCAB_BROADCAST_CAP.
     """
-    words = F.split(F.trim(F.col(text_col)), WS_RE)
-    toked = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(F.col(id_col), words.alias("__ws"))
-    # bigram positions 1..n-1: (left, right) pairs in doc order
-    pairs = toked.filter(F.size("__ws") >= 2).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__ws") - 1),
-                lambda i: F.struct(
-                    F.element_at("__ws", i).alias("l"),
-                    F.element_at("__ws", i + 1).alias("r"),
-                ),
-            )
-        ).alias("bg"),
-    ).select(id_col, F.col("bg.l").alias("l"), F.col("bg.r").alias("r"))
+    pairs = _bigram_pairs(df, id_col, text_col)
 
     # persist: bigram_counts feeds BOTH the left-context marginal and
     # the conditional table; the scoring join re-reads pairs separately
@@ -223,6 +216,28 @@ def _laplace_vocab(toks: DataFrame) -> tuple[DataFrame, int]:
     return counts.select("w", lp_q.alias("lp")), unk_lp
 
 
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, l, r) bigram positions 1..n-1 of each ≥2-token doc, in doc
+    order — the shared bigram extractor of this module (same WS_RE
+    tokenizer as _tokens)."""
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    toked = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), words.alias("__ws"))
+    return toked.filter(F.size("__ws") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("__ws", i).alias("l"),
+                    F.element_at("__ws", i + 1).alias("r"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.l").alias("l"), F.col("bg.r").alias("r"))
+
+
 def heldout_surprisal(
     train_df: DataFrame,
     score_df: DataFrame,
@@ -269,6 +284,92 @@ def heldout_surprisal(
             "n_tokens",
             "surprisal_unats",
             F.expr("surprisal_unats DIV n_tokens").alias("mean_surprisal_unats"),
+        )
+    )
+
+
+def heldout_bigram_surprisal(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Held-out BIGRAM scoring with stupid backoff — the n-gram step of
+    the north-rule's KenLM-style gate, able to score transitions the
+    training corpus never saw (which a self-trained MLE bigram cannot):
+
+        S(r|l) = c_train(l,r) / c_left(l)          if bigram seen
+               = 0.4 · P_laplace(r)                otherwise
+
+    (Brants et al. 2007: unnormalized backoff scores, the accepted
+    trade-off at web scale where a properly-normalized Katz/Kneser-Ney
+    backoff would need per-context mass bookkeeping over 10^11
+    bigrams.) Quantization: seen bigrams carry the usual per-vocab-entry
+    FLOOR(ln(c_lr/c_l)·2^20); backoff positions carry STUPID_BACKOFF_LP
+    + the Laplace-unigram lp of r (UNK row for unseen words) — a sum of
+    two already-quantized integers, so per-doc totals stay exact
+    integer sums. Docs with < 2 tokens have no bigram positions and are
+    excluded.
+
+    Scale shape: training = two hash aggregations over the train split
+    (bigram counts; Laplace unigram via _laplace_vocab), with the
+    left-context marginal derived from the bigram-vocab table (no
+    second corpus pass). Scoring = bigram explode → LEFT join bigram
+    vocab on (l,r) → LEFT join unigram vocab on r → ONE integer
+    groupBy(id). Both vocab joins are size-gated broadcasts with
+    shuffle fallback past VOCAB_BROADCAST_CAP.
+    """
+    bigram_counts = persist_tracked(
+        _bigram_pairs(train_df, id_col, text_col)
+        .groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("c_lr"))
+    )
+    left_counts = bigram_counts.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
+    bg_lp = F.floor(
+        F.log(F.col("c_lr").cast("double") / F.col("c_l").cast("double"))
+        * F.lit(float(1 << LP_SCALE_BITS))
+    ).cast("long")
+    bg_vocab = persist_tracked(
+        bigram_counts.join(
+            size_gated_broadcast(left_counts, VOCAB_BROADCAST_CAP), on="l"
+        ).select("l", "r", bg_lp.alias("lp_bg"))
+    )
+    uni_vocab, unk_lp = _laplace_vocab(_tokens(train_df, id_col, text_col))
+
+    scored = (
+        _bigram_pairs(score_df, id_col, text_col)
+        .join(
+            size_gated_broadcast(bg_vocab, VOCAB_BROADCAST_CAP),
+            on=["l", "r"],
+            how="left",
+        )
+        .join(
+            size_gated_broadcast(
+                uni_vocab.withColumnsRenamed({"w": "r", "lp": "lp_uni"}),
+                VOCAB_BROADCAST_CAP,
+            ),
+            on="r",
+            how="left",
+        )
+    )
+    pos_lp = F.coalesce(
+        F.col("lp_bg"),
+        F.lit(STUPID_BACKOFF_LP)
+        + F.coalesce(F.col("lp_uni"), F.lit(unk_lp)),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum(pos_lp)).alias("surprisal_unats"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "surprisal_unats",
+            F.expr("surprisal_unats DIV n_bigrams").alias(
+                "mean_surprisal_unats"
+            ),
         )
     )
 

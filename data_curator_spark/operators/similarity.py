@@ -573,12 +573,38 @@ def centroid_outliers(
     sort."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    scored = _centroid_scored(
+        df, id_col, vec_col, group_col, scale_bits, dim
+    ).select(id_col, group_col, "centroid_sim")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("centroid_sim").asc_nulls_first(), F.col(id_col).asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("outlier_rank"))
+        .filter(F.col("outlier_rank") <= k)
+    )
+
+
+def _centroid_scored(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    scale_bits: int,
+    dim: int | None,
+) -> DataFrame:
+    """Shared centroid-scoring kernel of centroid_outliers /
+    semdedup_prune: per valid row, (id, group, __xq quantized vector,
+    centroid_sim) with the integer-exact group centroid broadcast back
+    onto the corpus. All determinism/quantization/scale notes live on
+    centroid_outliers' docstring."""
     if not 1 <= scale_bits <= 24:
         # 2·scale_bits + log2(dim) must stay far inside the 63-bit
         # budget even for high-dim embeddings (4096-dim at 24 bits:
         # 2^60 — the cap keeps misuse impossible)
         raise ValueError(f"scale_bits must be in [1, 24], got {scale_bits}")
-    from pyspark.sql import Window
 
     q = float(1 << scale_bits)
     xq = F.transform(
@@ -639,13 +665,142 @@ def centroid_outliers(
         ),
         6,
     )
-    scored = joined.select(
-        F.col(id_col), F.col(group_col), sim.alias("centroid_sim")
+    return joined.select(
+        F.col(id_col), F.col(group_col), "__xq", sim.alias("centroid_sim")
     )
+
+
+# clusters larger than this skip intra-cluster pairwise pruning (the
+# same oversized-bucket guard philosophy as dedup.DEFAULT_MAX_BUCKET):
+# SemDeDup's within-cluster scan is O(c²) BY DESIGN — the k-means step
+# is what bounds c — so a degenerate giant cluster must degrade to
+# "keep everything" rather than a quadratic blowup.
+DEFAULT_MAX_CLUSTER = 20_000
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    eps: float,
+    scale_bits: int = 15,
+    dim: int | None = None,
+    max_cluster: int = DEFAULT_MAX_CLUSTER,
+) -> DataFrame:
+    """SemDeDup pruning decisions (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication" — public): within each cluster (``group_col`` — in
+    production the k-means cell id, e.g. from ivf machinery), rows
+    whose pairwise cosine ≥ ``eps`` form semantic-duplicate
+    neighborhoods; all but one member of each neighborhood are marked
+    for dropping. Following the paper's keep rule, the survivor is the
+    member with the LOWEST similarity to the cluster centroid (keep
+    the diverse extreme, drop the redundant middle); ties break by id.
+
+    Output (ALL valid rows, one per input): (id, group, centroid_sim,
+    outlier_rank, semdedup_drop, drop_against) where outlier_rank is
+    centroid_outliers' full rank (1 = farthest from centroid — the
+    top-k outlier query is this output filtered to rank ≤ k),
+    semdedup_drop is true iff a strictly-better near-duplicate exists
+    (y beats x when cos(x,y) ≥ eps and (y.centroid_sim, y.id) <
+    (x.centroid_sim, x.id)), and drop_against is that best partner's
+    id (null when kept). Rows with null centroid_sim never drop and
+    never defeat others (Kleene: the priority comparison is null) —
+    zero vectors are the outlier query's business, not dedup's.
+
+    Exactness: pairwise cosine uses the same floor-quantized integer
+    vectors as the centroid (integer dots, exact), ROUND(,6) on the
+    final scalar — the established 'rounded6' oracle class; the eps
+    comparison is on the rounded value, identical in both engines.
+
+    Scale shape: ONE exchange of the quantized vectors keyed by
+    group for the self-join (AQE-planned; both sides are the same
+    persisted frame), after the centroid broadcast join of
+    _centroid_scored. Clusters above ``max_cluster`` rows skip the
+    pairwise scan entirely (semdedup_drop=false, the documented
+    degrade — k-means sizing, not this operator, bounds cluster
+    cardinality). The drop aggregation is min_by over (sim-partner)
+    pairs — ids and two doubles through the final shuffle, never
+    vectors.
+    """
+    from data_curator_spark.engine.cache import persist_tracked
+
+    scored = persist_tracked(
+        _centroid_scored(df, id_col, vec_col, group_col, scale_bits, dim)
+    )
+
+    from pyspark.sql import Window
+
     w = Window.partitionBy(group_col).orderBy(
         F.col("centroid_sim").asc_nulls_first(), F.col(id_col).asc()
     )
+    ranked = scored.select(
+        id_col, group_col, "centroid_sim",
+        F.row_number().over(w).alias("outlier_rank"),
+    )
+
+    sizes = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    small = scored.join(
+        _gated_broadcast(sizes.filter(F.col("__gn") <= max_cluster)),
+        on=group_col,
+    )
+    x = small.select(
+        F.col(group_col),
+        F.col(id_col).alias("__xid"),
+        F.col("__xq").alias("__xv"),
+        F.col("centroid_sim").alias("__xcs"),
+    )
+    y = small.select(
+        F.col(group_col),
+        F.col(id_col).alias("__yid"),
+        F.col("__xq").alias("__yv"),
+        F.col("centroid_sim").alias("__ycs"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__xv", "__yv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pair_sim = F.round(
+        F.try_divide(
+            dot.cast("double"),
+            F.sqrt(nrm("__xv").cast("double"))
+            * F.sqrt(nrm("__yv").cast("double")),
+        ),
+        6,
+    )
+    beats = (F.col("__ycs") < F.col("__xcs")) | (
+        (F.col("__ycs") == F.col("__xcs")) & (F.col("__yid") < F.col("__xid"))
+    )
+    drops = (
+        x.join(y, on=group_col)
+        .filter(F.col("__xid") != F.col("__yid"))
+        .filter(beats)
+        .select(group_col, "__xid", "__yid", "__ycs", pair_sim.alias("__sim"))
+        .filter(F.col("__sim") >= F.lit(float(eps)))
+        .groupBy("__xid")
+        .agg(
+            F.min_by(
+                F.col("__yid"), F.struct(F.col("__ycs"), F.col("__yid"))
+            ).alias("drop_against")
+        )
+    )
     return (
-        scored.select("*", F.row_number().over(w).alias("outlier_rank"))
-        .filter(F.col("outlier_rank") <= k)
+        ranked.join(
+            drops.withColumnRenamed("__xid", id_col), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            group_col,
+            "centroid_sim",
+            "outlier_rank",
+            F.col("drop_against").isNotNull().alias("semdedup_drop"),
+            "drop_against",
+        )
     )

@@ -1921,6 +1921,15 @@ def get_oracles() -> dict[str, str]:
         import sys
 
         print(f"ann_ivf oracle skipped ({sf_dir} unreadable): {e}", file=sys.stderr)
+    try:
+        out["bpe_encode"] = _bpe_encode_oracle_sql(sf_dir)
+    except (FileNotFoundError, OSError, duckdb.IOException) as e:
+        import sys
+
+        print(
+            f"bpe_encode oracle skipped ({sf_dir} unreadable): {e}",
+            file=sys.stderr,
+        )
     return out
 
 
@@ -2830,8 +2839,22 @@ SELECT b.doc_id,
 FROM base b JOIN cleaned c ON b.doc_id = c.doc_id
 """
 
-QUERIES["dedup_lines"] = q_dedup_lines
-ORACLES["dedup_lines"] = SQL_DEDUP_LINES
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r6 gate query: intra-document line dedup
+    (functions/text.py:dedup_lines — the former dedup_lines query) AND
+    the Gopher-style word-bigram repetition signals (the former
+    repetition_profile query) in ONE pass over documents. Line stats
+    are a zero-shuffle projection; bigram stats keep their (doc, gram)
+    map-side-combined aggregate; the two per-doc frames join on doc_id
+    (line side is the superset: docs with <2 words have null bigram
+    columns). Components remain in LEGACY_QUERIES."""
+    lines = q_dedup_lines(spark, sf_dir)
+    reps = q_repetition_profile(spark, sf_dir)
+    return lines.join(reps, on="doc_id", how="left")
+
+
+# (registered after SQL_REPETITION_PROFILE below — the oracle composes
+# both component oracles as CTEs)
 
 
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2902,8 +2925,16 @@ FROM c
 GROUP BY doc_id
 """
 
-QUERIES["repetition_profile"] = q_repetition_profile
-ORACLES["repetition_profile"] = SQL_REPETITION_PROFILE
+SQL_LINE_REPETITION = f"""
+WITH dl AS ({SQL_DEDUP_LINES}), rp AS ({SQL_REPETITION_PROFILE})
+SELECT dl.doc_id, dl.n_lines, dl.n_unique_lines, dl.clean_sha,
+       rp.n_bigrams, rp.n_unique_bigrams, rp.dup_bigram_bp,
+       rp.top_bigram_bp
+FROM dl LEFT JOIN rp ON dl.doc_id = rp.doc_id
+"""
+
+QUERIES["line_repetition"] = q_line_repetition
+ORACLES["line_repetition"] = SQL_LINE_REPETITION
 
 
 # ---------------------------------------------------------------------------
@@ -3024,15 +3055,19 @@ ORACLES.update(
 
 
 def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding outliers (operators/similarity.py:
-    centroid_outliers): the 5 vectors least cosine-similar to their
-    label's quantized integer centroid — the SemDeDup-style pruning
-    signal. Integer-exact centroid (floor-quantized coords, truncating
-    div), ROUND(,6) only on the final per-row cosine."""
-    from data_curator_spark.operators.similarity import centroid_outliers
+    """Merged r6 gate query for the cluster-scoped embedding family
+    (operators/similarity.py): semdedup_prune emits EVERY valid row
+    with its centroid cosine, full outlier rank (centroid_outliers'
+    top-k query is this filtered to rank ≤ k — same rank, same order
+    keys) and the SemDeDup decision: drop iff a same-label row with
+    pairwise cosine ≥ 0.35 is strictly closer-to-diverse (lower
+    centroid_sim, ties by id), with the winning partner id. Integer-
+    exact centroid (floor-quantized coords, truncating div); ROUND(,6)
+    only on the final per-row cosines."""
+    from data_curator_spark.operators.similarity import semdedup_prune
 
     e = _t(spark, sf_dir, "embeddings")
-    return centroid_outliers(e, "vec_id", "embedding", "label", k=5)
+    return semdedup_prune(e, "vec_id", "embedding", "label", eps=0.35)
 
 
 SQL_CENTROID_OUTLIERS = """
@@ -3052,14 +3087,14 @@ WITH b AS (
   SELECT label, list(CAST(sv // n AS BIGINT) ORDER BY pos) AS cq
   FROM s GROUP BY label
 ), j AS (
-  SELECT b.vec_id, b.label,
+  SELECT b.vec_id, b.label, b.xq,
          CAST(list_sum(list_transform(range(1, len(xq) + 1),
               i -> xq[i] * cq[i])) AS BIGINT) AS dot,
          CAST(list_sum(list_transform(xq, x -> x * x)) AS BIGINT) AS nx,
          CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS nc
   FROM b JOIN c USING (label)
 ), sc AS (
-  SELECT vec_id, label,
+  SELECT vec_id, label, xq, nx,
          ROUND(CASE WHEN nx = 0 OR nc = 0 THEN NULL
                ELSE CAST(dot AS DOUBLE)
                     / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
@@ -3071,8 +3106,31 @@ WITH b AS (
                             ORDER BY centroid_sim ASC NULLS FIRST, vec_id)
            AS outlier_rank
   FROM sc
+), gn AS (
+  SELECT label, COUNT(*) AS n FROM sc GROUP BY label
+), px AS (
+  SELECT x.vec_id AS xid, y.vec_id AS yid, y.centroid_sim AS ycs,
+         ROUND(CASE WHEN x.nx = 0 OR y.nx = 0 THEN NULL
+               ELSE CAST(CAST(list_sum(list_transform(
+                      range(1, len(x.xq) + 1), i -> x.xq[i] * y.xq[i]))
+                      AS BIGINT) AS DOUBLE)
+                    / (sqrt(CAST(x.nx AS DOUBLE))
+                       * sqrt(CAST(y.nx AS DOUBLE)))
+               END, 6) AS sim
+  FROM sc x JOIN sc y USING (label) JOIN gn USING (label)
+  WHERE gn.n <= 20000 AND x.vec_id <> y.vec_id
+    AND (y.centroid_sim < x.centroid_sim
+         OR (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id))
+), d AS (
+  SELECT xid, yid,
+         ROW_NUMBER() OVER (PARTITION BY xid ORDER BY ycs, yid) AS rn
+  FROM px WHERE sim >= CAST('0.35' AS DOUBLE)
 )
-SELECT vec_id, label, centroid_sim, outlier_rank FROM r WHERE outlier_rank <= 5
+SELECT r.vec_id, r.label, r.centroid_sim, r.outlier_rank,
+       d.yid IS NOT NULL AS semdedup_drop,
+       d.yid AS drop_against
+FROM r LEFT JOIN (SELECT xid, yid FROM d WHERE rn = 1) d
+  ON r.vec_id = d.xid
 """
 
 QUERIES["centroid_outliers"] = q_centroid_outliers
@@ -3219,24 +3277,40 @@ ORACLES["bpe_merge_candidates"] = SQL_BPE_MERGE_CANDIDATES
 
 
 def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out Laplace-smoothed unigram perplexity
-    (operators/lm.py:heldout_surprisal): train on the 80% md5-gate
-    split of documents, score the held-out 20% — unseen words take the
-    single quantized UNK log-prob. This is the north-rule's actual
-    KenLM-style gate shape (clean reference corpus scores candidate
-    corpus); the self-scoring surprisal queries are its anomaly-gate
-    siblings. Integer micro-nat outputs — exact across engines."""
-    from data_curator_spark.operators.lm import heldout_surprisal
+    """Held-out KenLM-style scoring, BOTH n-gram orders in one gate row:
+    train on the 80% md5-gate split of documents, score the held-out
+    20% under (a) the Laplace-smoothed unigram
+    (operators/lm.py:heldout_surprisal — unseen words take the
+    quantized UNK log-prob) and (b) the stupid-backoff bigram
+    (operators/lm.py:heldout_bigram_surprisal — unseen transitions back
+    off to 0.4·P_laplace(r)). This is the north-rule's actual gate
+    shape (clean reference corpus scores candidate corpus); the
+    self-scoring surprisal queries are its anomaly-gate siblings.
+    Integer micro-nat outputs — exact across engines. The two scorers
+    join on doc_id (unigram side is the superset: 1-token docs have no
+    bigram positions → null bg_* columns)."""
+    from data_curator_spark.operators.lm import (
+        heldout_bigram_surprisal,
+        heldout_surprisal,
+    )
     from data_curator_spark.operators.sampling import sample_gate
 
     d = _spread(_t(spark, sf_dir, "documents"))
     gate = sample_gate(F.col("doc_id"), "r6lm")
-    return heldout_surprisal(
-        d.filter(gate < 800), d.filter(gate >= 800), "doc_id", "text"
+    train, score = d.filter(gate < 800), d.filter(gate >= 800)
+    uni = heldout_surprisal(train, score, "doc_id", "text")
+    bg = heldout_bigram_surprisal(train, score, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_bigrams").alias("n_bigrams"),
+        F.col("surprisal_unats").alias("bg_surprisal_unats"),
+        F.col("mean_surprisal_unats").alias("bg_mean_surprisal_unats"),
     )
+    return uni.join(bg, on="doc_id", how="left")
 
 
 def _heldout_perplexity_oracle_sql() -> str:
+    from data_curator_spark.operators.lm import STUPID_BACKOFF_LP
+
     gate = _hex_long_sql("md5('r6lm:' || CAST(doc_id AS VARCHAR))", 8)
     return f"""
 WITH g AS (
@@ -3262,15 +3336,53 @@ WITH g AS (
 ), score_toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
   FROM g WHERE gate >= 800
+), uni AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(-SUM(COALESCE(lp.lp, (SELECT lp FROM unk))) AS BIGINT)
+           AS surprisal_unats,
+         CAST((-SUM(COALESCE(lp.lp, (SELECT lp FROM unk)))) // COUNT(*)
+              AS BIGINT) AS mean_surprisal_unats
+  FROM score_toks s LEFT JOIN lp USING (w)
+  GROUP BY s.doc_id
+), tw AS (
+  SELECT doc_id, string_split_regex(trim(text), {_WS_SQL}) AS ws, gate
+  FROM g
+), tp AS (
+  SELECT ws[t.i] AS l, ws[t.i + 1] AS r
+  FROM tw, (SELECT unnest(range(1, len(ws))) AS i) t
+  WHERE len(ws) >= 2 AND gate < 800
+), bc AS (
+  SELECT l, r, COUNT(*) AS c_lr FROM tp GROUP BY l, r
+), lc AS (
+  SELECT l, CAST(SUM(c_lr) AS BIGINT) AS c_l FROM bc GROUP BY l
+), bglp AS (
+  SELECT bc.l, bc.r,
+         CAST(floor(ln(CAST(c_lr AS DOUBLE) / CAST(c_l AS DOUBLE))
+              * 1048576.0) AS BIGINT) AS lp_bg
+  FROM bc JOIN lc USING (l)
+), sp AS (
+  SELECT doc_id, ws[t.i] AS l, ws[t.i + 1] AS r
+  FROM tw, (SELECT unnest(range(1, len(ws))) AS i) t
+  WHERE len(ws) >= 2 AND gate >= 800
+), bg AS (
+  SELECT sp.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(-SUM(COALESCE(bglp.lp_bg,
+                            {STUPID_BACKOFF_LP}
+                            + COALESCE(lp.lp, (SELECT lp FROM unk))))
+              AS BIGINT) AS bg_surprisal_unats
+  FROM sp
+  LEFT JOIN bglp ON sp.l = bglp.l AND sp.r = bglp.r
+  LEFT JOIN lp ON sp.r = lp.w
+  GROUP BY sp.doc_id
 )
-SELECT s.doc_id,
-       COUNT(*) AS n_tokens,
-       CAST(-SUM(COALESCE(lp.lp, (SELECT lp FROM unk))) AS BIGINT)
-         AS surprisal_unats,
-       CAST((-SUM(COALESCE(lp.lp, (SELECT lp FROM unk)))) // COUNT(*)
-            AS BIGINT) AS mean_surprisal_unats
-FROM score_toks s LEFT JOIN lp USING (w)
-GROUP BY s.doc_id
+SELECT uni.doc_id, uni.n_tokens, uni.surprisal_unats,
+       uni.mean_surprisal_unats,
+       bg.n_bigrams, bg.bg_surprisal_unats,
+       CAST(bg.bg_surprisal_unats // bg.n_bigrams AS BIGINT)
+         AS bg_mean_surprisal_unats
+FROM uni LEFT JOIN bg USING (doc_id)
 """
 
 
@@ -3418,6 +3530,77 @@ ORACLES["dsir_importance"] = _SQL_DSIR
 
 
 # ---------------------------------------------------------------------------
+# r6 addition: full BPE train + distributed encode
+# ---------------------------------------------------------------------------
+
+# enough merges to partially fuse the corpus vocabulary (training stops
+# early if pairs run dry) while leaving multi-piece words so the
+# encoder path is non-trivially exercised
+BPE_ENCODE_MERGES = 20
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer loop (operators/bpe.py): distributed word
+    count → gated driver-side merge training (bpe_train, the bounded-
+    vocab collect pattern) → distributed encoding where Python touches
+    only the DISTINCT-word table (bpe_encode_counts). Output: per-doc
+    whitespace-word and BPE-piece counts. The oracle retrains the SAME
+    pure-Python trainer on DuckDB's independent word counts (ann_ivf's
+    data-dependent-oracle pattern), so a Spark-side counting or
+    aggregation bug surfaces as a hash mismatch."""
+    from data_curator_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    merges = bpe_train(d, "text", num_merges=BPE_ENCODE_MERGES)
+    return bpe_encode_counts(d, "doc_id", "text", merges)
+
+
+def _bpe_encode_oracle_sql(sf_dir: str) -> str:
+    import duckdb
+
+    from data_curator_spark.operators.bpe import encode_word, train_bpe_merges
+
+    rows = duckdb.sql(
+        f"""
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
+          FROM read_parquet('{sf_dir}/documents.parquet')
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ) WHERE w <> '' GROUP BY w
+        """
+    ).fetchall()
+    vocab = sorted((w, int(c)) for w, c in rows)
+    ranks = {
+        p: i
+        for i, p in enumerate(train_bpe_merges(vocab, BPE_ENCODE_MERGES))
+    }
+    values = ",\n  ".join(
+        "('{w}', {n})".format(
+            w=w.replace("'", "''"), n=len(encode_word(w, ranks))
+        )
+        for w, _ in vocab
+    )
+    return f"""
+WITH pieces (w, n_pieces) AS (VALUES
+  {values}
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS n_bpe_tokens
+FROM toks t JOIN pieces p USING (w)
+WHERE t.w <> ''
+GROUP BY t.doc_id
+"""
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
+# oracle added lazily in get_oracles() — it trains on the checked sf dir
+
+
+# ---------------------------------------------------------------------------
 # Legacy (deregistered) queries
 # ---------------------------------------------------------------------------
 # The driver's correctness gate reads only the first 50 rows of QUERIES
@@ -3448,6 +3631,8 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_heuristics": q_corpus_heuristics,
     "corpus_sample": q_corpus_sample,
     "corpus_split": q_corpus_split,
+    "dedup_lines": q_dedup_lines,
+    "repetition_profile": q_repetition_profile,
 }
 
 LEGACY_ORACLES: dict[str, str] = {
@@ -3466,4 +3651,6 @@ LEGACY_ORACLES: dict[str, str] = {
     "corpus_heuristics": SQL_CORPUS_HEURISTICS,
     "corpus_sample": _corpus_sample_oracle_sql(),
     "corpus_split": _corpus_split_oracle_sql(),
+    "dedup_lines": SQL_DEDUP_LINES,
+    "repetition_profile": SQL_REPETITION_PROFILE,
 }

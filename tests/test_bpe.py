@@ -1,0 +1,97 @@
+"""BPE trainer/encoder semantics (operators/bpe.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_curator_spark.operators.bpe import (
+    bpe_encode_counts,
+    bpe_train,
+    encode_word,
+    train_bpe_merges,
+)
+
+
+def test_train_merges_classic_example():
+    """Sennrich et al.'s canonical corpus: merge order is fully
+    determined by corpus-weighted pair counts with lexicographic
+    tie-breaks (hand-computed)."""
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_merges(wc, 5)
+    assert merges == [
+        ("e", "s"),   # 9 (newest 6 + widest 3), lex-beats ('s','t')
+        ("es", "t"),  # 9
+        ("l", "o"),   # 7, lex-beats ('o','w')
+        ("lo", "w"),  # 7
+        ("e", "w"),   # 6, lex-beats ('n','e') and ('w','est')
+    ]
+
+
+def test_encode_word_rank_greedy():
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    ranks = {p: i for i, p in enumerate(train_bpe_merges(wc, 5))}
+    # the classic generalization check: 'lowest' was never a training
+    # word, but its pieces are the learned subwords
+    assert encode_word("lowest", ranks) == ["low", "est"]
+    assert encode_word("newest", ranks) == ["n", "ew", "est"]
+    assert encode_word("x", ranks) == ["x"]
+    assert encode_word("", ranks) == []
+
+
+def test_train_stops_when_pairs_run_dry():
+    # every pair occurs once -> count < 2 -> no merges at all
+    merges = train_bpe_merges([("abc", 1)], 10)
+    assert merges == []
+    # asking for more merges than exist stops early, no error
+    merges = train_bpe_merges([("aa", 5)], 10)
+    assert merges == [("a", "a")]
+
+
+def test_train_is_input_order_independent():
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    assert train_bpe_merges(wc, 8) == train_bpe_merges(wc[::-1], 8)
+
+
+def test_spark_train_and_encode_match_pure_python(spark):
+    rows = [
+        (1, "low low lower newest"),
+        (2, "newest newest widest low"),
+        (3, "widest newest low low"),
+        (4, None),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", num_merges=5)
+
+    # independent pure-python replica of the whole pipeline
+    from collections import Counter
+
+    words = Counter()
+    for _, t in rows:
+        if t and t.strip():
+            words.update(t.strip().split())
+    expect_merges = train_bpe_merges(sorted(words.items()), 5)
+    assert merges == expect_merges
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {
+        r.doc_id: r
+        for r in bpe_encode_counts(df, "doc_id", "text", merges).collect()
+    }
+    assert set(out) == {1, 2, 3}  # null/blank docs excluded
+    for _id, t in rows:
+        if t and t.strip():
+            toks = t.strip().split()
+            assert out[_id].n_words == len(toks)
+            assert out[_id].n_bpe_tokens == sum(
+                len(encode_word(w, ranks)) for w in toks
+            )
+
+
+def test_train_vocab_gate_raises(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(df, "text", num_merges=3, max_vocab_rows=10)

@@ -168,3 +168,64 @@ def test_dsir_weights_favor_target_like_docs(spark):
     # spam dominates the source corpus -> spam doc is source-like (negative)
     assert out[201].log_weight_unats < 0
     assert all(isinstance(r.log_weight_unats, int) for r in out.values())
+
+
+def test_heldout_bigram_backoff_values_exact(spark):
+    """Seen transitions score the MLE conditional; unseen transitions
+    take STUPID_BACKOFF_LP + Laplace unigram (UNK for unseen words);
+    1-token docs are excluded — all hand-computed integers."""
+    import math
+
+    from data_curator_spark.operators.lm import (
+        LP_SCALE_BITS,
+        STUPID_BACKOFF_LP,
+        heldout_bigram_surprisal,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "b a"), (12, "a z"), (13, "a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in heldout_bigram_surprisal(
+            train, score, "doc_id", "text"
+        ).collect()
+    }
+    q = 1 << LP_SCALE_BITS
+    # train: c(a,b)=2, c(a,c)=1, c_l(a)=3; unigram T=6, V=3, denom=10
+    lp_ab = math.floor(math.log(2 / 3) * q)
+    lp_uni_a = math.floor(math.log(4 / 10) * q)
+    unk = math.floor(math.log(1 / 10) * q)
+    assert set(out) == {10, 11, 12}  # "a" has no bigram positions
+    assert out[10].surprisal_unats == -lp_ab
+    assert out[11].surprisal_unats == -(STUPID_BACKOFF_LP + lp_uni_a)
+    assert out[12].surprisal_unats == -(STUPID_BACKOFF_LP + unk)
+    assert all(r.n_bigrams == 1 for r in out.values())
+
+
+def test_heldout_bigram_prefers_seen_transitions(spark):
+    """A doc made of trained transitions must score lower surprisal
+    than token salad over the same vocabulary."""
+    from data_curator_spark.operators.lm import heldout_bigram_surprisal
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(5)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "fox the jumps brown")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in heldout_bigram_surprisal(
+            train, score, "doc_id", "text"
+        ).collect()
+    }
+    assert (
+        out[100].mean_surprisal_unats < out[101].mean_surprisal_unats
+    )

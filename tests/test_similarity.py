@@ -366,3 +366,59 @@ def test_centroid_outliers_dim_filter_excludes_ragged(spark):
     df = spark.createDataFrame(rows, "vec_id long, grp string, vec array<float>")
     out = centroid_outliers(df, "vec_id", "vec", "grp", k=10, dim=2).collect()
     assert {r.vec_id for r in out} == {1, 2}
+
+
+def test_semdedup_prune_drops_redundant_keeps_diverse(spark):
+    from data_curator_spark.operators.similarity import semdedup_prune
+
+    # three near-identical vectors + one orthogonal; the survivor of
+    # the near-dup trio is the member LEAST similar to the centroid
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [1.0, 0.01]),
+        (3, "a", [1.0, -0.01]),
+        (4, "a", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, grp string, vec array<float>")
+    out = {r.vec_id: r for r in
+           semdedup_prune(df, "vec_id", "vec", "grp", eps=0.9).collect()}
+    assert len(out) == 4  # every valid row gets a decision
+    # v3 has the lowest centroid_sim of the trio -> survives; 1,2 drop
+    assert not out[3].semdedup_drop and out[3].drop_against is None
+    assert not out[4].semdedup_drop  # orthogonal: no near-dup at 0.9
+    assert out[1].semdedup_drop and out[1].drop_against == 3
+    assert out[2].semdedup_drop and out[2].drop_against == 3
+    # rank column matches centroid_outliers semantics (1 = farthest)
+    assert out[4].outlier_rank == 1
+    # and the decision columns are consistent with the sims
+    assert out[3].centroid_sim < out[1].centroid_sim
+    assert out[3].centroid_sim < out[2].centroid_sim
+
+
+def test_semdedup_null_sim_rows_never_drop_nor_defeat(spark):
+    from data_curator_spark.operators.similarity import semdedup_prune
+
+    rows = [
+        (1, "g", [1.0, 0.0]),
+        (2, "g", [1.0, 0.001]),
+        (3, "g", [0.0, 0.0]),  # zero vector: null centroid_sim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, grp string, vec array<float>")
+    out = {r.vec_id: r for r in
+           semdedup_prune(df, "vec_id", "vec", "grp", eps=0.5).collect()}
+    assert out[3].centroid_sim is None
+    assert not out[3].semdedup_drop          # null never drops
+    assert out[2].drop_against == 1          # and never defeats: 2 falls to 1
+    assert not out[1].semdedup_drop
+
+
+def test_semdedup_oversized_cluster_skips_pruning(spark):
+    from data_curator_spark.operators.similarity import semdedup_prune
+
+    rows = [(i, "g", [1.0, 0.0001 * i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, grp string, vec array<float>")
+    out = semdedup_prune(
+        df, "vec_id", "vec", "grp", eps=0.5, max_cluster=3
+    ).collect()
+    assert len(out) == 5
+    assert all(not r.semdedup_drop for r in out)  # guard degrades to keep-all
