@@ -35,6 +35,15 @@ from data_curator_spark.operators.dedup import WS_RE, size_gated_broadcast
 # whitespace), and collecting it would be a driver OOM, not a model
 MAX_VOCAB_ROWS = 10_000_000
 
+# broadcast budget for the (word, n_pieces) encode table — the same
+# word→value shape and ~80 MB-at-cap budget as lm.VOCAB_BROADCAST_CAP /
+# dedup.BROADCAST_LABEL_CAP; above it the encode join falls back to a
+# shuffle join rather than shipping a multi-hundred-MB string table to
+# every executor. Deliberately SMALLER than MAX_VOCAB_ROWS: the collect
+# guard bounds driver memory for training, the broadcast cap bounds
+# executor memory for encoding, and the two failure modes differ.
+ENCODE_BROADCAST_CAP = 5_000_000
+
 
 def train_bpe_merges(
     word_counts: list[tuple[str, int]], num_merges: int
@@ -45,11 +54,18 @@ def train_bpe_merges(
     lexicographic pair order. Stops early when no pair occurs twice.
 
     Incremental bookkeeping (pair counts + pair→word index updated only
-    for words containing the merged pair) keeps each round
-    O(words touched), not O(vocab) — the textbook indexed trainer.
+    for words containing the merged pair) plus a lazy-deletion heap for
+    the argmax keeps each round O(words-touched · log pairs), not
+    O(all distinct pairs) — the textbook indexed trainer. (-count, pair)
+    heap entries make heapq's min-pop return the highest count with
+    lexicographic pair tie-break; every count CHANGE pushes a fresh
+    entry, and pops that disagree with the live count are stale and
+    skipped, so the heap never needs in-place decrease-key.
     """
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    import heapq
+
     symbols: list[list[str]] = []
     counts: list[int] = []
     for w, c in word_counts:
@@ -67,16 +83,17 @@ def train_bpe_merges(
             pair_counts[(a, b)] += c
             pair_words[(a, b)].add(wi)
 
+    heap = [(-c, p) for p, c in pair_counts.items() if c >= 2]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         best = None
-        for p, c in pair_counts.items():
-            if c >= 2 and (
-                best is None
-                or c > best[1]
-                or (c == best[1] and p < best[0])
-            ):
-                best = (p, c)
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
         if best is None:
             break
         pair = best[0]
@@ -90,6 +107,8 @@ def train_bpe_merges(
                 pair_counts[(a, b)] -= c
                 if pair_counts[(a, b)] <= 0:
                     del pair_counts[(a, b)]
+                elif pair_counts[(a, b)] >= 2:
+                    heapq.heappush(heap, (-pair_counts[(a, b)], (a, b)))
                 pw = pair_words.get((a, b))
                 if pw is not None:
                     pw.discard(wi)
@@ -114,6 +133,8 @@ def train_bpe_merges(
             for a, b in zip(out, out[1:]):
                 pair_counts[(a, b)] += c
                 pair_words[(a, b)].add(wi)
+                if pair_counts[(a, b)] >= 2:
+                    heapq.heappush(heap, (-pair_counts[(a, b)], (a, b)))
     return merges
 
 
@@ -220,7 +241,7 @@ def bpe_encode_counts(
         .mapInPandas(enc, "w string, n_pieces long")
     )
     return (
-        toks.join(size_gated_broadcast(pieces, MAX_VOCAB_ROWS), on="w")
+        toks.join(size_gated_broadcast(pieces, ENCODE_BROADCAST_CAP), on="w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -243,6 +243,7 @@ def heldout_surprisal(
     score_df: DataFrame,
     id_col: str,
     text_col: str,
+    laplace_model: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Held-out perplexity: train a Laplace-smoothed unigram LM on one
     corpus, score ANOTHER — the actual KenLM-style quality gate of the
@@ -266,8 +267,17 @@ def heldout_surprisal(
     fallback. Scoring is explode → LEFT join (misses coalesce to the
     UNK row — the "one left-anti UNK path" folded into the join) → ONE
     integer groupBy(id). The T/V scalars are a single bounded collect.
+
+    ``laplace_model`` lets a caller that ALSO trains a bigram scorer on
+    the same split (q_heldout_perplexity) pass the already-trained
+    (vocab, unk_lp) pair so the unigram model is trained once, not
+    twice.
     """
-    vocab, unk_lp = _laplace_vocab(_tokens(train_df, id_col, text_col))
+    vocab, unk_lp = (
+        laplace_model
+        if laplace_model is not None
+        else _laplace_vocab(_tokens(train_df, id_col, text_col))
+    )
     scored = _tokens(score_df, id_col, text_col).join(
         size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w", how="left"
     )
@@ -293,6 +303,7 @@ def heldout_bigram_surprisal(
     score_df: DataFrame,
     id_col: str,
     text_col: str,
+    laplace_model: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Held-out BIGRAM scoring with stupid backoff — the n-gram step of
     the north-rule's KenLM-style gate, able to score transitions the
@@ -334,7 +345,11 @@ def heldout_bigram_surprisal(
             size_gated_broadcast(left_counts, VOCAB_BROADCAST_CAP), on="l"
         ).select("l", "r", bg_lp.alias("lp_bg"))
     )
-    uni_vocab, unk_lp = _laplace_vocab(_tokens(train_df, id_col, text_col))
+    uni_vocab, unk_lp = (
+        laplace_model
+        if laplace_model is not None
+        else _laplace_vocab(_tokens(train_df, id_col, text_col))
+    )
 
     scored = (
         _bigram_pairs(score_df, id_col, text_col)

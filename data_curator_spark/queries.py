@@ -1888,11 +1888,12 @@ FROM ranked WHERE rank <= {k}
 def get_oracles() -> dict[str, str]:
     """Assemble the oracle dict, adding data-dependent oracles lazily.
 
-    The ann_ivf oracle interpolates the trained centroid matrix from the
-    sf dir the driver checks at (sf0.01 by default; override with
-    SPARK_GRAFT_ORACLE_SF for local runs at other scales). If the data
-    is unreadable the entry is omitted → driver falls back to the
-    rows-only check."""
+    Two oracles train on the actual data of the sf dir the driver
+    checks at (sf0.01 by default; override with SPARK_GRAFT_ORACLE_SF
+    for local runs at other scales): ann_ivf interpolates the trained
+    centroid matrix, bpe_encode the trained merge-table piece counts.
+    If the data is unreadable the entry is omitted → driver falls back
+    to the rows-only check."""
     import os
 
     import duckdb
@@ -1901,15 +1902,17 @@ def get_oracles() -> dict[str, str]:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF")
     if sf_dir is None:
         sf_dir = "/root/testdata/sf0.01"
-        # the centroid literals are trained on THIS dir — checking any
-        # other scale factor without setting the env var guarantees an
-        # ann_ivf "mismatch" that is really a wrong-oracle artifact
+        # the centroid literals (ann_ivf) and merge-table piece counts
+        # (bpe_encode) are trained on THIS dir — checking any other
+        # scale factor without setting the env var guarantees a
+        # "mismatch" on those two that is really a wrong-oracle artifact
         import sys
 
         print(
-            "get_oracles(): SPARK_GRAFT_ORACLE_SF unset — ann_ivf oracle "
-            f"centroids trained on default {sf_dir}; set the env var to the "
-            "sf dir you are checking or ann_ivf will falsely mismatch",
+            "get_oracles(): SPARK_GRAFT_ORACLE_SF unset — ann_ivf "
+            f"centroids and bpe_encode merges trained on default {sf_dir}; "
+            "set the env var to the sf dir you are checking or those two "
+            "queries will falsely mismatch",
             file=sys.stderr,
         )
     try:
@@ -3067,14 +3070,33 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_curator_spark.operators.similarity import semdedup_prune
 
     e = _t(spark, sf_dir, "embeddings")
-    return semdedup_prune(e, "vec_id", "embedding", "label", eps=0.35)
+    return semdedup_prune(
+        e,
+        "vec_id",
+        "embedding",
+        "label",
+        eps=CENTROID_EPS,
+        scale_bits=CENTROID_SCALE_BITS,
+    )
 
 
-SQL_CENTROID_OUTLIERS = """
+# semdedup gate-query parameters — used by BOTH the Spark call above and
+# the oracle SQL below (which also interpolates the operator's own
+# DEFAULT_MAX_CLUSTER), so the two engines cannot drift on which
+# clusters skip pruning or where the eps cut falls
+CENTROID_EPS = 0.35
+CENTROID_SCALE_BITS = 15
+
+
+def _centroid_outliers_oracle_sql() -> str:
+    from data_curator_spark.operators.similarity import DEFAULT_MAX_CLUSTER
+
+    return f"""
 WITH b AS (
   SELECT vec_id, label,
          list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)) AS xq
+           x -> CAST(floor(CAST(x AS DOUBLE)
+                * {float(1 << CENTROID_SCALE_BITS)}) AS BIGINT)) AS xq
   FROM embeddings
   WHERE embedding IS NOT NULL
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
@@ -3118,13 +3140,13 @@ WITH b AS (
                        * sqrt(CAST(y.nx AS DOUBLE)))
                END, 6) AS sim
   FROM sc x JOIN sc y USING (label) JOIN gn USING (label)
-  WHERE gn.n <= 20000 AND x.vec_id <> y.vec_id
+  WHERE gn.n <= {DEFAULT_MAX_CLUSTER} AND x.vec_id <> y.vec_id
     AND (y.centroid_sim < x.centroid_sim
          OR (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id))
 ), d AS (
   SELECT xid, yid,
          ROW_NUMBER() OVER (PARTITION BY xid ORDER BY ycs, yid) AS rn
-  FROM px WHERE sim >= CAST('0.35' AS DOUBLE)
+  FROM px WHERE sim >= CAST('{CENTROID_EPS}' AS DOUBLE)
 )
 SELECT r.vec_id, r.label, r.centroid_sim, r.outlier_rank,
        d.yid IS NOT NULL AS semdedup_drop,
@@ -3133,8 +3155,9 @@ FROM r LEFT JOIN (SELECT xid, yid FROM d WHERE rn = 1) d
   ON r.vec_id = d.xid
 """
 
+
 QUERIES["centroid_outliers"] = q_centroid_outliers
-ORACLES["centroid_outliers"] = SQL_CENTROID_OUTLIERS
+ORACLES["centroid_outliers"] = _centroid_outliers_oracle_sql()
 
 
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3290,6 +3313,8 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on doc_id (unigram side is the superset: 1-token docs have no
     bigram positions → null bg_* columns)."""
     from data_curator_spark.operators.lm import (
+        _laplace_vocab,
+        _tokens,
         heldout_bigram_surprisal,
         heldout_surprisal,
     )
@@ -3298,8 +3323,15 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     gate = sample_gate(F.col("doc_id"), "r6lm")
     train, score = d.filter(gate < 800), d.filter(gate >= 800)
-    uni = heldout_surprisal(train, score, "doc_id", "text")
-    bg = heldout_bigram_surprisal(train, score, "doc_id", "text").select(
+    # train the shared Laplace unigram ONCE (it is both the unigram
+    # scorer and the bigram scorer's backoff distribution)
+    model = _laplace_vocab(_tokens(train, "doc_id", "text"))
+    uni = heldout_surprisal(
+        train, score, "doc_id", "text", laplace_model=model
+    )
+    bg = heldout_bigram_surprisal(
+        train, score, "doc_id", "text", laplace_model=model
+    ).select(
         "doc_id",
         F.col("n_bigrams").alias("n_bigrams"),
         F.col("surprisal_unats").alias("bg_surprisal_unats"),
@@ -3580,10 +3612,18 @@ def _bpe_encode_oracle_sql(sf_dir: str) -> str:
         )
         for w, _ in vocab
     )
+    if values:
+        pieces = f"SELECT * FROM (VALUES\n  {values}) _(w, n_pieces)"
+    else:
+        # empty/all-blank corpus: a bare "VALUES" is a parse error; an
+        # empty typed pieces table keeps the oracle valid and both
+        # engines agree on zero output rows (Spark has no tokens either)
+        pieces = (
+            "SELECT CAST(NULL AS VARCHAR) AS w, CAST(NULL AS BIGINT)"
+            " AS n_pieces WHERE FALSE"
+        )
     return f"""
-WITH pieces (w, n_pieces) AS (VALUES
-  {values}
-), toks AS (
+WITH pieces AS ({pieces}), toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), {_WS_SQL})) AS w
   FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
 )
