@@ -740,3 +740,100 @@ def strip_hot_segments(
         F.col(id_col), F.lit(None).cast("string").alias(out_col)
     )
     return rebuilt.unionByName(null_rows)
+
+
+def dedup_segments_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = "\n",
+    min_len: int = 1,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """CROSS-document segment dedup with global first-occurrence keep —
+    the repeated-paragraph removal of C4/RefinedWeb-style pipelines
+    (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better", at segment granularity): every occurrence of a segment
+    except the globally FIRST one — first by (``id_col`` asc, position
+    asc) — is dropped from its document; surviving-segment order is
+    preserved. Complements the intra-doc ``functions/text.py:
+    dedup_lines`` (first occurrence per DOC) and ``strip_hot_segments``
+    (drops ALL occurrences past a DF threshold, including the first).
+
+    Segments shorter than ``min_len`` characters never participate:
+    they are kept in place everywhere (empty segments are separator
+    structure, not duplicated content). Identity is by the module's
+    60-bit md5-prefix hash — the oracle computes the identical hash, so
+    parity holds exactly even on the astronomically-unlikely collision.
+
+    Output: one row per input row — (id, ``out_col``, n_segments,
+    n_kept). Null text stays null (null counts); a doc whose every
+    segment lost becomes the empty string.
+
+    Scale shape: the keep/drop decision never shuffles text. (1) ONE
+    ids-only exchange of (id, pos, 8-byte hash) partitioned by hash;
+    a row_number window marks every occurrence after the global first
+    — the "losers" table holds ONLY duplicate occurrences (in a mostly-
+    unique corpus, a small fraction). (2) The rebuild LEFT-joins the
+    posexploded corpus against the losers table — size-gated broadcast
+    with AQE shuffle-join fallback — and reassembles with ONE
+    groupBy(id) text shuffle, filtering dropped segments inside the
+    aggregate (the strip_hot_segments reassembly kernel). Worst case
+    (duplicate-saturated corpus past the broadcast cap) the corpus text
+    shuffles twice; typical case once.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    import re as _re
+
+    from pyspark.sql import Window
+
+    delim_re = _re.escape(delimiter)
+    segs = F.split(F.col(text_col), delim_re)
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    pos_segs = base.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+    occ = pos_segs.filter(F.length("seg") >= min_len).select(
+        F.col(id_col), "pos", hex_prefix_long(F.col("seg"), 15).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    losers = persist_tracked(
+        occ.select(
+            F.col(id_col), "pos", F.row_number().over(w).alias("__rn")
+        )
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    flagged = pos_segs.join(
+        size_gated_broadcast(losers.withColumn("__dup", F.lit(True))),
+        on=[id_col, "pos"],
+        how="left",
+    ).select(
+        id_col, "pos", "seg", F.coalesce("__dup", F.lit(False)).alias("__dup")
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg", "__dup"))),
+                    lambda s: ~s.getField("__dup"),
+                ),
+                lambda s: s.getField("seg"),
+            ),
+            delimiter,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("__dup"), 0).otherwise(1)).alias("n_kept"),
+    )
+    null_rows = base.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias(out_col),
+        F.lit(None).cast("long").alias("n_segments"),
+        F.lit(None).cast("long").alias("n_kept"),
+    )
+    return rebuilt.unionByName(null_rows)

@@ -2843,17 +2843,34 @@ FROM base b JOIN cleaned c ON b.doc_id = c.doc_id
 """
 
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged r6 gate query: intra-document line dedup
-    (functions/text.py:dedup_lines — the former dedup_lines query) AND
-    the Gopher-style word-bigram repetition signals (the former
-    repetition_profile query) in ONE pass over documents. Line stats
+    """Merged r6 gate query for the per-doc repetition family, three
+    operators in one row set joined on doc_id: intra-document line
+    dedup (functions/text.py:dedup_lines — the former dedup_lines
+    query), the Gopher-style word-bigram repetition signals (the
+    former repetition_profile query), and CROSS-document segment dedup
+    with global first-occurrence keep (operators/dedup.py:
+    dedup_segments_global — the C4/RefinedWeb repeated-paragraph
+    removal, word granularity on this single-line table). Line stats
     are a zero-shuffle projection; bigram stats keep their (doc, gram)
-    map-side-combined aggregate; the two per-doc frames join on doc_id
-    (line side is the superset: docs with <2 words have null bigram
-    columns). Components remain in LEGACY_QUERIES."""
+    map-side-combined aggregate; segment dedup adds one ids-only hash
+    exchange + one text reassembly shuffle. The seg_dedup_sha pins the
+    exact rebuilt text (the oracle rebuilds it independently via
+    ROW_NUMBER over the same 60-bit hash). Components remain in
+    LEGACY_QUERIES / pytest."""
+    from data_curator_spark.operators.dedup import dedup_segments_global
+
     lines = q_dedup_lines(spark, sf_dir)
     reps = q_repetition_profile(spark, sf_dir)
-    return lines.join(reps, on="doc_id", how="left")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sd = dedup_segments_global(d, "doc_id", "text", delimiter=" ").select(
+        "doc_id",
+        F.col("n_segments").alias("n_segs"),
+        F.col("n_kept").alias("n_kept_segs"),
+        F.sha2("text_deduped", 256).alias("seg_dedup_sha"),
+    )
+    return lines.join(reps, on="doc_id", how="left").join(
+        sd, on="doc_id", how="left"
+    )
 
 
 # (registered after SQL_REPETITION_PROFILE below — the oracle composes
@@ -2929,11 +2946,40 @@ GROUP BY doc_id
 """
 
 SQL_LINE_REPETITION = f"""
-WITH dl AS ({SQL_DEDUP_LINES}), rp AS ({SQL_REPETITION_PROFILE})
+WITH dl AS ({SQL_DEDUP_LINES}), rp AS ({SQL_REPETITION_PROFILE}),
+sd_base AS (
+  SELECT doc_id, string_split(text, ' ') AS segs FROM documents
+  WHERE text IS NOT NULL
+), sd_pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(segs))) AS i, segs
+  FROM sd_base
+), sd_seg AS (
+  SELECT doc_id, i, segs[i] AS seg FROM sd_pos
+), sd_part AS (
+  SELECT doc_id, i,
+         ROW_NUMBER() OVER (
+           PARTITION BY {_hex_long_sql("md5(seg)", 15)}
+           ORDER BY doc_id, i
+         ) AS rn
+  FROM sd_seg WHERE length(seg) >= 1
+), sd_flag AS (
+  SELECT s.doc_id, s.i, s.seg, COALESCE(p.rn, 1) AS rn
+  FROM sd_seg s LEFT JOIN sd_part p ON s.doc_id = p.doc_id AND s.i = p.i
+), sd AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept_segs,
+         sha256(COALESCE(
+           string_agg(seg, ' ' ORDER BY i) FILTER (WHERE rn = 1), ''
+         )) AS seg_dedup_sha
+  FROM sd_flag GROUP BY doc_id
+)
 SELECT dl.doc_id, dl.n_lines, dl.n_unique_lines, dl.clean_sha,
        rp.n_bigrams, rp.n_unique_bigrams, rp.dup_bigram_bp,
-       rp.top_bigram_bp
+       rp.top_bigram_bp,
+       sd.n_segs, sd.n_kept_segs, sd.seg_dedup_sha
 FROM dl LEFT JOIN rp ON dl.doc_id = rp.doc_id
+LEFT JOIN sd ON dl.doc_id = sd.doc_id
 """
 
 QUERIES["line_repetition"] = q_line_repetition

@@ -327,3 +327,75 @@ def test_strip_hot_segments_intra_doc_repeats_count_once(spark):
     # spam's DF is 1, below min_df=2: nothing stripped
     assert out[1] == "\n".join(["spam"] * 100)
     assert out[2] == "ham"
+
+
+def test_dedup_segments_global_first_occurrence(spark):
+    """Cross-doc keep rule: only the globally-first occurrence of a
+    segment (by doc_id asc, pos asc) survives — including later
+    repeats inside the SAME doc; null text stays null; a doc whose
+    every segment lost becomes ''."""
+    from data_curator_spark.operators.dedup import dedup_segments_global
+
+    rows = [
+        (1, "a b c b"),   # intra-doc repeat of b at pos 3 drops too
+        (2, "b d a"),     # b, a first seen in doc 1 -> keeps d
+        (3, None),
+        (4, "a b"),       # everything already seen -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_deduped, r.n_segments, r.n_kept)
+        for r in dedup_segments_global(
+            df, "doc_id", "text", delimiter=" "
+        ).collect()
+    }
+    assert out[1] == ("a b c", 4, 3)
+    assert out[2] == ("d", 3, 1)
+    assert out[3] == (None, None, None)
+    assert out[4] == ("", 2, 0)
+
+
+def test_dedup_segments_global_min_len_and_structure(spark):
+    """Segments below min_len never participate: they are kept in
+    place everywhere (empty segments from doubled delimiters are
+    separator structure), and they do not consume a first-occurrence
+    slot."""
+    from data_curator_spark.operators.dedup import dedup_segments_global
+
+    rows = [(1, "x  y"), (2, "q  r"), (3, "ab x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_deduped, r.n_segments, r.n_kept)
+        for r in dedup_segments_global(
+            df, "doc_id", "text", delimiter=" ", min_len=2
+        ).collect()
+    }
+    # min_len=2: 1-char segments x/y/q/r and '' all non-participating ->
+    # kept verbatim everywhere; only 'ab' participates (first in doc 3)
+    assert out[1] == ("x  y", 3, 3)
+    assert out[2] == ("q  r", 3, 3)
+    assert out[3] == ("ab x", 2, 2)
+
+
+def test_dedup_segments_global_line_granularity(spark):
+    """The production shape: newline-delimited paragraphs, the repeated
+    paragraph surviving only in the earliest document."""
+    from data_curator_spark.operators.dedup import dedup_segments_global
+
+    para = "shared paragraph of boilerplate"
+    rows = [(10, f"unique one\n{para}"), (20, f"{para}\nunique two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text_deduped
+        for r in dedup_segments_global(df, "doc_id", "text").collect()
+    }
+    assert out[10] == f"unique one\n{para}"
+    assert out[20] == "unique two"
+
+
+def test_dedup_segments_global_validates_min_len(spark):
+    from data_curator_spark.operators.dedup import dedup_segments_global
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        dedup_segments_global(df, "doc_id", "text", min_len=0)
