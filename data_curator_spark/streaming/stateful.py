@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -230,6 +231,146 @@ def streaming_pack(df: DataFrame, context_len: int) -> DataFrame:
         update,
         outputStructType=PACK_OUTPUT,
         stateStructType=PACK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SEGDEDUP_OUTPUT = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("h", LongType(), False),
+        StructField("kept", LongType(), False),
+    ]
+)
+SEGDEDUP_STATE = StructType([StructField("seen", BinaryType(), True)])
+
+
+def segment_stream_rows(
+    df: DataFrame,
+    id_col: str,
+    seq_col: str,
+    text_col: str,
+    delimiter: str = "\n",
+    min_len: int = 1,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Explode a document stream into the segment-occurrence rows
+    streaming_segment_dedup consumes: (shard, seq, doc_id, pos, h) for
+    every segment of length ≥ ``min_len`` (shorter segments never
+    participate in dedup — same rule as the batch op — so they are
+    simply not emitted; the sink keeps them in place by construction).
+    ``shard`` partitions the 60-bit hash space so seen-hash state
+    spreads across ``n_shards`` keys; a segment's occurrences always
+    land on the same shard, which is what makes per-shard state
+    globally correct. A plain stateless projection — safe on a
+    streaming DataFrame."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.operators.dedup import hex_prefix_long
+
+    segs = F.split(F.col(text_col), _re.escape(delimiter))
+    h = hex_prefix_long(F.col("seg"), 15)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(seq_col).cast("long").alias("seq"),
+            F.posexplode(segs).alias("pos", "seg"),
+        )
+        .filter(F.length("seg") >= min_len)
+        .select(
+            F.pmod(h, F.lit(n_shards)).cast("string").alias("shard"),
+            "seq",
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            h.alias("h"),
+        )
+    )
+
+
+def streaming_segment_dedup(df: DataFrame) -> DataFrame:
+    """Streaming analog of operators.dedup.dedup_segments_global:
+    cross-document segment dedup where the FIRST ARRIVAL of each
+    segment hash is kept and every later occurrence — same batch or
+    any later micro-batch — is marked dropped. Arrival order is the
+    caller-supplied per-shard (``seq``, ``pos``) order (batches sort by
+    it; intra-batch shuffle order is nondeterministic and a recomputed
+    batch must reproduce identical verdicts). The batch op keeps the
+    globally-first occurrence by (doc, pos) over a COMPLETE corpus; the
+    stream keeps the first in arrival order — identical verdicts
+    whenever arrival respects (doc, pos), the usual source-ordering
+    contract of this module.
+
+    State per shard is the packed int64 array of every hash seen —
+    O(distinct segments / n_shards), the honest cost of EXACT streaming
+    dedup (it can only grow; production streams that cannot bound the
+    distinct-segment count should periodically rotate the checkpoint or
+    accept approximate state, e.g. a Bloom filter — approximation
+    changes semantics, so this operator does not choose it silently).
+    Probes are numpy int64 set lookups over Arrow batches, never
+    per-row Python string work.
+
+    Input schema: (shard string, seq long, doc_id string, pos long,
+    h long) — from ``segment_stream_rows``. Output adds kept 1/0;
+    every row is emitted so the sink can rebuild documents (dropping
+    kept=0 segments) or route duplicates to an audit table.
+    """
+    import numpy as np
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = key[0]
+        if state.exists and state.get[0] is not None:
+            seen_arr = np.frombuffer(state.get[0], dtype="<i8")
+        else:
+            seen_arr = np.empty(0, dtype="<i8")
+        seen: set[int] = set(seen_arr.tolist())
+        out_rows: list[tuple[Any, ...]] = []
+        new_hashes: list[int] = []
+        # concat before sorting — see streaming_budget_gate
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["seq", "pos"]
+            )
+            for seq, doc_id, pos, h in zip(
+                pdf["seq"], pdf["doc_id"], pdf["pos"], pdf["h"]
+            ):
+                hv = int(h)
+                if hv in seen:
+                    kept = 0
+                else:
+                    kept = 1
+                    seen.add(hv)
+                    new_hashes.append(hv)
+                out_rows.append(
+                    (shard, int(seq), str(doc_id), int(pos), hv, kept)
+                )
+        if new_hashes:
+            seen_arr = np.concatenate(
+                [seen_arr, np.asarray(new_hashes, dtype="<i8")]
+            )
+        state.update((seen_arr.tobytes(),))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["shard", "seq", "doc_id", "pos", "h", "kept"],
+        )
+
+    return df.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=SEGDEDUP_OUTPUT,
+        stateStructType=SEGDEDUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
