@@ -837,3 +837,106 @@ def dedup_segments_global(
         F.lit(None).cast("long").alias("n_kept"),
     )
     return rebuilt.unionByName(null_rows)
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage — the MARKING half of
+    exact-substring deduplication (Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better": remove every span of
+    ≥ N tokens that appears verbatim elsewhere in the corpus; RefinedWeb
+    runs the same rule). Per document: how many of its ``span_len``-token
+    windows also occur verbatim anywhere else (another doc OR another
+    position of the same doc), and how many tokens those windows cover —
+    the per-doc signal a pipeline thresholds on before paying for span
+    REMOVAL (which is reassembly of the uncovered tokens, the
+    strip_hot_segments kernel).
+
+    Output: one row per non-null/non-blank-text input row —
+    (id, n_tokens, n_dup_windows, dup_tokens, dup_span_bp) with
+    dup_span_bp = dup_tokens·10000 DIV n_tokens (exact integer basis
+    points). Docs with fewer than ``span_len`` tokens or no duplicated
+    windows report zeros.
+
+    Scale shape: ONE ids-only exchange — (id, pos, 8-byte window hash)
+    partitioned by hash, a partition count marks windows whose hash
+    occurs more than once corpus-wide (map-side nothing to combine: the
+    count window IS the aggregation). Coverage is computed per doc from
+    the duplicated START positions only (collect_list of ints, bounded
+    by doc length), expanding each to its span and counting distinct
+    covered positions JVM-side — corpus text never shuffles at all;
+    the window hash is the module's engine-portable 60-bit md5 prefix,
+    so the DuckDB oracle reproduces every count exactly.
+    """
+    if span_len < 2:
+        raise ValueError(f"span_len must be >= 2, got {span_len}")
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), words.alias("__ws"))
+
+    grams = base.filter(F.size("__ws") >= span_len).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - span_len + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(
+                        F.slice("__ws", i, span_len), " "
+                    ).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select(
+        id_col,
+        F.col("pg.pos").alias("pos"),
+        hex_prefix_long(F.col("pg.g"), 15).alias("h"),
+    )
+    dup_starts = (
+        grams.select(
+            id_col,
+            "pos",
+            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("__c"),
+        )
+        .filter(F.col("__c") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__starts"))
+    )
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "__starts",
+                    lambda s: F.sequence(s, s + span_len - 1),
+                )
+            )
+        )
+    ).cast("long")
+    return (
+        base.select(id_col, F.size("__ws").cast("long").alias("n_tokens"))
+        .join(
+            dup_starts.select(
+                id_col,
+                F.size("__starts").cast("long").alias("n_dup_windows"),
+                covered.alias("dup_tokens"),
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.expr("coalesce(dup_tokens, 0) * 10000 DIV n_tokens").alias(
+                "dup_span_bp"
+            ),
+        )
+    )

@@ -2843,21 +2843,31 @@ FROM base b JOIN cleaned c ON b.doc_id = c.doc_id
 """
 
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged r6 gate query for the per-doc repetition family, three
+    """Merged r6 gate query for the per-doc repetition family, four
     operators in one row set joined on doc_id: intra-document line
     dedup (functions/text.py:dedup_lines — the former dedup_lines
     query), the Gopher-style word-bigram repetition signals (the
-    former repetition_profile query), and CROSS-document segment dedup
+    former repetition_profile query), CROSS-document segment dedup
     with global first-occurrence keep (operators/dedup.py:
     dedup_segments_global — the C4/RefinedWeb repeated-paragraph
-    removal, word granularity on this single-line table). Line stats
-    are a zero-shuffle projection; bigram stats keep their (doc, gram)
+    removal, word granularity on this single-line table), and the
+    Lee-et-al exact-substring duplicated-SPAN marking stats
+    (operators/dedup.py:duplicated_span_stats, span_len=8: per doc,
+    how many 8-token windows occur verbatim anywhere else in the
+    corpus and how many tokens they cover). Line stats are a
+    zero-shuffle projection; bigram stats keep their (doc, gram)
     map-side-combined aggregate; segment dedup adds one ids-only hash
-    exchange + one text reassembly shuffle. The seg_dedup_sha pins the
-    exact rebuilt text (the oracle rebuilds it independently via
-    ROW_NUMBER over the same 60-bit hash). Components remain in
+    exchange + one text reassembly shuffle; span stats add one
+    (id, pos, hash) exchange — corpus text never shuffles for them.
+    The seg_dedup_sha pins the exact rebuilt text (the oracle rebuilds
+    it independently via ROW_NUMBER over the same 60-bit hash); the
+    span columns are pinned by the oracle recomputing window hashes
+    and the distinct-covered-position union. Components remain in
     LEGACY_QUERIES / pytest."""
-    from data_curator_spark.operators.dedup import dedup_segments_global
+    from data_curator_spark.operators.dedup import (
+        dedup_segments_global,
+        duplicated_span_stats,
+    )
 
     lines = q_dedup_lines(spark, sf_dir)
     reps = q_repetition_profile(spark, sf_dir)
@@ -2868,8 +2878,13 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("n_kept_segs"),
         F.sha2("text_deduped", 256).alias("seg_dedup_sha"),
     )
-    return lines.join(reps, on="doc_id", how="left").join(
-        sd, on="doc_id", how="left"
+    sp = duplicated_span_stats(d, "doc_id", "text", span_len=8).select(
+        "doc_id", "n_dup_windows", "dup_tokens", "dup_span_bp"
+    )
+    return (
+        lines.join(reps, on="doc_id", how="left")
+        .join(sd, on="doc_id", how="left")
+        .join(sp, on="doc_id", how="left")
     )
 
 
@@ -2973,13 +2988,46 @@ sd_base AS (
            string_agg(seg, ' ' ORDER BY i) FILTER (WHERE rn = 1), ''
          )) AS seg_dedup_sha
   FROM sd_flag GROUP BY doc_id
+), sp_base AS (
+  SELECT doc_id, string_split_regex(trim(text), {_WS_SQL}) AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), sp_pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+  FROM sp_base WHERE len(ws) >= 8
+), sp_h AS (
+  SELECT doc_id, pos,
+         {_hex_long_sql("md5(array_to_string(ws[pos:pos+7], ' '))", 15)} AS h
+  FROM sp_pos
+), sp_starts AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM sp_h
+  ) WHERE c > 1
+), sp_win AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+  FROM sp_starts GROUP BY doc_id
+), sp_cov AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT t) AS BIGINT) AS dup_tokens
+  FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS t FROM sp_starts
+  ) GROUP BY doc_id
+), sp AS (
+  SELECT b.doc_id,
+         COALESCE(w.n_dup_windows, 0) AS n_dup_windows,
+         COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         CAST(COALESCE(c.dup_tokens, 0) * 10000 // len(b.ws) AS BIGINT)
+           AS dup_span_bp
+  FROM sp_base b
+  LEFT JOIN sp_win w ON b.doc_id = w.doc_id
+  LEFT JOIN sp_cov c ON b.doc_id = c.doc_id
 )
 SELECT dl.doc_id, dl.n_lines, dl.n_unique_lines, dl.clean_sha,
        rp.n_bigrams, rp.n_unique_bigrams, rp.dup_bigram_bp,
        rp.top_bigram_bp,
-       sd.n_segs, sd.n_kept_segs, sd.seg_dedup_sha
+       sd.n_segs, sd.n_kept_segs, sd.seg_dedup_sha,
+       sp.n_dup_windows, sp.dup_tokens, sp.dup_span_bp
 FROM dl LEFT JOIN rp ON dl.doc_id = rp.doc_id
 LEFT JOIN sd ON dl.doc_id = sd.doc_id
+LEFT JOIN sp ON dl.doc_id = sp.doc_id
 """
 
 QUERIES["line_repetition"] = q_line_repetition

@@ -399,3 +399,56 @@ def test_dedup_segments_global_validates_min_len(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_len"):
         dedup_segments_global(df, "doc_id", "text", min_len=0)
+
+
+def test_duplicated_span_stats_cross_doc(spark):
+    """Windows shared across docs mark both docs; coverage is the
+    distinct-token union of overlapping duplicated windows; short and
+    unique docs report zeros; null text is excluded."""
+    from data_curator_spark.operators.dedup import duplicated_span_stats
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x b c d e y"),
+        (3, "p q r"),
+        (4, "a b"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.dup_tokens, r.dup_span_bp)
+        for r in duplicated_span_stats(
+            df, "doc_id", "text", span_len=3
+        ).collect()
+    }
+    # "b c d" and "c d e" are shared; union covers tokens 2-5 (4 of 6)
+    assert out[1] == (6, 2, 4, 6666)
+    assert out[2] == (6, 2, 4, 6666)
+    assert out[3] == (3, 0, 0, 0)
+    assert out[4] == (2, 0, 0, 0)
+    assert 5 not in out
+
+
+def test_duplicated_span_stats_intra_doc_repeat(spark):
+    """A span repeated inside ONE doc is duplicated too (count is over
+    all occurrences, not distinct docs) — the Lee et al. rule."""
+    from data_curator_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "m n o z m n o")], "doc_id long, text string"
+    )
+    (r,) = duplicated_span_stats(df, "doc_id", "text", span_len=3).collect()
+    # "m n o" occurs at pos 1 and pos 5 -> both marked, covering 6 of 7
+    assert (r.n_tokens, r.n_dup_windows, r.dup_tokens, r.dup_span_bp) == (
+        7, 2, 6, 8571,
+    )
+
+
+def test_duplicated_span_stats_validates(spark):
+    import pytest
+
+    from data_curator_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span_len"):
+        duplicated_span_stats(df, "doc_id", "text", span_len=1)
