@@ -839,41 +839,58 @@ def dedup_segments_global(
     return rebuilt.unionByName(null_rows)
 
 
-def duplicated_span_stats(
+
+def exact_substring_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     span_len: int = 8,
+    stats: bool = True,
+    removal: bool = True,
+    out_col: str = "text_despanned",
 ) -> DataFrame:
-    """Cross-document duplicated-span coverage — the MARKING half of
-    exact-substring deduplication (Lee et al. 2021 "Deduplicating
-    Training Data Makes Language Models Better": remove every span of
-    ≥ N tokens that appears verbatim elsewhere in the corpus; RefinedWeb
-    runs the same rule). Per document: how many of its ``span_len``-token
-    windows also occur verbatim anywhere else (another doc OR another
-    position of the same doc), and how many tokens those windows cover —
-    the per-doc signal a pipeline thresholds on before paying for span
-    REMOVAL (which is reassembly of the uncovered tokens, the
-    strip_hot_segments kernel).
+    """Shared kernel for exact-substring deduplication (Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr; the suffix-array reference implementation is
+    github.com/google-research/deduplicate-text-datasets). Every
+    ``span_len``-token window that occurs verbatim more than once
+    corpus-wide is "duplicated"; the MARKING half (``stats=True``)
+    reports per doc how many of its windows are duplicated and how many
+    tokens they cover, the REMOVAL half (``removal=True``) keeps each
+    window's globally-FIRST occurrence — first by (``id_col`` asc,
+    position asc), the same keep rule as ``dedup_segments_global`` —
+    and cuts every token covered by a later occurrence. Overlapping
+    duplicate windows union before counting/cutting.
 
-    Output: one row per non-null/non-blank-text input row —
-    (id, n_tokens, n_dup_windows, dup_tokens, dup_span_bp) with
-    dup_span_bp = dup_tokens·10000 DIV n_tokens (exact integer basis
-    points). Docs with fewer than ``span_len`` tokens or no duplicated
-    windows report zeros.
+    Tokenization is whitespace (``WS_RE``); rebuilt text joins
+    surviving tokens with a single space (the token view of the
+    corpus, as in the reference implementation's detokenized re-emit).
 
-    Scale shape: ONE ids-only exchange — (id, pos, 8-byte window hash)
-    partitioned by hash, a partition count marks windows whose hash
-    occurs more than once corpus-wide (map-side nothing to combine: the
-    count window IS the aggregation). Coverage is computed per doc from
-    the duplicated START positions only (collect_list of ints, bounded
-    by doc length), expanding each to its span and counting distinct
-    covered positions JVM-side — corpus text never shuffles at all;
-    the window hash is the module's engine-portable 60-bit md5 prefix,
-    so the DuckDB oracle reproduces every count exactly.
+    Output: one row per non-null/non-blank-text input row. Always
+    (id, n_tokens); ``stats`` adds (n_dup_windows, dup_tokens,
+    dup_span_bp = dup_tokens·10000 DIV n_tokens, exact integer basis
+    points); ``removal`` adds (``out_col``, n_dropped). Docs shorter
+    than ``span_len`` tokens have no windows: zeros, text unchanged
+    (space-normalized).
+
+    Scale shape: the corpus TEXT never shuffles. (1) ONE ids-only
+    exchange of (id, pos, 8-byte md5-prefix window hash) partitioned by
+    hash serves BOTH halves — the occurrence count and the global-first
+    row_number are windows over the same hash partitioning, so Catalyst
+    plans a single Exchange (+ one sort) for the pair. (2) Duplicated
+    starts collapse to ONE row per affected doc — (id, int-array of
+    marked starts / cut positions), bounded by corpus duplication, not
+    corpus size; ids-only shuffles throughout. (3) Those per-doc arrays
+    LEFT-join the unexploded token arrays — size-gated broadcast with
+    AQE shuffle-join fallback — and coverage/cutting is whole-stage-
+    codegen array work; untouched docs (the vast majority in a mostly-
+    unique corpus) take the null branch. The 60-bit hash is engine-
+    portable, so the DuckDB oracle reproduces every value exactly.
     """
     if span_len < 2:
         raise ValueError(f"span_len must be >= 2, got {span_len}")
+    if not (stats or removal):
+        raise ValueError("at least one of stats/removal must be requested")
     from pyspark.sql import Window
 
     words = F.split(F.trim(F.col(text_col)), WS_RE)
@@ -899,44 +916,142 @@ def duplicated_span_stats(
         F.col("pg.pos").alias("pos"),
         hex_prefix_long(F.col("pg.g"), 15).alias("h"),
     )
-    dup_starts = (
-        grams.select(
-            id_col,
-            "pos",
-            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("__c"),
+    mark_cols = []
+    if stats:
+        mark_cols.append(
+            F.count(F.lit(1)).over(Window.partitionBy("h")).alias("__c")
         )
-        .filter(F.col("__c") > 1)
-        .groupBy(id_col)
-        .agg(F.collect_list("pos").alias("__starts"))
-    )
-    covered = F.size(
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    "__starts",
-                    lambda s: F.sequence(s, s + span_len - 1),
-                )
+    if removal:
+        w_rn = Window.partitionBy("h").orderBy(
+            F.col(id_col).asc(), F.col("pos").asc()
+        )
+        mark_cols.append(F.row_number().over(w_rn).alias("__rn"))
+    marked = grams.select(id_col, "pos", *mark_cols)
+
+    # ONE groupBy(id) pass serves both halves: collect_list skips the
+    # nulls the when() produces, so each doc row carries exactly its
+    # duplicated starts (stats) and/or its loser starts (removal);
+    # the post-agg filter keeps the join table bounded by AFFECTED
+    # docs, not docs-with-windows
+    agg_cols, keep_pred = [], None
+    if stats:
+        agg_cols.append(
+            F.collect_list(F.when(F.col("__c") > 1, F.col("pos"))).alias(
+                "__starts"
             )
         )
-    ).cast("long")
-    return (
-        base.select(id_col, F.size("__ws").cast("long").alias("n_tokens"))
-        .join(
-            dup_starts.select(
-                id_col,
-                F.size("__starts").cast("long").alias("n_dup_windows"),
-                covered.alias("dup_tokens"),
-            ),
-            on=id_col,
-            how="left",
+        keep_pred = F.size("__starts") > 0
+    if removal:
+        agg_cols.append(
+            F.collect_list(F.when(F.col("__rn") > 1, F.col("pos"))).alias(
+                "__lstarts"
+            )
         )
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            F.expr("coalesce(dup_tokens, 0) * 10000 DIV n_tokens").alias(
-                "dup_span_bp"
-            ),
-        )
+        p = F.size("__lstarts") > 0
+        keep_pred = p if keep_pred is None else (keep_pred | p)
+    affected = persist_tracked(
+        marked.groupBy(id_col).agg(*agg_cols).filter(keep_pred)
     )
+    out = base.join(size_gated_broadcast(affected), on=id_col, how="left")
+
+    def span_union(starts: Column) -> Column:
+        return F.array_distinct(
+            F.flatten(
+                F.transform(starts, lambda s: F.sequence(s, s + span_len - 1))
+            )
+        )
+
+    cols = [F.col(id_col), F.size("__ws").cast("long").alias("n_tokens")]
+    if stats:
+        cols += [
+            F.when(F.col("__starts").isNull(), F.lit(0))
+            .otherwise(F.size("__starts"))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.when(F.col("__starts").isNull(), F.lit(0))
+            .otherwise(F.size(span_union(F.col("__starts"))))
+            .cast("long")
+            .alias("dup_tokens"),
+        ]
+    if removal:
+        cuts = span_union(F.col("__lstarts"))
+        kept = F.when(
+            F.col("__lstarts").isNull() | (F.size("__lstarts") == 0),
+            F.col("__ws"),
+        ).otherwise(
+            F.filter(
+                "__ws", lambda x, i: ~F.array_contains(cuts, i + 1)
+            )
+        )
+        cols += [
+            F.array_join(kept, " ").alias(out_col),
+            F.when(
+                F.col("__lstarts").isNull() | (F.size("__lstarts") == 0),
+                F.lit(0),
+            )
+            .otherwise(F.size(cuts))
+            .cast("long")
+            .alias("n_dropped"),
+        ]
+    out = out.select(*cols)
+    if stats:
+        out = out.withColumn(
+            "dup_span_bp", F.expr("dup_tokens * 10000 DIV n_tokens")
+        )
+    return out
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 8,
+) -> DataFrame:
+    """The MARKING half of exact-substring dedup — see
+    ``exact_substring_dedup`` (this is that kernel with
+    ``removal=False``, so the cut/rebuild subtree is never built).
+    Output: one row per non-null/non-blank-text input row —
+    (id, n_tokens, n_dup_windows, dup_tokens, dup_span_bp)."""
+    return exact_substring_dedup(
+        df, id_col, text_col, span_len=span_len, stats=True, removal=False
+    ).select(id_col, "n_tokens", "n_dup_windows", "dup_tokens", "dup_span_bp")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 8,
+    out_col: str = "text_despanned",
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup — see
+    ``exact_substring_dedup`` (this is that kernel with ``stats=False``,
+    so the marking subtree is never built), plus the row-completeness
+    contract: one row per INPUT row — null text stays null (null
+    counts), whitespace-only text becomes the empty string with
+    n_tokens = 0. Output: (id, ``out_col``, n_tokens, n_dropped)."""
+    core = exact_substring_dedup(
+        df,
+        id_col,
+        text_col,
+        span_len=span_len,
+        stats=False,
+        removal=True,
+        out_col=out_col,
+    ).select(id_col, out_col, "n_tokens", "n_dropped")
+    base = df.select(F.col(id_col), F.col(text_col))
+    blank_rows = base.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) == "")
+    ).select(
+        F.col(id_col),
+        F.lit("").alias(out_col),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
+    null_rows = base.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias(out_col),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("n_dropped"),
+    )
+    return core.unionByName(blank_rows).unionByName(null_rows)

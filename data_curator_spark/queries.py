@@ -2843,7 +2843,7 @@ FROM base b JOIN cleaned c ON b.doc_id = c.doc_id
 """
 
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged r6 gate query for the per-doc repetition family, four
+    """Merged r6 gate query for the per-doc repetition family, five
     operators in one row set joined on doc_id: intra-document line
     dedup (functions/text.py:dedup_lines — the former dedup_lines
     query), the Gopher-style word-bigram repetition signals (the
@@ -2851,22 +2851,25 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     with global first-occurrence keep (operators/dedup.py:
     dedup_segments_global — the C4/RefinedWeb repeated-paragraph
     removal, word granularity on this single-line table), and the
-    Lee-et-al exact-substring duplicated-SPAN marking stats
+    the Lee-et-al exact-substring duplicated-SPAN marking stats
     (operators/dedup.py:duplicated_span_stats, span_len=8: per doc,
     how many 8-token windows occur verbatim anywhere else in the
-    corpus and how many tokens they cover). Line stats are a
-    zero-shuffle projection; bigram stats keep their (doc, gram)
+    corpus and how many tokens they cover), and its REMOVAL half
+    (operators/dedup.py:remove_duplicated_spans — cut every token
+    covered by a non-globally-first duplicate window; despan_sha pins
+    the exact rebuilt text, n_span_dropped the cut count). Line stats
+    are a zero-shuffle projection; bigram stats keep their (doc, gram)
     map-side-combined aggregate; segment dedup adds one ids-only hash
-    exchange + one text reassembly shuffle; span stats add one
-    (id, pos, hash) exchange — corpus text never shuffles for them.
-    The seg_dedup_sha pins the exact rebuilt text (the oracle rebuilds
-    it independently via ROW_NUMBER over the same 60-bit hash); the
-    span columns are pinned by the oracle recomputing window hashes
-    and the distinct-covered-position union. Components remain in
-    LEGACY_QUERIES / pytest."""
+    exchange + one text reassembly shuffle; span marking adds one
+    (id, pos, hash) exchange — corpus text never shuffles for it; span
+    removal shares that hash layout and adds its own reassembly
+    shuffle. The seg_dedup_sha/despan_sha columns are pinned by the
+    oracle rebuilding both texts independently via ROW_NUMBER over the
+    same 60-bit hashes. Components remain in LEGACY_QUERIES /
+    pytest."""
     from data_curator_spark.operators.dedup import (
         dedup_segments_global,
-        duplicated_span_stats,
+        exact_substring_dedup,
     )
 
     lines = q_dedup_lines(spark, sf_dir)
@@ -2878,13 +2881,22 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("n_kept_segs"),
         F.sha2("text_deduped", 256).alias("seg_dedup_sha"),
     )
-    sp = duplicated_span_stats(d, "doc_id", "text", span_len=8).select(
-        "doc_id", "n_dup_windows", "dup_tokens", "dup_span_bp"
+    # marking + removal halves of ExactSubstr from ONE kernel call —
+    # the shared (id, pos, hash) window layout is computed once
+    es = exact_substring_dedup(
+        d, "doc_id", "text", span_len=8, stats=True, removal=True
+    ).select(
+        "doc_id",
+        "n_dup_windows",
+        "dup_tokens",
+        "dup_span_bp",
+        F.sha2("text_despanned", 256).alias("despan_sha"),
+        F.col("n_dropped").alias("n_span_dropped"),
     )
     return (
         lines.join(reps, on="doc_id", how="left")
         .join(sd, on="doc_id", how="left")
-        .join(sp, on="doc_id", how="left")
+        .join(es, on="doc_id", how="left")
     )
 
 
@@ -3019,15 +3031,40 @@ sd_base AS (
   FROM sp_base b
   LEFT JOIN sp_win w ON b.doc_id = w.doc_id
   LEFT JOIN sp_cov c ON b.doc_id = c.doc_id
+), rm_cut AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tok
+    FROM (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sp_h
+    ) WHERE rn > 1
+  )
+), rm_tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws))) AS tok, ws
+  FROM sp_base
+), rm AS (
+  SELECT t.doc_id,
+         sha256(COALESCE(
+           string_agg(t.ws[t.tok], ' ' ORDER BY t.tok)
+             FILTER (WHERE c.tok IS NULL), ''
+         )) AS despan_sha,
+         CAST(COUNT(*) FILTER (WHERE c.tok IS NOT NULL) AS BIGINT)
+           AS n_span_dropped
+  FROM rm_tok t
+  LEFT JOIN rm_cut c ON t.doc_id = c.doc_id AND t.tok = c.tok
+  GROUP BY t.doc_id
 )
 SELECT dl.doc_id, dl.n_lines, dl.n_unique_lines, dl.clean_sha,
        rp.n_bigrams, rp.n_unique_bigrams, rp.dup_bigram_bp,
        rp.top_bigram_bp,
        sd.n_segs, sd.n_kept_segs, sd.seg_dedup_sha,
-       sp.n_dup_windows, sp.dup_tokens, sp.dup_span_bp
+       sp.n_dup_windows, sp.dup_tokens, sp.dup_span_bp,
+       rm.despan_sha, rm.n_span_dropped
 FROM dl LEFT JOIN rp ON dl.doc_id = rp.doc_id
 LEFT JOIN sd ON dl.doc_id = sd.doc_id
 LEFT JOIN sp ON dl.doc_id = sp.doc_id
+LEFT JOIN rm ON dl.doc_id = rm.doc_id
 """
 
 QUERIES["line_repetition"] = q_line_repetition

@@ -452,3 +452,75 @@ def test_duplicated_span_stats_validates(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span_len"):
         duplicated_span_stats(df, "doc_id", "text", span_len=1)
+
+
+def test_remove_duplicated_spans_keeps_global_first(spark):
+    """The globally-first occurrence (by id, pos) of a duplicated
+    window survives intact; later occurrences lose the union of their
+    covered tokens. Short/unique docs pass through; null stays null;
+    whitespace-only becomes empty with zero counts."""
+    from data_curator_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x b c d e y"),
+        (3, "p q r"),
+        (4, "   "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_despanned, r.n_tokens, r.n_dropped)
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", span_len=3
+        ).collect()
+    }
+    # doc 1 holds the first occurrence of both shared windows -> intact
+    assert out[1] == ("a b c d e f", 6, 0)
+    # doc 2's pos-2 and pos-3 windows are later occurrences -> tokens
+    # 2..5 cut as one block
+    assert out[2] == ("x y", 6, 4)
+    assert out[3] == ("p q r", 3, 0)
+    assert out[4] == ("", 0, 0)
+    assert out[5] == (None, None, None)
+
+
+def test_remove_duplicated_spans_intra_doc(spark):
+    """A window repeated inside ONE doc keeps its first position and
+    cuts the later one — the Lee et al. rule at intra-doc granularity."""
+    from data_curator_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "m n o z m n o")], "doc_id long, text string"
+    )
+    (r,) = remove_duplicated_spans(df, "doc_id", "text", span_len=3).collect()
+    assert (r.text_despanned, r.n_tokens, r.n_dropped) == ("m n o z", 7, 3)
+
+
+def test_remove_duplicated_spans_overlap_union(spark):
+    """Overlapping duplicate windows in the SAME later doc union into
+    one cut block (no double counting)."""
+    from data_curator_spark.operators.dedup import remove_duplicated_spans
+
+    # doc 2 repeats doc 1's full 4-token run: windows (pos1, pos2)
+    # overlap on tokens 2-3 -> union covers tokens 1-4 exactly once
+    rows = [(1, "a b c d"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_despanned, r.n_dropped)
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", span_len=3
+        ).collect()
+    }
+    assert out[1] == ("a b c d", 0)
+    assert out[2] == ("", 4)
+
+
+def test_remove_duplicated_spans_validates(spark):
+    import pytest
+
+    from data_curator_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span_len"):
+        remove_duplicated_spans(df, "doc_id", "text", span_len=1)
