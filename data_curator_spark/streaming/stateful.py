@@ -298,6 +298,75 @@ def segment_stream_rows(
     )
 
 
+def span_stream_rows(
+    df: DataFrame,
+    id_col: str,
+    seq_col: str,
+    text_col: str,
+    span_len: int = 8,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Explode a document stream into ``span_len``-token WINDOW
+    occurrence rows — (shard, seq, doc_id, pos, h), the exact schema
+    ``streaming_segment_dedup`` consumes, making that operator's
+    seen-hash state kernel a streaming analog of ExactSubstr span
+    dedup (operators.dedup.exact_substring_dedup): the first ARRIVAL
+    of each window hash is kept, every later occurrence is marked
+    kept=0. A kept=0 output row is a duplicate span START — the sink
+    cuts the union of token positions [pos, pos+span_len-1] per doc,
+    the batch kernel's removal rule. Windows are the batch kernel's
+    grams verbatim: whitespace (``WS_RE``) tokens of trimmed text,
+    1-based start, 60-bit md5 prefix of the space-joined window — so
+    stream and batch verdicts agree hash-for-hash whenever arrival
+    respects (doc, pos) order, the usual source-ordering contract of
+    this module. Docs with fewer than ``span_len`` tokens emit no
+    windows (nothing to dedup). A plain stateless projection — safe on
+    a streaming DataFrame."""
+    if span_len < 2:
+        raise ValueError(f"span_len must be >= 2, got {span_len}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.operators.dedup import WS_RE, hex_prefix_long
+
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    h = hex_prefix_long(F.col("pg.g"), 15)
+    return (
+        df.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        )
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(seq_col).cast("long").alias("seq"),
+            words.alias("__ws"),
+        )
+        .filter(F.size("__ws") >= span_len)
+        .select(
+            "doc_id",
+            "seq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - span_len + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice("__ws", i, span_len), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(
+            F.pmod(h, F.lit(n_shards)).cast("string").alias("shard"),
+            "seq",
+            "doc_id",
+            F.col("pg.pos").cast("long").alias("pos"),
+            h.alias("h"),
+        )
+    )
+
+
 def streaming_segment_dedup(df: DataFrame) -> DataFrame:
     """Streaming analog of operators.dedup.dedup_segments_global:
     cross-document segment dedup where the FIRST ARRIVAL of each

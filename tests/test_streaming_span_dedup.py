@@ -1,0 +1,129 @@
+"""Streaming ExactSubstr span dedup: span_stream_rows feeds the
+streaming_segment_dedup seen-hash kernel with window-occurrence rows;
+first arrival of each window hash kept, later occurrences marked — and
+rebuilding documents from the streaming verdicts (cut the union of
+kept=0 span starts) reproduces the batch remove_duplicated_spans
+output when arrival order respects (doc, pos)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from data_curator_spark.streaming.stateful import (
+    span_stream_rows,
+    streaming_segment_dedup,
+)
+
+DOC_SCHEMA = "doc_id string, seq long, text string"
+SPAN = 3
+
+
+def _drain(spark, land, out_dir, ckpt, n_shards=4):
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(str(land))
+    rows = span_stream_rows(
+        stream, "doc_id", "seq", "text", span_len=SPAN, n_shards=n_shards
+    )
+    q = (
+        streaming_segment_dedup(rows)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _land(land, idx, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "seq", "text"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(land / f"b{idx}.parquet"),
+    )
+
+
+def test_span_dedup_state_across_batches(spark, tmp_path):
+    """A window first seen in batch 1 is marked kept=0 when it
+    reappears in batch 2 — the seen-hash state survives the restart."""
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    _land(land, 1, [("d1", 0, "a b c d")])
+    _drain(spark, land, out_dir, ckpt)
+    _land(land, 2, [("d2", 1, "x a b c y")])
+    _drain(spark, land, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    verdict = {
+        (r.doc_id, int(r.pos)): int(r.kept) for r in got.itertuples()
+    }
+    # d1 windows: "a b c"@1, "b c d"@2 — both first
+    assert verdict[("d1", 1)] == 1
+    assert verdict[("d1", 2)] == 1
+    # d2 windows: "x a b"@1 (new), "a b c"@2 (seen in batch 1),
+    # "b c y"@3 (new)
+    assert verdict[("d2", 1)] == 1
+    assert verdict[("d2", 2)] == 0
+    assert verdict[("d2", 3)] == 1
+    assert len(verdict) == 5
+
+
+def test_span_dedup_batch_parity(spark, tmp_path):
+    """Rebuilding each doc from the streaming verdicts — cut the union
+    of [pos, pos+SPAN-1] over kept=0 rows — reproduces the batch
+    remove_duplicated_spans text and drop count exactly."""
+    from data_curator_spark.operators.dedup import remove_duplicated_spans
+
+    docs = [
+        ("a01", 0, "a b c d e f"),
+        ("a02", 1, "x b c d e y"),
+        ("a03", 2, "m n o z m n o"),
+        ("a04", 3, "p q"),
+    ]
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _land(land, 1, docs[:2])
+    _drain(spark, land, out_dir, ckpt)
+    _land(land, 2, docs[2:])
+    _drain(spark, land, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    cut_by_doc: dict[str, set[int]] = {}
+    for r in got.itertuples():
+        if int(r.kept) == 0:
+            cut_by_doc.setdefault(r.doc_id, set()).update(
+                range(int(r.pos), int(r.pos) + SPAN)
+            )
+
+    stream_rebuilt = {}
+    for d, _, t in docs:
+        toks = t.split(" ")
+        cuts = cut_by_doc.get(d, set())
+        kept = [w for i, w in enumerate(toks, start=1) if i not in cuts]
+        stream_rebuilt[d] = (" ".join(kept), len(cuts))
+
+    bdf = spark.createDataFrame(
+        [(d, t) for d, _, t in docs], "doc_id string, text string"
+    )
+    batch = {
+        r["doc_id"]: (r["text_despanned"], r["n_dropped"])
+        for r in remove_duplicated_spans(
+            bdf, "doc_id", "text", span_len=SPAN
+        ).collect()
+    }
+    assert stream_rebuilt == batch
+
+
+def test_span_stream_rows_validates(spark):
+    import pytest
+
+    df = spark.createDataFrame([("d", 0, "a")], DOC_SCHEMA)
+    with pytest.raises(ValueError, match="span_len"):
+        span_stream_rows(df, "doc_id", "seq", "text", span_len=1)
+    with pytest.raises(ValueError, match="n_shards"):
+        span_stream_rows(df, "doc_id", "seq", "text", n_shards=0)
