@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
         "with drop_reason=contaminated",
     )
     p.add_argument(
+        "--span-dedup-bp", type=int, default=None, metavar="BASIS_POINTS",
+        help="enable the corpus-level ExactSubstr duplicated-span stage: "
+        "drop files whose token coverage by 8-token windows duplicated "
+        "anywhere else in the corpus reaches this many basis points "
+        "(e.g. 5000 = half the file), drop_reason=dup_spans",
+    )
+    p.add_argument(
         "--layout", choices=["overwrite", "mvcc"], default="overwrite",
         help="overwrite = one physical copy per bucket (default); "
         "mvcc = immutable run partitions with time travel + vacuum",
@@ -129,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                 reprocess_buckets=set(args.reprocess) if args.reprocess else None,
                 near_dup=args.near_dup,
                 bench_hashes=bench_hashes,
+                span_dedup_bp=args.span_dedup_bp,
             )
         else:
             from data_curator_spark.pipeline.runner import run_pipeline
@@ -137,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input, args.output, args.manifest,
                 n_buckets=args.buckets, near_dup=args.near_dup,
                 bench_hashes=bench_hashes,
+                span_dedup_bp=args.span_dedup_bp,
             )
         print(json.dumps(stats))
         spark.stop()

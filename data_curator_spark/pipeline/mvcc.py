@@ -446,6 +446,7 @@ def run_pipeline_mvcc(
     crash_before_commit: bool = False,
     near_dup: bool = False,
     bench_hashes: list[int] | None = None,
+    span_dedup_bp: int | None = None,
 ) -> dict:
     """Run/resume the pipeline with the MVCC layout.
 
@@ -470,7 +471,8 @@ def run_pipeline_mvcc(
     todo = raw.filter(~F.col("bucket").isin(list(skip))) if skip else raw
 
     result = run_stages(
-        todo, spark, near_dup=near_dup, bench_hashes=bench_hashes
+        todo, spark, near_dup=near_dup, bench_hashes=bench_hashes,
+        span_dedup_bp=span_dedup_bp,
     ).select("bucket", *OUTPUT_COLS)
     observation, result = attach_lineage_observation(result, run_id)
     # IMMUTABLE write: append under this run's partition — never touches

@@ -198,6 +198,7 @@ def run_pipeline(
     fail_buckets: set[int] | None = None,
     near_dup: bool = False,
     bench_hashes: list[int] | None = None,
+    span_dedup_bp: int | None = None,
 ) -> dict:
     """Run (or resume) the pipeline.
 
@@ -224,7 +225,8 @@ def run_pipeline(
         todo = todo.filter(~F.col("bucket").isin(list(fail_buckets)))
 
     result = run_stages(
-        todo, spark, near_dup=near_dup, bench_hashes=bench_hashes
+        todo, spark, near_dup=near_dup, bench_hashes=bench_hashes,
+        span_dedup_bp=span_dedup_bp,
     ).select("bucket", *OUTPUT_COLS)
     # run-level lineage totals ride the WRITE pass for free and
     # cross-check the per-bucket metrics below. Per-bucket metrics do NOT

@@ -309,11 +309,65 @@ def with_near_dup(
     ).withColumn("keep", F.col("keep") & ~demoted)
 
 
+def with_span_dedup(
+    df: DataFrame,
+    content: str = "content_scrubbed",
+    id_cols: tuple[str, str] = ("repo", "path"),
+    span_len: int = 8,
+    max_bp: int = 5000,
+) -> DataFrame:
+    """Optional corpus-level ExactSubstr marking stage (Lee et al.
+    2021): demote keep=true rows whose duplicated-span coverage —
+    fraction of whitespace tokens covered by ``span_len``-token windows
+    that occur verbatim anywhere else in the corpus — reaches
+    ``max_bp`` basis points (default 5000 = half the doc duplicated
+    elsewhere). Demoted rows flip to keep=false /
+    drop_reason='dup_spans'. Content is NOT rewritten: whitespace is
+    semantic in code, and the sha256-equality contract holds for every
+    row; text corpora wanting the cut-and-rebuild behavior use
+    operators.dedup.exact_substring_dedup directly.
+
+    Corpus-global stage — same full-pass caveat as ``with_near_dup``
+    (an incremental resume sees only this run's buckets).
+
+    Scale shape: the marking kernel shuffles (id, pos, 8-byte hash)
+    only; the demotion table is filtered to OVER-threshold docs before
+    the size-gated-broadcast join back, so the corpus streams once."""
+    from data_curator_spark.engine.cache import persist_tracked
+    from data_curator_spark.operators.dedup import (
+        duplicated_span_stats,
+        size_gated_broadcast,
+    )
+
+    # same null-component sentinel as with_near_dup: concat_ws skips
+    # nulls and would fuse distinct identities
+    doc_id = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in id_cols]
+    )
+    keyed = df.withColumn("__doc_id", doc_id)
+    flagged = persist_tracked(
+        duplicated_span_stats(keyed, "__doc_id", content, span_len=span_len)
+        .filter(F.col("dup_span_bp") >= max_bp)
+        .select("__doc_id", "dup_span_bp")
+    )
+    out = keyed.join(size_gated_broadcast(flagged), on="__doc_id", how="left")
+    demoted = F.col("keep") & F.col("dup_span_bp").isNotNull()
+    return (
+        out.withColumn(
+            "drop_reason",
+            F.when(demoted, F.lit("dup_spans")).otherwise(F.col("drop_reason")),
+        )
+        .withColumn("keep", F.col("keep") & ~demoted)
+        .drop("__doc_id", "dup_span_bp")
+    )
+
+
 def run_stages(
     df: DataFrame,
     spark: SparkSession,
     near_dup: bool = False,
     bench_hashes: list[int] | None = None,
+    span_dedup_bp: int | None = None,
 ) -> DataFrame:
     """Full stage chain over the raw corpus table. Model scoring is
     gated on the heuristics (contract: model columns are null for
@@ -328,7 +382,12 @@ def run_stages(
     over the scrubbed content: contaminated rows flip to keep=false /
     drop_reason='contaminated'. Runs BEFORE near-dup so canonical
     selection (which prefers kept members) never elects a contaminated
-    copy as a cluster's survivor."""
+    copy as a cluster's survivor.
+
+    ``span_dedup_bp`` (basis points, None=off) appends the ExactSubstr
+    duplicated-span demotion stage (with_span_dedup), after
+    decontamination and before near-dup — so near-dup's canonical
+    selection never elects a span-duplicated copy as survivor."""
     out = with_heuristics(df)
     out = with_model_scores(out, spark, gate=heuristics_pass_expr())
     out = with_scrub(out)
@@ -343,4 +402,6 @@ def run_stages(
         )
 
         out = streaming_contamination(out, bench_hashes)
+    if span_dedup_bp is not None:
+        out = with_span_dedup(out, max_bp=span_dedup_bp)
     return with_near_dup(out) if near_dup else out

@@ -279,3 +279,74 @@ def test_run_stages_near_dup_end_to_end(spark, corpus_path):
 
     canon = Counter(r["near_dup_cluster"] for r in rows if r["near_dup_canonical"])
     assert all(v == 1 for v in canon.values())
+
+
+def test_span_dedup_stage_demotes_over_threshold(spark):
+    """with_span_dedup: a kept file whose duplicated-span coverage
+    reaches max_bp flips to keep=false/dup_spans; the file holding the
+    globally-first occurrences still counts as covered (marking is
+    occurrence-count based) but BOTH only demote when over threshold;
+    already-dropped rows keep their original reason; content columns
+    are untouched (no rewrite)."""
+    from data_curator_spark.pipeline.stages import with_span_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12 tokens
+    unique_tail = " ".join(f"u{i}" for i in range(12))
+    rows = [
+        # fully duplicated pair: coverage 10000 bp in both
+        ("r1", "a.py", True, None, shared),
+        ("r2", "b.py", True, None, shared),
+        # half-covered: 12 shared + 12 unique tokens -> 5000 bp
+        ("r3", "c.py", True, None, shared + " " + unique_tail),
+        # unique file: 0 bp (genuinely distinct tokens — a repeated
+        # phrase would self-mark via intra-doc windows)
+        ("r4", "d.py", True, None, " ".join(f"only{i} once{i}" for i in range(9))),
+        # dropped earlier: reason preserved even though fully duplicated
+        ("r5", "e.py", False, "too_short", shared),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, keep boolean, drop_reason string, "
+        "content_scrubbed string"
+    )
+    out = {r["path"]: r for r in with_span_dedup(df, max_bp=6000).collect()}
+    assert not out["a.py"]["keep"] and out["a.py"]["drop_reason"] == "dup_spans"
+    assert not out["b.py"]["keep"] and out["b.py"]["drop_reason"] == "dup_spans"
+    # 5000 bp < 6000 threshold -> kept
+    assert out["c.py"]["keep"] and out["c.py"]["drop_reason"] is None
+    assert out["d.py"]["keep"]
+    assert not out["e.py"]["keep"] and out["e.py"]["drop_reason"] == "too_short"
+    # content untouched
+    assert out["a.py"]["content_scrubbed"] == shared
+
+
+def test_run_stages_span_dedup_end_to_end(spark, corpus_path):
+    """run_stages(span_dedup_bp=...): wiring through the stage chain —
+    rows demoted by the span stage carry drop_reason=dup_spans, every
+    other row's verdict matches the span-less run exactly, and
+    sha256_scrubbed is identical in both runs (no content rewrite)."""
+    raw = spark.read.parquet(corpus_path)
+    base = {
+        (r["repo"], r["path"]): r
+        for r in run_stages(raw, spark).select(
+            "repo", "path", "keep", "drop_reason", "sha256_scrubbed"
+        ).collect()
+    }
+    spanned = {
+        (r["repo"], r["path"]): r
+        for r in run_stages(raw, spark, span_dedup_bp=8000).select(
+            "repo", "path", "keep", "drop_reason", "sha256_scrubbed"
+        ).collect()
+    }
+    assert set(base) == set(spanned)
+    demoted = [
+        k for k, r in spanned.items() if r["drop_reason"] == "dup_spans"
+    ]
+    assert demoted, "synthetic corpus has exact duplicates; none demoted"
+    for k, r in spanned.items():
+        assert r["sha256_scrubbed"] == base[k]["sha256_scrubbed"]
+        if r["drop_reason"] != "dup_spans":
+            assert (r["keep"], r["drop_reason"]) == (
+                base[k]["keep"], base[k]["drop_reason"]
+            )
+        else:
+            assert base[k]["keep"] is True
