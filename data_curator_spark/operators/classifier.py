@@ -1,0 +1,227 @@
+"""Corpus-trained supervised language-ID classifier.
+
+The north-rule names "fastText language identification"; the pipeline's
+fixed broadcast model (pipeline/model.py:LangIdModel) covers the
+SCORING side of that story. This module adds the TRAINING side as a
+Spark-first one-pass algorithm: multinomial Naive Bayes over hashed
+character n-gram features — the same feature family as fastText's
+langid (char n-grams, hashing trick), with the closed-form trainer
+that needs exactly TWO hash aggregations instead of gradient
+iterations, which is what makes supervised training tractable in one
+pass over a 100-TB corpus (an SGD loop would re-shuffle the corpus
+per epoch; NB's sufficient statistics are a groupBy).
+
+Reference analog: none (the reference has no ML); engine-added for the
+north-rule pipeline.
+
+Why integer micro-nats (same argument as operators/lm.py): per-class
+document scores are sums of per-feature log-probs; quantizing each
+(class, bucket) log-prob ONCE to FLOOR(ln(p)·2^20) makes every doc
+score an integer sum — exact, commutative, engine-portable, so the
+DuckDB oracle reproduces predictions and margins bit-for-bit. The
+feature hash is the module-standard 60-bit md5 prefix mod n_buckets,
+portable to any engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_curator_spark.engine.cache import persist_tracked
+from data_curator_spark.operators.dedup import hex_prefix_long, size_gated_broadcast
+from data_curator_spark.operators.lm import LP_SCALE_BITS
+
+NB_DEFAULT_BUCKETS = 32768
+NB_DEFAULT_GRAM = 3
+
+
+def char_gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = NB_DEFAULT_GRAM,
+    n_buckets: int = NB_DEFAULT_BUCKETS,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode documents into hashed character ``gram_len``-gram
+    feature rows: (id, [extra_cols...,] bucket) — one row per gram
+    occurrence. Docs shorter than ``gram_len`` chars emit nothing.
+    Bucket = 60-bit md5 prefix of the gram, mod ``n_buckets`` —
+    engine-portable. A stateless projection + explode; the char-gram
+    positions are generated JVM-side (no Python)."""
+    if gram_len < 1:
+        raise ValueError(f"gram_len must be >= 1, got {gram_len}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    g = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - gram_len + 1),
+            lambda i: F.substring(F.col(text_col), i, F.lit(gram_len)),
+        )
+    )
+    return (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.length(text_col) >= gram_len)
+        )
+        .select(F.col(id_col), *[F.col(c) for c in extra_cols], g.alias("g"))
+        .select(
+            id_col,
+            *extra_cols,
+            F.pmod(hex_prefix_long(F.col("g"), 15), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def nb_langid(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    gram_len: int = NB_DEFAULT_GRAM,
+    n_buckets: int = NB_DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Train multinomial Naive Bayes on (text, label) and score every
+    document — supervised language identification, self-trained on the
+    corpus's own labels (the audit mode: grade each doc's CLAIMED
+    language; rows whose text disagrees with their label surface as
+    low-margin or mispredicted).
+
+    Model: P(class) · Π P(bucket|class) with Laplace smoothing over the
+    full bucket space; every log-prob quantized ONCE to integer
+    micro-nats (FLOOR(ln(p)·2^20)) so doc scores are exact integer
+    sums. Prediction = argmax class; ties broken by class name
+    DESCENDING (deterministic in both engines).
+
+    Output: one row per doc with ≥ ``gram_len`` chars —
+    (id, label, nb_pred, nb_margin_unats) where nb_margin_unats =
+    best score − runner-up score ≥ 0 (0 means an exact tie).
+
+    Scale shape: ONE corpus pass builds per-doc bucket counts
+    (groupBy(id, label, bucket) with map-side combine); the class
+    sufficient statistics derive from THAT table (bucket-sized, not
+    corpus-sized) — train adds no second corpus pass. The model is a
+    (n_buckets × n_classes) pivot table joined back size-gated-
+    broadcast; per-class scores are whole-stage-codegen integer sums
+    in one groupBy(id). Class list and totals are driver-collected —
+    bounded by the label alphabet, not the data. At 100 TB you'd train
+    on a sample and score the full corpus; the two halves are this
+    same code with different inputs."""
+    feats = persist_tracked(
+        char_gram_buckets(
+            df,
+            id_col,
+            text_col,
+            gram_len=gram_len,
+            n_buckets=n_buckets,
+            extra_cols=(label_col,),
+        )
+        .groupBy(id_col, label_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    # class sufficient statistics — derived from the per-doc table, so
+    # the corpus is never re-scanned; gram totals and doc counts come
+    # from ONE bounded collect (rows = |label alphabet|)
+    class_counts = feats.groupBy(label_col, "bucket").agg(
+        F.sum("cnt").alias("c")
+    )
+    stats_rows = (
+        feats.groupBy(label_col)
+        .agg(
+            F.sum("cnt").alias("t"),
+            F.countDistinct(id_col).alias("n"),
+        )
+        .collect()
+    )
+    totals = {r[label_col]: int(r["t"]) for r in stats_rows}
+    doc_counts = {r[label_col]: int(r["n"]) for r in stats_rows}
+    classes = sorted(totals)
+    if not classes:
+        raise ValueError("no trainable rows (all texts null/too short)")
+    n_docs = sum(doc_counts.values())
+    scale = float(1 << LP_SCALE_BITS)
+    # per-class constants, quantized once on the driver: unseen-bucket
+    # log-prob and class prior. math.log on the same IEEE quotient the
+    # oracle's LN sees — the lm.py ulp argument applies.
+    default_q = {
+        c: math.floor(math.log(1.0 / (totals[c] + n_buckets)) * scale)
+        for c in classes
+    }
+    prior_q = {
+        c: math.floor(math.log(doc_counts[c] / n_docs) * scale)
+        for c in classes
+    }
+
+    total_map = F.create_map(
+        *[x for c in classes for x in (F.lit(c), F.lit(totals[c]))]
+    )
+    lp = class_counts.select(
+        label_col,
+        "bucket",
+        F.floor(
+            F.log(
+                (F.col("c") + F.lit(1).cast("double"))
+                / (
+                    total_map[F.col(label_col)] + F.lit(n_buckets)
+                ).cast("double")
+            )
+            * F.lit(scale)
+        )
+        .cast("long")
+        .alias("lp_q"),
+    )
+    model = lp.groupBy("bucket").pivot(label_col, classes).agg(
+        F.first("lp_q")
+    )
+    # model rows are bounded by n_buckets BY CONSTRUCTION — broadcast
+    # without a count probe below the vocab cap (a caller asking for a
+    # giant feature space opted into the size-gated path)
+    from data_curator_spark.operators.lm import VOCAB_BROADCAST_CAP
+
+    hint = (
+        F.broadcast
+        if n_buckets <= VOCAB_BROADCAST_CAP
+        else size_gated_broadcast
+    )
+    scored = feats.join(hint(model), on="bucket", how="left")
+    score_cols = [
+        F.sum(
+            F.col("cnt")
+            * F.coalesce(F.col(f"`{c}`"), F.lit(default_q[c]))
+        ).alias(f"__s_{i}")
+        for i, c in enumerate(classes)
+    ]
+    per_doc = scored.groupBy(id_col, label_col).agg(*score_cols)
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (F.col(f"__s_{i}") + F.lit(prior_q[c])).alias("s"),
+                    F.lit(c).alias("cls"),
+                )
+                for i, c in enumerate(classes)
+            ]
+        ),
+        asc=False,
+    )
+    margin = (
+        (F.col("__r")[0]["s"] - F.col("__r")[1]["s"]).cast("long")
+        if len(classes) > 1
+        else F.lit(0).cast("long")
+    )
+    return per_doc.select(
+        id_col,
+        label_col,
+        ranked.alias("__r"),
+    ).select(
+        id_col,
+        label_col,
+        F.col("__r")[0]["cls"].alias("nb_pred"),
+        margin.alias("nb_margin_unats"),
+    )

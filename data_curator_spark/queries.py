@@ -1744,13 +1744,20 @@ FROM h
 
 def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged r6 gate query: per-document token/quality statistics
-    (functions/text.py — the former doc_token_stats) AND the pipeline's
+    (functions/text.py — the former doc_token_stats), the pipeline's
     heuristic columns + rule decision (pipeline/stages.py:
     with_heuristics — the former corpus_heuristics) in ONE scan of
-    documents. Both component queries were pure per-doc projections
-    over the same table, so the merge halves the scan work and frees a
-    driver-gate slot; components remain in LEGACY_QUERIES."""
+    documents, and — joined on doc_id — the supervised NB language-ID
+    audit (operators/classifier.py:nb_langid): train multinomial NB on
+    the corpus's own (text, lang) labels and score every doc,
+    emitting the predicted class and the integer micro-nat margin
+    (exact in both engines by the lm.py quantization argument; the
+    synthetic langs share one vocabulary, so predictions collapse to
+    the prior-dominant class — the PARITY of train+score is what this
+    row pins, accuracy is pinned by tests/test_classifier.py on
+    separable data). Components remain in LEGACY_QUERIES."""
     from data_curator_spark.functions import text as T
+    from data_curator_spark.operators.classifier import nb_langid
     from data_curator_spark.pipeline import spec
     from data_curator_spark.pipeline.stages import with_heuristics
 
@@ -1759,6 +1766,9 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = with_heuristics(d)
     c = F.col("content")
+    nb = nb_langid(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    ).select("doc_id", "nb_pred", "nb_margin_unats")
     return h.select(
         "doc_id",
         T.whitespace_token_count(c).alias("ws_tokens"),
@@ -1780,17 +1790,93 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("alnum_ratio") >= spec.MIN_ALNUM_RATIO)
             & (F.col("digit_ratio") <= spec.MAX_DIGIT_RATIO)
         ).alias("heuristics_pass"),
+    ).join(nb, on="doc_id", how="left")
+
+
+def _nb_langid_sql() -> str:
+    """DuckDB replica of operators/classifier.py:nb_langid over
+    documents(text, lang): same 60-bit md5 buckets, same Laplace
+    quantization to integer micro-nats, same (score DESC, class DESC)
+    tie-break. Constants imported from the operator module — never
+    re-derived here."""
+    from data_curator_spark.operators.classifier import (
+        NB_DEFAULT_BUCKETS as B,
+        NB_DEFAULT_GRAM as G,
     )
+    from data_curator_spark.operators.lm import LP_SCALE_BITS
+
+    s = 1 << LP_SCALE_BITS
+    return f"""
+nb_g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(text) - {G} + 2),
+                i -> substr(text, CAST(i AS INT), {G}))) AS g
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {G}
+), nb_b AS (
+  SELECT doc_id, lang, ({_hex_long_sql("md5(g)", 15)}) % {B} AS bucket
+  FROM nb_g
+), nb_feat AS (
+  SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM nb_b GROUP BY doc_id, lang, bucket
+), nb_cc AS (
+  SELECT lang, bucket, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM nb_feat GROUP BY lang, bucket
+), nb_tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM nb_cc GROUP BY lang
+), nb_docs AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {G} GROUP BY lang
+), nb_prior AS (
+  SELECT lang,
+         CAST(FLOOR(LN(CAST(n AS DOUBLE) /
+              CAST((SELECT SUM(n) FROM nb_docs) AS DOUBLE)) * {s})
+              AS BIGINT) AS pq
+  FROM nb_docs
+), nb_lp AS (
+  SELECT lang, bucket,
+         CAST(FLOOR(LN(CAST(c + 1 AS DOUBLE) / CAST(t + {B} AS DOUBLE))
+              * {s}) AS BIGINT) AS lpq
+  FROM nb_cc JOIN nb_tot USING (lang)
+), nb_def AS (
+  SELECT lang,
+         CAST(FLOOR(LN(1.0 / CAST(t + {B} AS DOUBLE)) * {s}) AS BIGINT)
+           AS dq
+  FROM nb_tot
+), nb_score AS (
+  SELECT f.doc_id, cl.lang AS cls, p.pq,
+         CAST(SUM(f.cnt * COALESCE(lp.lpq, d.dq)) AS BIGINT) + p.pq AS sc
+  FROM nb_feat f
+  CROSS JOIN (SELECT lang FROM nb_tot) cl
+  LEFT JOIN nb_lp lp ON lp.lang = cl.lang AND lp.bucket = f.bucket
+  JOIN nb_def d ON d.lang = cl.lang
+  JOIN nb_prior p ON p.lang = cl.lang
+  GROUP BY f.doc_id, cl.lang, p.pq
+), nb_rank AS (
+  SELECT doc_id, cls, sc,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY sc DESC, cls DESC
+         ) AS rn
+  FROM nb_score
+), nb AS (
+  SELECT a.doc_id, a.cls AS nb_pred,
+         CAST(COALESCE(a.sc - b.sc, 0) AS BIGINT) AS nb_margin_unats
+  FROM nb_rank a
+  LEFT JOIN nb_rank b ON a.doc_id = b.doc_id AND b.rn = 2
+  WHERE a.rn = 1
+)"""
 
 
 SQL_DOC_QUALITY_STATS = f"""
-WITH ts AS ({SQL_DOC_TOKEN_STATS}), ch AS ({SQL_CORPUS_HEURISTICS})
+WITH ts AS ({SQL_DOC_TOKEN_STATS}), ch AS ({SQL_CORPUS_HEURISTICS}),
+{_nb_langid_sql()}
 SELECT ts.doc_id, ts.ws_tokens, ts.bpe_tokens, ts.mean_word_len,
        ts.punct_ratio, ts.stop_ratio,
        ch.n_chars, ch.n_lines, ch.max_line_len, ch.avg_line_len,
        ch.alnum_ratio, ch.digit_ratio, ch.distinct_line_ratio,
-       ch.heuristics_pass
+       ch.heuristics_pass,
+       nb.nb_pred, nb.nb_margin_unats
 FROM ts JOIN ch ON ts.doc_id = ch.doc_id
+LEFT JOIN nb ON ts.doc_id = nb.doc_id
 """
 
 QUERIES["doc_quality_stats"] = q_doc_quality_stats
