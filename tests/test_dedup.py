@@ -524,3 +524,82 @@ def test_remove_duplicated_spans_validates(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span_len"):
         remove_duplicated_spans(df, "doc_id", "text", span_len=1)
+
+
+def _ref_exact_substr(docs, span):
+    """Brute-force Python reference for exact_substring_dedup: returns
+    {id: (n_tokens, n_dup_windows, dup_tokens, despanned_text,
+    n_dropped)} over non-null/non-blank docs."""
+    import re
+
+    toks = {
+        i: re.split(r"[ \n\t\r]+", t.strip())
+        for i, t in docs.items()
+        if t is not None and t.strip() != ""
+    }
+    occ: dict[str, list] = {}
+    for i in sorted(toks):
+        ws = toks[i]
+        for p in range(1, len(ws) - span + 2):
+            g = " ".join(ws[p - 1 : p - 1 + span])
+            occ.setdefault(g, []).append((i, p))
+    marks: dict[int, set] = {i: set() for i in toks}
+    cuts: dict[int, set] = {i: set() for i in toks}
+    starts: dict[int, int] = {i: 0 for i in toks}
+    for g, lst in occ.items():
+        if len(lst) > 1:
+            for i, p in lst:
+                starts[i] += 1
+                marks[i].update(range(p, p + span))
+            for i, p in lst[1:]:
+                cuts[i].update(range(p, p + span))
+    out = {}
+    for i, ws in toks.items():
+        kept = [w for j, w in enumerate(ws, start=1) if j not in cuts[i]]
+        out[i] = (
+            len(ws),
+            starts[i],
+            len(marks[i]),
+            " ".join(kept),
+            len(cuts[i]),
+        )
+    return out
+
+
+def test_exact_substring_random_differential(spark):
+    """Randomized differential test: on small random corpora from a
+    6-word alphabet (dense window collisions, heavy overlaps), BOTH
+    kernel halves reproduce a brute-force Python reference exactly —
+    marking counts, coverage union, rebuilt text, drop counts."""
+    import random
+
+    from data_curator_spark.operators.dedup import exact_substring_dedup
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    span = 3
+    for seed in range(6):
+        rng = random.Random(seed)
+        docs = {}
+        for i in range(8):
+            n = rng.randint(0, 12)
+            docs[i] = " ".join(rng.choice(words) for _ in range(n))
+        docs[98] = ""
+        docs[99] = None
+        ref = _ref_exact_substr(docs, span)
+
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (
+                r.n_tokens,
+                r.n_dup_windows,
+                r.dup_tokens,
+                r.text_despanned,
+                r.n_dropped,
+            )
+            for r in exact_substring_dedup(
+                df, "doc_id", "text", span_len=span
+            ).collect()
+        }
+        assert got == ref, f"seed {seed}: kernel diverges from reference"
