@@ -271,3 +271,66 @@ def test_bpe_merge_candidates_heap_topk_over_distinct_words(spark):
     plan = _plan(spark, "bpe_merge_candidates")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_exact_substring_single_hash_exchange_broadcast_rebuild(spark):
+    """exact_substring_dedup: the marking count and the global-first
+    row_number share ONE exchange on the window hash (same partition
+    key — the kernel's central claim), the per-doc cut/mark arrays join
+    back by broadcast (never SMJ against the corpus), and doc text
+    appears in NO exchange at all (the rebuild is array work after a
+    broadcast join, not a reassembly shuffle)."""
+    import re
+
+    from data_curator_spark.operators.dedup import exact_substring_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = exact_substring_dedup(d, "doc_id", "text", span_len=8)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the cached kernel subtree is printed twice by AQE (Final Plan +
+    # Initial Plan) — resolve the EXECUTED tree's exchange ids and
+    # check their detail arguments: ONE exchange on h serves BOTH
+    # window functions
+    tree = plan.split("== Initial Plan ==")[0]
+    ex_ids = sorted(set(re.findall(r"\bExchange \((\d+)\)", tree)))
+    h_exchanges = [
+        i
+        for i in ex_ids
+        if re.search(
+            rf"\({i}\) Exchange\nInput[^\n]*\nArguments: hashpartitioning\(h#",
+            plan,
+        )
+    ]
+    assert len(h_exchanges) == 1, (ex_ids, h_exchanges)
+    # no exchange carries the token arrays / text: every exchange's
+    # argument list is free of __ws and text columns
+    for m in re.finditer(r"Arguments: hashpartitioning\([^)]*\)", plan):
+        assert "__ws" not in m.group(0) and "text" not in m.group(0)
+
+
+def test_nb_langid_broadcast_model_no_smj(spark):
+    """nb_langid: the (n_buckets × classes) model joins the feature
+    table by BROADCAST (bounded by construction — no sort-merge join
+    anywhere), and raw text enters no exchange (only hashed bucket
+    counts shuffle)."""
+    import re
+
+    from data_curator_spark.operators.classifier import nb_langid
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = nb_langid(d, "doc_id", "text", "lang")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\([^)]*\)", plan):
+        assert "text" not in m.group(0)
