@@ -443,3 +443,119 @@ def streaming_segment_dedup(df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Bloom state: fixed-size bit array per shard. Hash family: the row's
+# 60-bit content hash is split/remixed into k probe positions with the
+# splitmix64 finalizer — deterministic, no per-row Python strings.
+BLOOM_DEFAULT_BITS = 1 << 20  # 128 KiB per shard
+BLOOM_DEFAULT_K = 7
+
+
+def _bloom_positions(h, n_bits: int, k: int):
+    """k probe positions (numpy uint64 array [len(h), k]) for int64
+    hash array h — splitmix64-remixed, vectorized."""
+    import numpy as np
+
+    x = h.astype("<u8")
+    out = np.empty((len(x), k), dtype="<u8")
+    mask64 = (1 << 64) - 1
+    for i in range(k):
+        # per-probe salt precomputed in Python ints — numpy uint64
+        # wraparound is intended but warns; modular math upfront avoids
+        # the overflow path entirely
+        salt = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & mask64)
+        with np.errstate(over="ignore"):
+            z = x + salt
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        out[:, i] = z % np.uint64(n_bits)
+    return out
+
+
+def streaming_segment_dedup_bloom(
+    df: DataFrame,
+    n_bits: int = BLOOM_DEFAULT_BITS,
+    k: int = BLOOM_DEFAULT_K,
+) -> DataFrame:
+    """APPROXIMATE streaming segment/span dedup with BOUNDED state —
+    the explicit opt-in alternative that ``streaming_segment_dedup``'s
+    docstring reserves: exact dedup state grows O(distinct hashes) and
+    a production stream that cannot bound its distinct count must
+    either rotate checkpoints or accept approximation. This operator
+    makes that choice LOUD: state is a fixed ``n_bits`` Bloom bit-array
+    per shard (default 128 KiB) that never grows, and the error is
+    one-sided — a Bloom false positive drops a segment that was NOT
+    actually seen (lost novel content at the configured FP rate), but a
+    kept segment is ALWAYS a true first arrival (no duplicate ever
+    survives). For dedup that is the safe side: the corpus loses an
+    ε-fraction of unique segments, it never re-admits duplicates.
+
+    FP rate ≈ (1 − e^(−k·n/n_bits))^k for n distinct hashes per shard;
+    at the defaults, ~10^4 distinct/shard gives ≈ 2e-9, ~10^5 gives
+    ≈ 1e-2. Size n_bits to the expected distinct count — the point is
+    that YOU choose the memory/recall trade instead of the state
+    choosing unbounded growth.
+
+    Same input/output contract as streaming_segment_dedup (rows from
+    ``segment_stream_rows`` or ``span_stream_rows``; adds kept 1/0);
+    probes and inserts are vectorized numpy over the packed bit array —
+    no per-row Python. Arrival order is the caller's per-shard
+    (seq, pos) order, as in the exact operator.
+    """
+    if n_bits < 8 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two >= 8, got {n_bits}")
+    if not (1 <= k <= 16):
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    import numpy as np
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = key[0]
+        if state.exists and state.get[0] is not None:
+            bits = np.frombuffer(state.get[0], dtype="<u1").copy()
+        else:
+            bits = np.zeros(n_bits // 8, dtype="<u1")
+        out_rows: list[tuple[Any, ...]] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["seq", "pos"]
+            )
+            h = pdf["h"].to_numpy(dtype="<i8")
+            pos_mat = _bloom_positions(h, n_bits, k)
+            bytes_idx = (pos_mat >> np.uint64(3)).astype(np.int64)
+            masks = (
+                np.uint8(1) << (pos_mat & np.uint64(7)).astype("<u1")
+            ).astype("<u1")
+            kept_flags = np.empty(len(h), dtype=np.int64)
+            # sequential over rows (first arrival wins WITHIN the batch
+            # too), vectorized over the k probes of each row
+            for j in range(len(h)):
+                bi, mk = bytes_idx[j], masks[j]
+                seen = bool(np.all(bits[bi] & mk != 0))
+                kept_flags[j] = 0 if seen else 1
+                if not seen:
+                    bits[bi] |= mk
+            for (seq, doc_id, pos, hv), kept in zip(
+                zip(pdf["seq"], pdf["doc_id"], pdf["pos"], pdf["h"]),
+                kept_flags,
+            ):
+                out_rows.append(
+                    (shard, int(seq), str(doc_id), int(pos), int(hv), int(kept))
+                )
+        state.update((bits.tobytes(),))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["shard", "seq", "doc_id", "pos", "h", "kept"],
+        )
+
+    return df.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=SEGDEDUP_OUTPUT,
+        stateStructType=SEGDEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
