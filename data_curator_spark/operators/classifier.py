@@ -111,7 +111,13 @@ def nb_langid(
     in one groupBy(id). Class list and totals are driver-collected —
     bounded by the label alphabet, not the data. At 100 TB you'd train
     on a sample and score the full corpus; the two halves are this
-    same code with different inputs."""
+    same code with different inputs.
+
+    Rows with a NULL label are excluded — no claimed language to train
+    on or audit (without the filter a None key would crash the sorted()
+    class list, and the oracle would silently train a NULL class —
+    divergent failure modes)."""
+    df = df.filter(F.col(label_col).isNotNull())
     feats = persist_tracked(
         char_gram_buckets(
             df,

@@ -840,6 +840,23 @@ def dedup_segments_global(
 
 
 
+def span_window_grams(ws: Column, span_len: int) -> Column:
+    """Array of struct(pos, g) for every ``span_len``-token window of
+    token array ``ws`` — 1-based start position, space-joined window
+    text. THE single definition of the ExactSubstr window layout:
+    shared by the batch kernel (exact_substring_dedup) and the
+    streaming producer (streaming.stateful.span_stream_rows) so
+    stream/batch window hashes agree by construction, not by
+    hand-synced copies."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(ws) - span_len + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(ws, i, span_len), " ").alias("g"),
+        ),
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str,
@@ -900,17 +917,7 @@ def exact_substring_dedup(
 
     grams = base.filter(F.size("__ws") >= span_len).select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__ws") - span_len + 1),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.array_join(
-                        F.slice("__ws", i, span_len), " "
-                    ).alias("g"),
-                ),
-            )
-        ).alias("pg"),
+        F.explode(span_window_grams(F.col("__ws"), span_len)).alias("pg"),
     ).select(
         id_col,
         F.col("pg.pos").alias("pos"),

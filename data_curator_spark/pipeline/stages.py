@@ -225,6 +225,19 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
 DEFAULT_MAX_BUCKET = 200
 
 
+def _doc_identity(id_cols) -> "F.Column":
+    """Composite doc identity with explicit null sentinels — concat_ws
+    silently SKIPS nulls, so (repo='a', path=NULL) and (repo=NULL,
+    path='a') would otherwise fuse into one identity and share a
+    cluster/demotion fate. The \\x1f separator + \\x00 null marker is
+    correctness-bearing and shared by every corpus-global stage
+    (with_near_dup, with_span_dedup) — change it HERE only."""
+    return F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in id_cols],
+    )
+
+
 def with_near_dup(
     df: DataFrame,
     content: str = "content_scrubbed",
@@ -257,13 +270,7 @@ def with_near_dup(
         minhash_signatures,
     )
 
-    # null id components get an explicit sentinel: concat_ws silently
-    # SKIPS nulls, so (repo='a', path=NULL) and (repo=NULL, path='a')
-    # would otherwise fuse into one identity and share a cluster fate
-    doc_id = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in id_cols]
-    )
-    keyed = df.withColumn("__doc_id", doc_id)
+    keyed = df.withColumn("__doc_id", _doc_identity(id_cols))
     sigs = minhash_signatures(keyed, "__doc_id", content)
     pairs = lsh_candidate_ids(sigs, "__doc_id", max_bucket=max_bucket)
     touched = (
@@ -339,12 +346,7 @@ def with_span_dedup(
         size_gated_broadcast,
     )
 
-    # same null-component sentinel as with_near_dup: concat_ws skips
-    # nulls and would fuse distinct identities
-    doc_id = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in id_cols]
-    )
-    keyed = df.withColumn("__doc_id", doc_id)
+    keyed = df.withColumn("__doc_id", _doc_identity(id_cols))
     flagged = persist_tracked(
         duplicated_span_stats(keyed, "__doc_id", content, span_len=span_len)
         .filter(F.col("dup_span_bp") >= max_bp)

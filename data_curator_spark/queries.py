@@ -1811,7 +1811,8 @@ nb_g AS (
   SELECT doc_id, lang,
          unnest(list_transform(range(1, length(text) - {G} + 2),
                 i -> substr(text, CAST(i AS INT), {G}))) AS g
-  FROM documents WHERE text IS NOT NULL AND length(text) >= {G}
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {G} AND lang IS NOT NULL
 ), nb_b AS (
   SELECT doc_id, lang, ({_hex_long_sql("md5(g)", 15)}) % {B} AS bucket
   FROM nb_g
@@ -1825,7 +1826,8 @@ nb_g AS (
   SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM nb_cc GROUP BY lang
 ), nb_docs AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
-  WHERE text IS NOT NULL AND length(text) >= {G} GROUP BY lang
+  WHERE text IS NOT NULL AND length(text) >= {G} AND lang IS NOT NULL
+  GROUP BY lang
 ), nb_prior AS (
   SELECT lang,
          CAST(FLOOR(LN(CAST(n AS DOUBLE) /

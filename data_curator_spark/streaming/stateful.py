@@ -328,7 +328,11 @@ def span_stream_rows(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     from pyspark.sql import functions as F
 
-    from data_curator_spark.operators.dedup import WS_RE, hex_prefix_long
+    from data_curator_spark.operators.dedup import (
+        WS_RE,
+        hex_prefix_long,
+        span_window_grams,
+    )
 
     words = F.split(F.trim(F.col(text_col)), WS_RE)
     h = hex_prefix_long(F.col("pg.g"), 15)
@@ -345,17 +349,7 @@ def span_stream_rows(
         .select(
             "doc_id",
             "seq",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__ws") - span_len + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(
-                            F.slice("__ws", i, span_len), " "
-                        ).alias("g"),
-                    ),
-                )
-            ).alias("pg"),
+            F.explode(span_window_grams(F.col("__ws"), span_len)).alias("pg"),
         )
         .select(
             F.pmod(h, F.lit(n_shards)).cast("string").alias("shard"),
@@ -474,6 +468,23 @@ def _bloom_positions(h, n_bits: int, k: int):
     return out
 
 
+def _bloom_check_add(bits, bi, mk) -> bool:
+    """Probe-then-insert ONE hash's k (byte-index, mask) probes into
+    the packed bit array. Returns True if all probed bits were already
+    set (seen). Insert uses np.bitwise_or.at — the accumulating form —
+    because two of a hash's k probes can land in the SAME byte and
+    plain fancy-index `bits[bi] |= mk` silently drops one of them
+    (numpy does not accumulate duplicate indices), which would leave
+    the hash permanently re-admittable and break the one-sided-error
+    guarantee."""
+    import numpy as np
+
+    seen = bool(np.all(bits[bi] & mk != 0))
+    if not seen:
+        np.bitwise_or.at(bits, bi, mk)
+    return seen
+
+
 def streaming_segment_dedup_bloom(
     df: DataFrame,
     n_bits: int = BLOOM_DEFAULT_BITS,
@@ -499,10 +510,13 @@ def streaming_segment_dedup_bloom(
     choosing unbounded growth.
 
     Same input/output contract as streaming_segment_dedup (rows from
-    ``segment_stream_rows`` or ``span_stream_rows``; adds kept 1/0);
-    probes and inserts are vectorized numpy over the packed bit array —
-    no per-row Python. Arrival order is the caller's per-shard
-    (seq, pos) order, as in the exact operator.
+    ``segment_stream_rows`` or ``span_stream_rows``; adds kept 1/0).
+    Probe POSITIONS are computed vectorized for the whole batch; the
+    probe/insert pass is a per-ROW Python loop (necessarily — the
+    intra-batch first-arrival-wins semantics make row j's verdict
+    depend on rows < j), with numpy array ops per row, no per-row
+    string work. Arrival order is the caller's per-shard (seq, pos)
+    order, as in the exact operator.
     """
     if n_bits < 8 or n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two >= 8, got {n_bits}")
@@ -534,11 +548,9 @@ def streaming_segment_dedup_bloom(
             # sequential over rows (first arrival wins WITHIN the batch
             # too), vectorized over the k probes of each row
             for j in range(len(h)):
-                bi, mk = bytes_idx[j], masks[j]
-                seen = bool(np.all(bits[bi] & mk != 0))
-                kept_flags[j] = 0 if seen else 1
-                if not seen:
-                    bits[bi] |= mk
+                kept_flags[j] = (
+                    0 if _bloom_check_add(bits, bytes_idx[j], masks[j]) else 1
+                )
             for (seq, doc_id, pos, hv), kept in zip(
                 zip(pdf["seq"], pdf["doc_id"], pdf["pos"], pdf["h"]),
                 kept_flags,

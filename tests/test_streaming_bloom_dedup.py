@@ -66,10 +66,11 @@ def test_bloom_dedup_matches_exact_at_low_fill(spark, tmp_path):
 
 
 def test_bloom_state_is_constant_size(spark, tmp_path):
-    """The checkpointed Bloom state never grows: the state column holds
-    exactly n_bits/8 bytes per shard after every batch."""
-    from pyspark.sql.streaming.state import GroupState  # noqa: F401
-
+    """The checkpointed Bloom state never grows: read the actual state
+    store after every batch and assert each shard's `seen` binary is
+    EXACTLY n_bits/8 bytes — more distinct hashes must not change it
+    by a single byte (the bounded-state contract, vs the exact
+    operator whose state grows per distinct hash)."""
     land = tmp_path / "land"
     land.mkdir()
     out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
@@ -80,12 +81,42 @@ def test_bloom_state_is_constant_size(spark, tmp_path):
                 for i in range(10)]
         _land(land, b, rows)
         _drain(spark, land, out_dir, ckpt, n_bits=n_bits)
-    # the operator ran 3 batches; its state is a fixed-size buffer by
-    # construction (np.zeros(n_bits // 8) | inserts) — assert the
-    # whole stream produced kept verdicts for every unique segment
+        state = spark.read.format("statestore").load(ckpt).collect()
+        assert state, "state store empty"
+        for r in state:
+            assert len(r.value.groupState.seen) == n_bits // 8, (
+                f"batch {b}, shard {r.key.shard}"
+            )
     got = spark.read.parquet(out_dir).toPandas()
     assert int(got["kept"].sum()) == len(got)  # all segments unique
     assert len(got) == 90
+
+
+def test_bloom_insert_accumulates_same_byte_probes():
+    """Regression (review finding): when two of a hash's k probe
+    positions land in the SAME byte, the insert must set BOTH bits —
+    plain fancy-index `bits[bi] |= mk` drops one (numpy does not
+    accumulate duplicate indices) and the hash stays re-admittable
+    forever. Contract: after _bloom_check_add inserts a hash, probing
+    the SAME hash again always reports seen."""
+    from data_curator_spark.streaming.stateful import _bloom_check_add
+
+    n_bits, k = 1 << 10, 7  # small filter -> same-byte probe pairs common
+    bits = np.zeros(n_bits // 8, dtype="<u1")
+    h = np.arange(2000, dtype="<i8")
+    pos = _bloom_positions(h, n_bits, k)
+    bytes_idx = (pos >> np.uint64(3)).astype(np.int64)
+    masks = (np.uint8(1) << (pos & np.uint64(7)).astype("<u1")).astype("<u1")
+    # confirm the fixture actually exercises the collision case
+    dup_byte_rows = sum(
+        len(set(bytes_idx[j])) < k for j in range(len(h))
+    )
+    assert dup_byte_rows > 0, "fixture never collides — shrink n_bits"
+    for j in range(len(h)):
+        _bloom_check_add(bits, bytes_idx[j], masks[j])
+        assert _bloom_check_add(bits, bytes_idx[j], masks[j]), (
+            f"hash {j} not seen immediately after insert"
+        )
 
 
 def test_bloom_collision_drops_one_sided(spark, tmp_path):
