@@ -11,6 +11,11 @@ iterations, which is what makes supervised training tractable in one
 pass over a 100-TB corpus (an SGD loop would re-shuffle the corpus
 per epoch; NB's sufficient statistics are a groupBy).
 
+Train/score are separable (`train_nb` → `score_nb`): at scale you
+train on a labeled sample and score the full corpus; `nb_langid`
+composes both over ONE per-doc feature pass for the self-train audit
+mode the gate query uses.
+
 Reference analog: none (the reference has no ML); engine-added for the
 north-rule pipeline.
 
@@ -26,13 +31,14 @@ portable to any engine.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_curator_spark.engine.cache import persist_tracked
 from data_curator_spark.operators.dedup import hex_prefix_long, size_gated_broadcast
-from data_curator_spark.operators.lm import LP_SCALE_BITS
+from data_curator_spark.operators.lm import LP_SCALE_BITS, VOCAB_BROADCAST_CAP
 
 NB_DEFAULT_BUCKETS = 32768
 NB_DEFAULT_GRAM = 3
@@ -78,62 +84,57 @@ def char_gram_buckets(
     )
 
 
-def nb_langid(
+@dataclass(frozen=True)
+class NBModel:
+    """Trained multinomial-NB model: a (bucket → per-class quantized
+    log-prob) DataFrame (column per class, name = class label) plus the
+    driver-held per-class constants. ``model`` has at most
+    ``n_buckets`` rows — broadcastable by construction."""
+
+    model: DataFrame
+    classes: tuple[str, ...]
+    default_q: dict[str, int]
+    prior_q: dict[str, int]
+    gram_len: int
+    n_buckets: int
+
+
+def _doc_feats(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    label_col: str,
-    gram_len: int = NB_DEFAULT_GRAM,
-    n_buckets: int = NB_DEFAULT_BUCKETS,
+    label_cols: tuple[str, ...],
+    gram_len: int,
+    n_buckets: int,
 ) -> DataFrame:
-    """Train multinomial Naive Bayes on (text, label) and score every
-    document — supervised language identification, self-trained on the
-    corpus's own labels (the audit mode: grade each doc's CLAIMED
-    language; rows whose text disagrees with their label surface as
-    low-margin or mispredicted).
-
-    Model: P(class) · Π P(bucket|class) with Laplace smoothing over the
-    full bucket space; every log-prob quantized ONCE to integer
-    micro-nats (FLOOR(ln(p)·2^20)) so doc scores are exact integer
-    sums. Prediction = argmax class; ties broken by class name
-    DESCENDING (deterministic in both engines).
-
-    Output: one row per doc with ≥ ``gram_len`` chars —
-    (id, label, nb_pred, nb_margin_unats) where nb_margin_unats =
-    best score − runner-up score ≥ 0 (0 means an exact tie).
-
-    Scale shape: ONE corpus pass builds per-doc bucket counts
-    (groupBy(id, label, bucket) with map-side combine); the class
-    sufficient statistics derive from THAT table (bucket-sized, not
-    corpus-sized) — train adds no second corpus pass. The model is a
-    (n_buckets × n_classes) pivot table joined back size-gated-
-    broadcast; per-class scores are whole-stage-codegen integer sums
-    in one groupBy(id). Class list and totals are driver-collected —
-    bounded by the label alphabet, not the data. At 100 TB you'd train
-    on a sample and score the full corpus; the two halves are this
-    same code with different inputs.
-
-    Rows with a NULL label are excluded — no claimed language to train
-    on or audit (without the filter a None key would crash the sorted()
-    class list, and the oracle would silently train a NULL class —
-    divergent failure modes)."""
-    df = df.filter(F.col(label_col).isNotNull())
-    feats = persist_tracked(
+    """Per-doc hashed-gram counts: (id, [labels...,] bucket, cnt) —
+    map-side combined, ONE corpus pass."""
+    return (
         char_gram_buckets(
             df,
             id_col,
             text_col,
             gram_len=gram_len,
             n_buckets=n_buckets,
-            extra_cols=(label_col,),
+            extra_cols=label_cols,
         )
-        .groupBy(id_col, label_col, "bucket")
+        .groupBy(id_col, *label_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
-    # class sufficient statistics — derived from the per-doc table, so
-    # the corpus is never re-scanned; gram totals and doc counts come
-    # from ONE bounded collect (rows = |label alphabet|)
+
+def _train_from_feats(
+    feats: DataFrame,
+    id_col: str,
+    label_col: str,
+    gram_len: int,
+    n_buckets: int,
+) -> NBModel:
+    """Closed-form NB training from a per-doc feature table — the class
+    sufficient statistics are aggregates of ``feats``, so training
+    never re-scans the corpus. One bounded collect (|label alphabet|
+    rows) for totals + doc counts; Laplace log-probs quantized to
+    integer micro-nats."""
     class_counts = feats.groupBy(label_col, "bucket").agg(
         F.sum("cnt").alias("c")
     )
@@ -163,7 +164,6 @@ def nb_langid(
         c: math.floor(math.log(doc_counts[c] / n_docs) * scale)
         for c in classes
     }
-
     total_map = F.create_map(
         *[x for c in classes for x in (F.lit(c), F.lit(totals[c]))]
     )
@@ -185,49 +185,158 @@ def nb_langid(
     model = lp.groupBy("bucket").pivot(label_col, classes).agg(
         F.first("lp_q")
     )
+    return NBModel(
+        model=model,
+        classes=tuple(classes),
+        default_q=default_q,
+        prior_q=prior_q,
+        gram_len=gram_len,
+        n_buckets=n_buckets,
+    )
+
+
+def _score_from_feats(
+    feats: DataFrame,
+    nb: NBModel,
+    id_col: str,
+    carry_cols: tuple[str, ...],
+) -> DataFrame:
+    """Score a per-doc feature table against a trained model: broadcast
+    join on bucket, per-class whole-stage-codegen integer sums in one
+    groupBy(id), (score DESC, class DESC) tie-break."""
     # model rows are bounded by n_buckets BY CONSTRUCTION — broadcast
     # without a count probe below the vocab cap (a caller asking for a
     # giant feature space opted into the size-gated path)
-    from data_curator_spark.operators.lm import VOCAB_BROADCAST_CAP
-
     hint = (
         F.broadcast
-        if n_buckets <= VOCAB_BROADCAST_CAP
+        if nb.n_buckets <= VOCAB_BROADCAST_CAP
         else size_gated_broadcast
     )
-    scored = feats.join(hint(model), on="bucket", how="left")
+    scored = feats.join(hint(nb.model), on="bucket", how="left")
     score_cols = [
         F.sum(
             F.col("cnt")
-            * F.coalesce(F.col(f"`{c}`"), F.lit(default_q[c]))
+            * F.coalesce(F.col(f"`{c}`"), F.lit(nb.default_q[c]))
         ).alias(f"__s_{i}")
-        for i, c in enumerate(classes)
+        for i, c in enumerate(nb.classes)
     ]
-    per_doc = scored.groupBy(id_col, label_col).agg(*score_cols)
+    per_doc = scored.groupBy(id_col, *carry_cols).agg(*score_cols)
     ranked = F.sort_array(
         F.array(
             *[
                 F.struct(
-                    (F.col(f"__s_{i}") + F.lit(prior_q[c])).alias("s"),
+                    (F.col(f"__s_{i}") + F.lit(nb.prior_q[c])).alias("s"),
                     F.lit(c).alias("cls"),
                 )
-                for i, c in enumerate(classes)
+                for i, c in enumerate(nb.classes)
             ]
         ),
         asc=False,
     )
     margin = (
         (F.col("__r")[0]["s"] - F.col("__r")[1]["s"]).cast("long")
-        if len(classes) > 1
+        if len(nb.classes) > 1
         else F.lit(0).cast("long")
     )
     return per_doc.select(
         id_col,
-        label_col,
+        *carry_cols,
         ranked.alias("__r"),
     ).select(
         id_col,
-        label_col,
+        *carry_cols,
         F.col("__r")[0]["cls"].alias("nb_pred"),
         margin.alias("nb_margin_unats"),
     )
+
+
+def train_nb(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    gram_len: int = NB_DEFAULT_GRAM,
+    n_buckets: int = NB_DEFAULT_BUCKETS,
+) -> NBModel:
+    """Train multinomial NB on a labeled corpus (one corpus pass + one
+    bounded collect). Rows with NULL labels are excluded — no claimed
+    language to train on. Use with ``score_nb`` to score a DIFFERENT
+    (e.g. unlabeled, much larger) corpus; see ``nb_langid`` for the
+    single-pass self-train audit."""
+    feats = _doc_feats(
+        df.filter(F.col(label_col).isNotNull()),
+        id_col,
+        text_col,
+        (label_col,),
+        gram_len,
+        n_buckets,
+    )
+    return _train_from_feats(feats, id_col, label_col, gram_len, n_buckets)
+
+
+def score_nb(
+    df: DataFrame,
+    nb: NBModel,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score any corpus against a trained model: one corpus pass to
+    per-doc bucket counts, broadcast model join, integer sums. Output:
+    (id, nb_pred, nb_margin_unats) — one row per doc with
+    ≥ model.gram_len chars."""
+    feats = _doc_feats(
+        df, id_col, text_col, (), nb.gram_len, nb.n_buckets
+    )
+    return _score_from_feats(feats, nb, id_col, ())
+
+
+def nb_langid(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    gram_len: int = NB_DEFAULT_GRAM,
+    n_buckets: int = NB_DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Train multinomial Naive Bayes on (text, label) and score every
+    document — supervised language identification, self-trained on the
+    corpus's own labels (the audit mode: grade each doc's CLAIMED
+    language; rows whose text disagrees with their label surface as
+    low-margin or mispredicted).
+
+    Model: P(class) · Π P(bucket|class) with Laplace smoothing over the
+    full bucket space; every log-prob quantized ONCE to integer
+    micro-nats (FLOOR(ln(p)·2^20)) so doc scores are exact integer
+    sums. Prediction = argmax class; ties broken by class name
+    DESCENDING (deterministic in both engines).
+
+    Output: one row per doc with ≥ ``gram_len`` chars —
+    (id, label, nb_pred, nb_margin_unats) where nb_margin_unats =
+    best score − runner-up score ≥ 0 (0 means an exact tie).
+
+    Scale shape: ONE corpus pass builds per-doc bucket counts
+    (groupBy(id, label, bucket) with map-side combine) — the SAME
+    persisted table feeds training (its aggregates are the sufficient
+    statistics) and scoring (broadcast model join + integer sums in
+    one groupBy(id)), so self-train never scans the corpus twice.
+    Class list and totals are driver-collected — bounded by the label
+    alphabet, not the data. At 100 TB, train on a sample with
+    ``train_nb`` and score the full corpus with ``score_nb`` — this
+    function is that pair over one shared feature pass.
+
+    Rows with a NULL label are excluded — no claimed language to train
+    on or audit (without the filter a None key would crash the sorted()
+    class list, and the oracle would silently train a NULL class —
+    divergent failure modes)."""
+    feats = persist_tracked(
+        _doc_feats(
+            df.filter(F.col(label_col).isNotNull()),
+            id_col,
+            text_col,
+            (label_col,),
+            gram_len,
+            n_buckets,
+        )
+    )
+    nb = _train_from_feats(feats, id_col, label_col, gram_len, n_buckets)
+    return _score_from_feats(feats, nb, id_col, (label_col,))
