@@ -1,0 +1,178 @@
+"""Content-defined chunking: vectorized Gear hash vs a byte-at-a-time
+reference, boundary invariants, the shift-robustness property that
+motivates CDC, and the corpus dup-stats rollup."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+
+from data_curator_spark.operators.cdc import (
+    _GEAR,
+    _chunk_doc,
+    _gear_hashes,
+    cdc_chunks,
+    cdc_dup_stats,
+)
+
+
+def _ref_gear(data: bytes) -> list[int]:
+    """Byte-at-a-time Gear recurrence — the definition the vectorized
+    unroll must reproduce."""
+    out, h = [], 0
+    for b in data:
+        h = ((h << 1) + int(_GEAR[b])) & ((1 << 64) - 1)
+        out.append(h)
+    return out
+
+
+def test_gear_hash_matches_reference():
+    rng = random.Random(3)
+    for n in (0, 1, 63, 64, 65, 300):
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        got = _gear_hashes(np.frombuffer(raw, dtype="<u1")).tolist()
+        assert got == _ref_gear(raw), f"n={n}"
+
+
+def _ref_chunks(raw: bytes, mask: int, min_len: int, max_len: int):
+    """Independent chunker from the definition (no candidate-array
+    tricks): walk bytes, cut when hash hits the mask and chunk >= min,
+    force at max."""
+    hs = _ref_gear(raw)
+    spans, start, i = [], 0, 0
+    while start < len(raw):
+        i, cut = start, None
+        while i < len(raw):
+            length = i - start + 1
+            if length >= min_len and (hs[i] & mask) == 0 and i + 1 < len(raw):
+                cut = i + 1
+                break
+            if length == max_len and len(raw) - start > max_len:
+                cut = i + 1
+                break
+            i += 1
+        if cut is None:
+            cut = len(raw)
+        spans.append((start, cut - start))
+        start = cut
+    return spans
+
+
+def test_chunker_matches_reference_definition():
+    rng = random.Random(11)
+    mask, min_len, max_len = 63, 8, 128  # avg 64
+    for trial in range(20):
+        raw = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 600)))
+        if not raw:
+            continue
+        hashes = _gear_hashes(np.frombuffer(raw, dtype="<u1"))
+        got = _chunk_doc(len(raw), hashes, mask, min_len, max_len)
+        assert got == _ref_chunks(raw, mask, min_len, max_len), f"trial {trial}"
+
+
+def test_chunk_invariants():
+    rng = random.Random(7)
+    mask, min_len, max_len = 31, 4, 64
+    for _ in range(10):
+        raw = bytes(rng.randrange(256) for _ in range(500))
+        hashes = _gear_hashes(np.frombuffer(raw, dtype="<u1"))
+        spans = _chunk_doc(len(raw), hashes, mask, min_len, max_len)
+        # full cover, no gaps/overlaps
+        assert spans[0][0] == 0
+        assert sum(l for _, l in spans) == 500
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 == s2
+        # bounds: every chunk <= max; every non-tail chunk >= min
+        assert all(l <= max_len for _, l in spans)
+        assert all(l >= min_len for _, l in spans[:-1])
+
+
+def test_shift_robustness_vs_fixed_windows():
+    """THE CDC property: prepending text to a document preserves most
+    chunk hashes (boundaries resynchronize), where any position-defined
+    scheme loses all of them."""
+    rng = random.Random(19)
+    raw = bytes(rng.randrange(256) for _ in range(4000))
+    shifted = bytes(rng.randrange(256) for _ in range(37)) + raw
+    mask, min_len, max_len = 63, 16, 256
+
+    def hashes_of(b):
+        hs = _gear_hashes(np.frombuffer(b, dtype="<u1"))
+        return {
+            hashlib.md5(b[s : s + l]).hexdigest()
+            for s, l in _chunk_doc(len(b), hs, mask, min_len, max_len)
+        }
+
+    a, b = hashes_of(raw), hashes_of(shifted)
+    common = len(a & b) / len(a)
+    assert common >= 0.5, f"only {common:.2%} chunks survived a 37-byte shift"
+
+
+def test_cdc_chunks_spark_roundtrip(spark):
+    """The Spark operator reproduces the local chunker exactly and
+    rebuilds the document from (pos, len) spans; null text emits
+    nothing; short docs are one chunk."""
+    rng = random.Random(23)
+    texts = {
+        1: "".join(chr(rng.randrange(32, 127)) for _ in range(700)),
+        2: "tiny",
+        3: None,
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = cdc_chunks(
+        df, "doc_id", "text", min_len=8, avg_len=64, max_len=256
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 4
+    # doc 1: spans match the local chunker, hashes match md5-60bit
+    raw = texts[1].encode()
+    hashes = _gear_hashes(np.frombuffer(raw, dtype="<u1"))
+    expect = _chunk_doc(len(raw), hashes, 63, 8, 256)
+    got = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_pos, r.chunk_len) for r in got] == expect
+    for r in got:
+        piece = raw[r.chunk_pos : r.chunk_pos + r.chunk_len]
+        assert r.chunk_hash == int(hashlib.md5(piece).hexdigest()[:15], 16)
+
+
+def test_cdc_dup_stats(spark):
+    """Identical docs are 100% chunk-duplicated; a unique doc is 0%;
+    a doc sharing a long middle section with another scores partial
+    duplication despite a shifted prefix."""
+    rng = random.Random(31)
+    base = "".join(chr(rng.randrange(32, 127)) for _ in range(3000))
+    uniq = "".join(chr(rng.randrange(32, 127)) for _ in range(3000))
+    rows = [
+        (1, base),
+        (2, base),
+        (3, uniq),
+        (4, "PREFIX-" * 6 + base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in cdc_dup_stats(
+            df, "doc_id", "text", min_len=8, avg_len=64, max_len=256
+        ).collect()
+    }
+    assert out[1].dup_chunk_bp == 10000
+    assert out[2].dup_chunk_bp == 10000
+    assert out[3].n_dup_chunks == 0 and out[3].dup_chunk_bp == 0
+    # shifted copy: most chunks resynchronize onto base's chunks
+    assert out[4].dup_chunk_bp >= 5000
+
+
+def test_cdc_validates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        cdc_chunks(df, "doc_id", "text", avg_len=100)
+    with pytest.raises(ValueError, match="min_len"):
+        cdc_chunks(df, "doc_id", "text", min_len=0)
