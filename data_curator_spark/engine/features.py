@@ -105,6 +105,39 @@ def chaikin_money_flow(
     return F.when(F.count(mfv).over(frame) == n, cmf)
 
 
+def chaikin_money_flow_ppm(
+    high: Column,
+    low: Column,
+    close: Column,
+    volume: Column,
+    w: WindowSpec,
+    n: int = 21,
+) -> Column:
+    """CMF as an EXACT integer in parts-per-million: FLOOR(M / V) where
+    M = Σₙ round(MFV, 6)·10⁶ (integer micro-MFV) and V = Σₙ volume.
+
+    Why not ROUND(cmf, 6): M/(10⁶·V) is a DECIMAL-ALIGNED quotient —
+    with integer V it can land EXACTLY on a .5·10⁻⁶ rounding boundary,
+    where Spark's HALF_UP and another engine's half-even disagree (the
+    r4-verdict forbidden tie class; observed live at sf0.1: a window
+    with quotient −0.2220525). Floor of M/V is tie-free: the true
+    quotient is a rational with denominator V, so when it isn't an
+    exact integer it is ≥ 1/V away from one — far beyond double ulp —
+    and when it IS exact, correctly-rounded IEEE division returns the
+    representable integer itself. Identical in every engine by
+    construction."""
+    mfv = F.when(high != low, ((close - low) - (high - close)) / (high - low) * volume)
+    frame = rolling(w, n)
+    m = F.sum(
+        (F.round(mfv, 6).cast("decimal(28,6)") * 1000000).cast("long")
+    ).over(frame)
+    v = F.sum(volume).over(frame)
+    return F.when(
+        F.count(mfv).over(frame) == n,
+        F.floor(m.cast("double") / v).cast("long"),
+    )
+
+
 def shift(c: Column, w: WindowSpec, n: int = 1) -> Column:
     """Adjacent shift-by-n (helpers.py:279-292 concat([null], col[:-1]))."""
     return F.lag(c, n).over(w)

@@ -2302,7 +2302,10 @@ def q_cmf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = close * (1.0 - (F.col("event_id") % 5).cast("double") / 100.0)
     volume = ((F.col("event_id") % 100) + 1).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cmf = chaikin_money_flow(high, low, close, volume, w, n=21, decimal_grain=6)
+    # exact integer ppm, NOT ROUND(quotient, 6): the decimal-aligned
+    # CMF quotient hit a .5e-6 HALF_UP/half-even tie live at sf0.1
+    # (-0.2220525) — see chaikin_money_flow_ppm
+    cmf = chaikin_money_flow_ppm(high, low, close, volume, w, n=21)
     return ev.select("event_id", F.round(cmf, 6).alias("cmf21"))
 
 
@@ -2394,7 +2397,7 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine/features.py chaikin_money_flow / dividend_adjustment_factor;
     reference features/helpers.py:12-505, lseg_workspace.py:925-1034)."""
     from data_curator_spark.engine.features import (
-        chaikin_money_flow,
+        chaikin_money_flow_ppm,
         dividend_adjustment_factor,
     )
 
@@ -2421,7 +2424,10 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = close * (1.0 + (F.col("event_id") % 7).cast("double") / 100.0)
     low = close * (1.0 - (F.col("event_id") % 5).cast("double") / 100.0)
     volume = ((F.col("event_id") % 100) + 1).cast("long")
-    cmf = chaikin_money_flow(high, low, close, volume, w, n=21, decimal_grain=6)
+    # exact integer ppm, NOT ROUND(quotient, 6): the decimal-aligned
+    # CMF quotient hit a .5e-6 HALF_UP/half-even tie live at sf0.1
+    # (-0.2220525) — see chaikin_money_flow_ppm
+    cmf = chaikin_money_flow_ppm(high, low, close, volume, w, n=21)
     div = F.when(
         F.col("event_id") % 19 == 0,
         ((F.col("event_id") % 90) + 5).cast("double") / 100.0,
@@ -2435,7 +2441,7 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sma.alias("sma5"),
         vol.alias("vol21"),
         logret.alias("log_ret"),
-        F.round(cmf, 6).alias("cmf21"),
+        cmf.alias("cmf21_ppm"),
         F.round(adj, 6).alias("adj_factor"),
     )
 
@@ -2473,11 +2479,12 @@ SELECT event_id,
   CASE WHEN r > 0 AND NOT isnan(r) AND r <> 'inf'::DOUBLE
        THEN ROUND(LN(r), 6)
   END AS log_ret,
-  ROUND(
-    CASE WHEN COUNT(mfv) OVER w21 = 21
-         THEN CAST(SUM(CAST(ROUND(mfv, 6) AS DECIMAL(28,12))) OVER w21 AS DOUBLE)
-              / SUM(volume) OVER w21
-    END, 6) AS cmf21,
+  CASE WHEN COUNT(mfv) OVER w21 = 21
+       THEN CAST(FLOOR(
+              CAST(SUM(CAST(ROUND(mfv, 6) AS DECIMAL(28,6)) * 1000000) OVER w21
+                   AS DOUBLE)
+              / SUM(volume) OVER w21) AS BIGINT)
+  END AS cmf21_ppm,
   ROUND(
     COALESCE(
       EXP(CAST(SUM(CAST(ROUND(LN(fct), 9) AS DECIMAL(28,14))) OVER wd AS DOUBLE)),

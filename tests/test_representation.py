@@ -85,7 +85,8 @@ ALLOWED_DOUBLES = {
         "sma5": "decimal-exact",
         "vol21": "rounded6",
         "log_ret": "rounded6",
-        "cmf21": "rounded6",
+        # cmf21 became cmf21_ppm (exact integer) after a live HALF_UP
+        # tie at sf0.1 — integer outputs need no whitelist entry
         "adj_factor": "rounded6",
     },
     "scalar_functions": {
