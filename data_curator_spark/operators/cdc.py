@@ -14,11 +14,14 @@ this is a legitimate Arrow UDF case (mapInPandas) — but NOT a per-byte
 Python loop: the Gear recurrence h_i = (h_{i-1} << 1) + gear[b_i]
 unrolls to h_i = Σ_{j=0..63} gear[b_{i-j}] << j (older terms shift
 out of the 64-bit word), which is computed VECTORIZED as 64 shifted
-numpy adds over the concatenated batch bytes. Only the sparse
-candidate boundaries (hash % avg == 0) are walked in Python, to
-enforce min/max chunk bounds per doc. Chunk identity is the engine's
-portable 60-bit md5 prefix, so chunk hashes feed every existing
-hash-based operator (count windows, groupBy dedup, decontamination).
+numpy adds PER DOCUMENT (concatenating a batch would be wrong: each
+doc's first 63 hashes would absorb the previous doc's tail bytes, and
+chunk boundaries would then vary with nondeterministic Arrow batch
+composition). Only the sparse candidate boundaries (hash % avg == 0)
+are walked in Python, to enforce min/max chunk bounds per doc. Chunk
+identity is the engine's portable 60-bit md5 prefix, so chunk hashes
+feed every existing hash-based operator (count windows, groupBy dedup,
+decontamination).
 
 Reference analog: none; engine-added for corpus curation.
 """
@@ -193,10 +196,12 @@ def cdc_dup_stats(
     max_len: int = CDC_MAX_LEN,
 ) -> DataFrame:
     """Per-document shift-robust duplication signal: of the doc's CDC
-    chunks, how many (and how many bytes) occur verbatim anywhere else
-    in the corpus — the duplicated_span_stats analog at content-defined
-    granularity, immune to position shifts. Output: (id, n_chunks,
-    n_dup_chunks, dup_bytes, dup_chunk_bp).
+    chunks, how many (and how many bytes) occur verbatim more than once
+    corpus-wide — another doc OR another position of the SAME doc, the
+    identical occurrence-count rule as duplicated_span_stats (a
+    self-repeating template doc IS duplicated content) — at
+    content-defined granularity, immune to position shifts. Output:
+    (id, n_chunks, n_dup_chunks, dup_bytes, dup_chunk_bp).
 
     Scale shape: chunk rows carry ids + hashes only; duplication is ONE
     count window partitioned by chunk_hash (the same ids-only exchange

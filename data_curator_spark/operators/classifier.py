@@ -263,13 +263,19 @@ def train_nb(
     language to train on. Use with ``score_nb`` to score a DIFFERENT
     (e.g. unlabeled, much larger) corpus; see ``nb_langid`` for the
     single-pass self-train audit."""
-    feats = _doc_feats(
-        df.filter(F.col(label_col).isNotNull()),
-        id_col,
-        text_col,
-        (label_col,),
-        gram_len,
-        n_buckets,
+    # persist: the model DataFrame is LAZY over feats — without the
+    # cache, every downstream action on score_nb output would re-scan
+    # and re-aggregate the training corpus (the "one corpus pass"
+    # contract would silently become one-per-action)
+    feats = persist_tracked(
+        _doc_feats(
+            df.filter(F.col(label_col).isNotNull()),
+            id_col,
+            text_col,
+            (label_col,),
+            gram_len,
+            n_buckets,
+        )
     )
     return _train_from_feats(feats, id_col, label_col, gram_len, n_buckets)
 

@@ -2288,13 +2288,15 @@ ORACLES["boilerplate_ngrams"] = SQL_BOILERPLATE_NGRAMS
 
 def q_cmf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chaikin Money Flow over a synthetic OHLCV view of the events
-    table (engine/features.py:chaikin_money_flow; reference
+    table (engine/features.py:chaikin_money_flow_ppm; reference
     helpers.py:59-151). High/low/volume derive deterministically from
     (event_id, value) with the SAME double expressions on both engines;
     MFV is quantized to 6 decimals (exact DECIMAL window sum) because
-    windowed double sums are association-order-dependent across engines
-    (running fold vs segment tree)."""
-    from data_curator_spark.engine.features import chaikin_money_flow
+    windowed double sums are association-order-dependent across engines,
+    and the CMF itself is emitted as exact integer ppm — the rounded
+    decimal-aligned quotient hit a live .5e-6 HALF_UP/half-even tie at
+    sf0.1 (same migration as the registered rolling_features row)."""
+    from data_curator_spark.engine.features import chaikin_money_flow_ppm
 
     ev = _t(spark, sf_dir, "events")
     close = F.col("value")
@@ -2302,11 +2304,8 @@ def q_cmf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = close * (1.0 - (F.col("event_id") % 5).cast("double") / 100.0)
     volume = ((F.col("event_id") % 100) + 1).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # exact integer ppm, NOT ROUND(quotient, 6): the decimal-aligned
-    # CMF quotient hit a .5e-6 HALF_UP/half-even tie live at sf0.1
-    # (-0.2220525) — see chaikin_money_flow_ppm
     cmf = chaikin_money_flow_ppm(high, low, close, volume, w, n=21)
-    return ev.select("event_id", F.round(cmf, 6).alias("cmf21"))
+    return ev.select("event_id", cmf.alias("cmf21_ppm"))
 
 
 SQL_CMF_WINDOW = """
@@ -2324,11 +2323,12 @@ WITH ohlcv AS (
   FROM ohlcv
 )
 SELECT event_id,
-       ROUND(
-         CASE WHEN COUNT(mfv) OVER w = 21
-              THEN CAST(SUM(CAST(ROUND(mfv, 6) AS DECIMAL(28,12))) OVER w AS DOUBLE)
-                   / SUM(volume) OVER w
-         END, 6) AS cmf21
+       CASE WHEN COUNT(mfv) OVER w = 21
+            THEN CAST(FLOOR(
+                   CAST(SUM(CAST(ROUND(mfv, 6) AS DECIMAL(28,6)) * 1000000)
+                        OVER w AS DOUBLE)
+                   / SUM(volume) OVER w) AS BIGINT)
+       END AS cmf21_ppm
 FROM mf
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
@@ -2394,7 +2394,7 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     descending dividend window re-sorts within partitions, no second
     shuffle) — strictly less shuffle work than five separate queries.
     Expressions are identical to the component queries
-    (engine/features.py chaikin_money_flow / dividend_adjustment_factor;
+    (engine/features.py chaikin_money_flow_ppm / dividend_adjustment_factor;
     reference features/helpers.py:12-505, lseg_workspace.py:925-1034)."""
     from data_curator_spark.engine.features import (
         chaikin_money_flow_ppm,

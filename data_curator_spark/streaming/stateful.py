@@ -13,6 +13,7 @@ import math
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -388,8 +389,6 @@ def streaming_segment_dedup(df: DataFrame) -> DataFrame:
     every row is emitted so the sink can rebuild documents (dropping
     kept=0 segments) or route duplicates to an audit table.
     """
-    import numpy as np
-
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -449,8 +448,6 @@ BLOOM_DEFAULT_K = 7
 def _bloom_positions(h, n_bits: int, k: int):
     """k probe positions (numpy uint64 array [len(h), k]) for int64
     hash array h — splitmix64-remixed, vectorized."""
-    import numpy as np
-
     x = h.astype("<u8")
     out = np.empty((len(x), k), dtype="<u8")
     mask64 = (1 << 64) - 1
@@ -477,8 +474,6 @@ def _bloom_check_add(bits, bi, mk) -> bool:
     (numpy does not accumulate duplicate indices), which would leave
     the hash permanently re-admittable and break the one-sided-error
     guarantee."""
-    import numpy as np
-
     seen = bool(np.all(bits[bi] & mk != 0))
     if not seen:
         np.bitwise_or.at(bits, bi, mk)
@@ -522,8 +517,6 @@ def streaming_segment_dedup_bloom(
         raise ValueError(f"n_bits must be a power of two >= 8, got {n_bits}")
     if not (1 <= k <= 16):
         raise ValueError(f"k must be in [1, 16], got {k}")
-    import numpy as np
-
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
