@@ -362,6 +362,59 @@ def span_stream_rows(
     )
 
 
+def cdc_stream_rows(
+    df: DataFrame,
+    id_col: str,
+    seq_col: str,
+    text_col: str,
+    min_len: int | None = None,
+    avg_len: int | None = None,
+    max_len: int | None = None,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Explode a document stream into content-defined CHUNK occurrence
+    rows — (shard, seq, doc_id, pos, h) with pos the chunk's byte
+    offset and h its 60-bit chunk hash, the exact schema
+    ``streaming_segment_dedup`` / ``streaming_segment_dedup_bloom``
+    consume. CDC chunking (operators/cdc.py) is stateless per document,
+    so the chunker runs as-is inside the stream (mapInPandas is
+    streaming-safe) and the dedup kernels gain SHIFT-ROBUST identity
+    for free: a chunk seen in any earlier micro-batch is marked kept=0
+    even when later copies arrive with prepended/injected bytes that
+    would shift every position-defined hash. Chunk hashes come from THE
+    batch chunker (one definition), so stream and batch dedup agree
+    hash-for-hash."""
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.operators.cdc import (
+        CDC_AVG_LEN,
+        CDC_MAX_LEN,
+        CDC_MIN_LEN,
+        cdc_chunks,
+    )
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    chunks = cdc_chunks(
+        df,
+        id_col,
+        text_col,
+        min_len=min_len if min_len is not None else CDC_MIN_LEN,
+        avg_len=avg_len if avg_len is not None else CDC_AVG_LEN,
+        max_len=max_len if max_len is not None else CDC_MAX_LEN,
+        carry_cols=(seq_col,),
+    )
+    return chunks.select(
+        F.pmod(F.col("chunk_hash"), F.lit(n_shards)).cast("string").alias(
+            "shard"
+        ),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("chunk_pos").alias("pos"),
+        F.col("chunk_hash").alias("h"),
+    )
+
+
 def streaming_segment_dedup(df: DataFrame) -> DataFrame:
     """Streaming analog of operators.dedup.dedup_segments_global:
     cross-document segment dedup where the FIRST ARRIVAL of each

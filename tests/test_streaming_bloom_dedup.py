@@ -168,3 +168,55 @@ def test_bloom_validates(spark):
         streaming_segment_dedup_bloom(df, n_bits=1000)
     with pytest.raises(ValueError, match="k must"):
         streaming_segment_dedup_bloom(df, k=0)
+
+
+def test_cdc_stream_rows_shift_robust_dedup(spark, tmp_path):
+    """Streaming CDC dedup: a document re-arriving in a LATER batch
+    with 40 prepended bytes still loses most of its chunks (content-
+    defined identity resynchronizes past the shift) — with either the
+    exact or the Bloom state kernel downstream."""
+    import random
+
+    from data_curator_spark.streaming.stateful import (
+        cdc_stream_rows,
+        streaming_segment_dedup,
+    )
+
+    rng = random.Random(41)
+    base = "".join(chr(rng.randrange(32, 127)) for _ in range(4000))
+    shifted = "".join(chr(rng.randrange(32, 127)) for _ in range(40)) + base
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(str(land))
+        rows = cdc_stream_rows(
+            stream, "doc_id", "seq", "text",
+            min_len=8, avg_len=64, max_len=256, n_shards=4,
+        )
+        q = (
+            streaming_segment_dedup(rows)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _land(land, 1, [("d1", 0, base)])
+    drain()
+    _land(land, 2, [("d2", 1, shifted)])
+    drain()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    d1 = got[got.doc_id == "d1"]
+    d2 = got[got.doc_id == "d2"]
+    # batch 1: every chunk novel
+    assert int(d1["kept"].sum()) == len(d1)
+    # batch 2: most chunks resynchronize onto batch-1 chunks -> dropped
+    drop_frac = 1.0 - d2["kept"].sum() / len(d2)
+    assert drop_frac >= 0.5, f"only {drop_frac:.2%} dropped after shift"
