@@ -102,6 +102,52 @@ def _gibberish_file(rng: np.random.Generator) -> str:
     return "\n".join(lines)
 
 
+_B64_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+)
+# letter-heavy hex alphabet: keeps digit_ratio below the high_digit
+# threshold so the hex_blob rule (not high_digit) is what fires
+_HEX_ALPHABET = "abcdef" * 3 + "0123456789"
+
+
+def _b64_blob_file(rng: np.random.Generator) -> str:
+    # inlined binary asset, MIME-wrapped at 76 cols — fails b64_blob
+    n = int(rng.integers(900, 2200))
+    blob = "".join(
+        _B64_ALPHABET[int(i)] for i in rng.integers(0, 64, n)
+    )
+    lines = [blob[i : i + 76] for i in range(0, n, 76)]
+    return (
+        "icon_data = (\n"
+        + "\n".join(f'    "{ln}"' for ln in lines)
+        + "\n)"
+    )
+
+
+def _hex_dump_file(rng: np.random.Generator) -> str:
+    # firmware/hash dump — fails hex_blob (runs capped at 62 chars so
+    # the base64 rule, which needs 64+, never co-fires)
+    rows = int(rng.integers(15, 40))
+    lines = []
+    for _ in range(rows):
+        m = int(rng.integers(40, 62))
+        h = "".join(_HEX_ALPHABET[int(i)] for i in rng.integers(0, len(_HEX_ALPHABET), m))
+        lines.append(f"    0x{h},")
+    return "blob = [\n" + "\n".join(lines) + "\n]"
+
+
+_AUTOGEN_MARKERS = [
+    "# AUTO-GENERATED by protoc-gen. DO NOT EDIT.",
+    "// Code generated by stringer; do not edit.",
+    "/* This file is auto-generated from the schema. */",
+]
+
+
+def _autogen_file(rng: np.random.Generator, lang: str) -> str:
+    marker = _AUTOGEN_MARKERS[int(rng.integers(0, len(_AUTOGEN_MARKERS)))]
+    return marker + "\n" + _normal_file(rng, lang)
+
+
 def _inject_pii(rng: np.random.Generator, content: str) -> str:
     lines = content.split("\n")
     k = int(rng.integers(1, 4))
@@ -200,6 +246,27 @@ def _generate_chunk(n_files: int, seed: int, chunk_idx: int) -> pd.DataFrame:
         path = f"vendor/copy_{j}_{src[1].rsplit('/', 1)[-1]}"
         commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
         rows.append((repo, path, commit, src[3], content))
+
+    # code-specific defect files (b64 blobs, hex dumps, autogenerated
+    # headers). APPENDED after the dup pass so every pre-existing row is
+    # byte-identical to earlier generator versions — fixtures that pin
+    # prefix rows stay valid.
+    n_code = max(n_files // 40, 3)
+    for j in range(n_code):
+        kind = int(rng.integers(0, 3))
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        if kind == 0:
+            content = _b64_blob_file(rng)
+        elif kind == 1:
+            content = _hex_dump_file(rng)
+        else:
+            content = _autogen_file(rng, lang)
+        repo_idx = int(rng.integers(1, n_repos))
+        repo = f"org{repo_idx % 7}/repo{repo_idx}"
+        ext = {"python": "py", "javascript": "js", "java": "java", "c": "c", "go": "go"}[lang]
+        path = f"gen/blob_{chunk_idx}_{j}.{ext}"
+        commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
+        rows.append((repo, path, commit, lang, content))
 
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 

@@ -61,6 +61,26 @@ def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
         (
             F.size(F.array_distinct(lines)).cast("double") / n_lines
         ).alias("distinct_line_ratio"),
+        # blob chars via regexp_extract_all + aggregate, NOT
+        # length(regexp_replace(...)): extract_all materializes only the
+        # matched blobs (empty array for the typical blob-free file),
+        # while replace would copy the whole document per pattern
+        _blob_chars(c, spec.B64_BLOB_PATTERN).alias("b64_blob_chars"),
+        _blob_chars(c, spec.HEX_BLOB_PATTERN).alias("hex_blob_chars"),
+        F.substring(c, 1, spec.AUTOGEN_HEAD_CHARS)
+        .rlike(spec.AUTOGEN_PATTERN)
+        .alias("autogen_head"),
+    )
+
+
+def _blob_chars(c: Column, pattern: str) -> Column:
+    """Total chars covered by runs matching ``pattern`` (a greedy
+    character-class run, so matches never overlap and the sum is the
+    covered-char count). Whole-stage codegen; null text → null."""
+    return F.aggregate(
+        F.regexp_extract_all(c, F.lit(pattern), 0),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
     )
 
 
@@ -85,6 +105,15 @@ def heuristics_pass_expr() -> Column:
             (F.col("n_lines") >= spec.DISTINCT_LINE_MIN_LINES)
             & (F.col("distinct_line_ratio") < spec.MIN_DISTINCT_LINE_RATIO)
         )
+        & (
+            F.col("b64_blob_chars")
+            <= spec.MAX_B64_BLOB_RATIO * F.col("n_chars")
+        )
+        & (
+            F.col("hex_blob_chars")
+            <= spec.MAX_HEX_BLOB_RATIO * F.col("n_chars")
+        )
+        & ~F.col("autogen_head")
     )
 
 
@@ -203,6 +232,15 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
             (F.col("n_lines") >= spec.DISTINCT_LINE_MIN_LINES)
             & (F.col("distinct_line_ratio") < spec.MIN_DISTINCT_LINE_RATIO),
         ),
+        (
+            "b64_blob",
+            F.col("b64_blob_chars") > spec.MAX_B64_BLOB_RATIO * F.col("n_chars"),
+        ),
+        (
+            "hex_blob",
+            F.col("hex_blob_chars") > spec.MAX_HEX_BLOB_RATIO * F.col("n_chars"),
+        ),
+        ("autogenerated", F.col("autogen_head")),
         ("high_perplexity", F.col("log_ppl") > spec.MAX_LOG_PERPLEXITY),
         ("langid_low_margin", F.col("langid_margin") < spec.MIN_LANGID_MARGIN),
         ("langid_mismatch", F.col("lang_pred") != F.col(claimed_lang)),

@@ -1783,6 +1783,9 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alnum_ratio", 6).alias("alnum_ratio"),
         F.round("digit_ratio", 6).alias("digit_ratio"),
         F.round("distinct_line_ratio", 6).alias("distinct_line_ratio"),
+        "b64_blob_chars",
+        "hex_blob_chars",
+        "autogen_head",
         (
             (F.col("n_chars") >= spec.MIN_CHARS)
             & (F.col("max_line_len") <= spec.MAX_LINE_LENGTH)
@@ -1868,16 +1871,46 @@ nb_g AS (
 )"""
 
 
+def _blob_sql() -> str:
+    """Blob/provenance columns of the pipeline's code heuristics
+    (pipeline/stages.py:with_heuristics) — patterns imported from
+    pipeline/spec.py, never re-derived here. Total covered chars of the
+    greedy character-class runs; null text stays null like Spark."""
+    from data_curator_spark.pipeline import spec
+
+    def covered(pat: str) -> str:
+        return (
+            "CASE WHEN text IS NULL THEN NULL ELSE "
+            "CAST(COALESCE(list_aggregate(list_transform("
+            f"regexp_extract_all(text, '{pat}'), x -> length(x)), 'sum'), 0)"
+            " AS BIGINT) END"
+        )
+
+    return f"""
+bl AS (
+  SELECT doc_id,
+         {covered(spec.B64_BLOB_PATTERN)} AS b64_blob_chars,
+         {covered(spec.HEX_BLOB_PATTERN)} AS hex_blob_chars,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           regexp_matches(substr(text, 1, {spec.AUTOGEN_HEAD_CHARS}),
+                          '{spec.AUTOGEN_PATTERN}') END AS autogen_head
+  FROM documents
+)"""
+
+
 SQL_DOC_QUALITY_STATS = f"""
 WITH ts AS ({SQL_DOC_TOKEN_STATS}), ch AS ({SQL_CORPUS_HEURISTICS}),
+{_blob_sql()},
 {_nb_langid_sql()}
 SELECT ts.doc_id, ts.ws_tokens, ts.bpe_tokens, ts.mean_word_len,
        ts.punct_ratio, ts.stop_ratio,
        ch.n_chars, ch.n_lines, ch.max_line_len, ch.avg_line_len,
        ch.alnum_ratio, ch.digit_ratio, ch.distinct_line_ratio,
+       bl.b64_blob_chars, bl.hex_blob_chars, bl.autogen_head,
        ch.heuristics_pass,
        nb.nb_pred, nb.nb_margin_unats
 FROM ts JOIN ch ON ts.doc_id = ch.doc_id
+JOIN bl ON ts.doc_id = bl.doc_id
 LEFT JOIN nb ON ts.doc_id = nb.doc_id
 """
 
