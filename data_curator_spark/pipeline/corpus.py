@@ -148,6 +148,16 @@ def _autogen_file(rng: np.random.Generator, lang: str) -> str:
     return marker + "\n" + _normal_file(rng, lang)
 
 
+def _counter_file(rng: np.random.Generator, lang: str) -> str:
+    # counter-templated lines: every line DISTINCT (the distinct-line
+    # rule can't see it) yet information content near zero — only the
+    # zlib compression-ratio rule catches it
+    kw = _KEYWORDS[lang]
+    stem = " ".join(kw[int(rng.integers(0, len(kw)))] for _ in range(6))
+    n = int(rng.integers(40, 90))
+    return "\n".join(f"{stem} {j}" for j in range(n))
+
+
 def _inject_pii(rng: np.random.Generator, content: str) -> str:
     lines = content.split("\n")
     k = int(rng.integers(1, 4))
@@ -251,16 +261,18 @@ def _generate_chunk(n_files: int, seed: int, chunk_idx: int) -> pd.DataFrame:
     # headers). APPENDED after the dup pass so every pre-existing row is
     # byte-identical to earlier generator versions — fixtures that pin
     # prefix rows stay valid.
-    n_code = max(n_files // 40, 3)
+    n_code = max(n_files // 40, 4)
     for j in range(n_code):
-        kind = int(rng.integers(0, 3))
+        kind = int(rng.integers(0, 4))
         lang = LANGS[int(rng.integers(0, len(LANGS)))]
         if kind == 0:
             content = _b64_blob_file(rng)
         elif kind == 1:
             content = _hex_dump_file(rng)
-        else:
+        elif kind == 2:
             content = _autogen_file(rng, lang)
+        else:
+            content = _counter_file(rng, lang)
         repo_idx = int(rng.integers(1, n_repos))
         repo = f"org{repo_idx % 7}/repo{repo_idx}"
         ext = {"python": "py", "javascript": "js", "java": "java", "c": "c", "go": "go"}[lang]

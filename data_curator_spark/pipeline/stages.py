@@ -133,8 +133,13 @@ def with_model_scores(
     b_langs = sc.broadcast(list(langid.langs))
     b_logp = sc.broadcast(lm.logp)
 
-    @F.pandas_udf("struct<lang_pred:string, langid_margin:double, log_ppl:double>")
+    @F.pandas_udf(
+        "struct<lang_pred:string, langid_margin:double, log_ppl:double,"
+        " compress_ratio:double>"
+    )
     def score(texts: pd.Series, gate_mask: pd.Series) -> pd.DataFrame:
+        import zlib
+
         model = LangIdModel(
             langs=tuple(b_langs.value), weights=b_weights.value, priors=b_priors.value
         )
@@ -144,6 +149,7 @@ def with_model_scores(
         lang_pred = np.full(n, None, dtype=object)
         margin = np.full(n, np.nan)
         ppl = np.full(n, np.nan)
+        comp = np.full(n, np.nan)
         idx = np.where(keep)[0]
         if len(idx):
             docs = texts.iloc[idx].fillna("").tolist()
@@ -152,8 +158,17 @@ def with_model_scores(
             lang_pred[idx] = np.array(b_langs.value, dtype=object)[best]
             margin[idx] = m
             ppl[idx] = p
+            comp[idx] = [
+                len(zlib.compress(b, spec.ZLIB_LEVEL)) / max(len(b), 1)
+                for b in (d.encode("utf-8") for d in docs)
+            ]
         return pd.DataFrame(
-            {"lang_pred": lang_pred, "langid_margin": margin, "log_ppl": ppl}
+            {
+                "lang_pred": lang_pred,
+                "langid_margin": margin,
+                "log_ppl": ppl,
+                "compress_ratio": comp,
+            }
         )
 
     # gating happens INSIDE the one-pass UDF: splitting the frame and
@@ -162,7 +177,11 @@ def with_model_scores(
     gate_col = F.lit(True) if gate is None else gate
     scored = df.withColumn("__scores", score(F.col(content), gate_col))
     return scored.select(
-        "*", "__scores.lang_pred", "__scores.langid_margin", "__scores.log_ppl"
+        "*",
+        "__scores.lang_pred",
+        "__scores.langid_margin",
+        "__scores.log_ppl",
+        "__scores.compress_ratio",
     ).drop("__scores")
 
 
@@ -241,6 +260,10 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
             F.col("hex_blob_chars") > spec.MAX_HEX_BLOB_RATIO * F.col("n_chars"),
         ),
         ("autogenerated", F.col("autogen_head")),
+        (
+            "compressible",
+            F.col("compress_ratio") < spec.MIN_COMPRESS_RATIO,
+        ),
         ("high_perplexity", F.col("log_ppl") > spec.MAX_LOG_PERPLEXITY),
         ("langid_low_margin", F.col("langid_margin") < spec.MIN_LANGID_MARGIN),
         ("langid_mismatch", F.col("lang_pred") != F.col(claimed_lang)),

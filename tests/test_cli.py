@@ -28,7 +28,7 @@ def test_cli_corpus_and_pipeline(tmp_path):
             "--manifest", str(tmp_path / "m"), "--buckets", "4",
         )
     )
-    assert r2["rows_total"] == 210  # 200 + 5% dups
+    assert r2["rows_total"] == 215  # 200 + 5% dups + 2.5% code-defect files
     assert r2["buckets_processed"] == 4
     # resume is a no-op
     r3 = json.loads(
