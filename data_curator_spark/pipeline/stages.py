@@ -239,8 +239,17 @@ def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def vendored_path_expr(path: str = "path") -> Column:
+    """True for vendored dependency trees / minified bundles by path
+    (spec.VENDORED_PATH_PATTERN); null paths are not vendored."""
+    return F.coalesce(
+        F.col(path).rlike(spec.VENDORED_PATH_PATTERN), F.lit(False)
+    )
+
+
 def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
     checks: list[tuple[str, Column]] = [
+        ("vendored_path", vendored_path_expr()),
         ("too_short", F.col("n_chars") < spec.MIN_CHARS),
         ("long_line", F.col("max_line_len") > spec.MAX_LINE_LENGTH),
         ("long_avg_line", F.col("avg_line_len") > spec.MAX_AVG_LINE_LENGTH),
@@ -452,7 +461,9 @@ def run_stages(
     decontamination and before near-dup — so near-dup's canonical
     selection never elects a span-duplicated copy as survivor."""
     out = with_heuristics(df)
-    out = with_model_scores(out, spark, gate=heuristics_pass_expr())
+    out = with_model_scores(
+        out, spark, gate=heuristics_pass_expr() & ~vendored_path_expr()
+    )
     out = with_scrub(out)
     out = with_decision(out)
     if bench_hashes is not None:
