@@ -149,7 +149,7 @@ absorb proportionally more external interference, which can push a
 single session's efficiency above 1.0 or below target. Across repeated
 sessions the N→4N efficiency measured 0.83 / 0.75 / 1.09 / 0.86 (round 1),
 0.961 (round 2), 0.951 (round 3), 0.845 (round 4), 0.931 (round 5),
-0.918 and 0.883 (round 6, two sessions — the second on the full 13-rule
+0.918 and 0.883 (round 6, two sessions — the second on the full 14-rule
 pipeline) — consistently at or above the 0.8 target; every session's raw
 runs are reported so the spread is inspectable.
 

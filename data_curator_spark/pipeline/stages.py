@@ -61,26 +61,50 @@ def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
         (
             F.size(F.array_distinct(lines)).cast("double") / n_lines
         ).alias("distinct_line_ratio"),
-        # blob chars via regexp_extract_all + aggregate, NOT
+        # blob chars via ONE fused regexp_extract_all + aggregates, NOT
         # length(regexp_replace(...)): extract_all materializes only the
-        # matched blobs (empty array for the typical blob-free file),
-        # while replace would copy the whole document per pattern
-        _blob_chars(c, spec.B64_BLOB_PATTERN).alias("b64_blob_chars"),
-        _blob_chars(c, spec.HEX_BLOB_PATTERN).alias("hex_blob_chars"),
+        # matched runs (empty array for the typical blob-free file),
+        # while replace would copy the whole document per pattern — and
+        # the fusion halves the full-document regex scans (the b64 and
+        # hex alphabets share a superset run extraction; spec.py has the
+        # soundness argument). Catalyst subexpression elimination shares
+        # the extraction between the two output columns.
+        _b64_chars_fused(c).alias("b64_blob_chars"),
+        _hex_chars_fused(c).alias("hex_blob_chars"),
         F.substring(c, 1, spec.AUTOGEN_HEAD_CHARS)
         .rlike(spec.AUTOGEN_PATTERN)
         .alias("autogen_head"),
     )
 
 
-def _blob_chars(c: Column, pattern: str) -> Column:
-    """Total chars covered by runs matching ``pattern`` (a greedy
-    character-class run, so matches never overlap and the sum is the
-    covered-char count). Whole-stage codegen; null text → null."""
+def _superset_runs(c: Column) -> Column:
+    return F.regexp_extract_all(c, F.lit(spec.BLOB_SUPERSET_PATTERN), 0)
+
+
+def _len_sum(arr: Column) -> Column:
     return F.aggregate(
-        F.regexp_extract_all(c, F.lit(pattern), 0),
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _b64_chars_fused(c: Column) -> Column:
+    """Chars covered by B64_BLOB_PATTERN matches == superset runs of
+    length >= B64_BLOB_RUN (same alphabet, both maximal); null → null."""
+    return _len_sum(
+        F.filter(
+            _superset_runs(c), lambda r: F.length(r) >= spec.B64_BLOB_RUN
+        )
+    )
+
+
+def _hex_chars_fused(c: Column) -> Column:
+    """Chars covered by HEX_BLOB_PATTERN matches: the inner extraction
+    re-scans only the (rare) superset runs, never the document."""
+    return F.aggregate(
+        _superset_runs(c),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x),
+        lambda acc, r: acc
+        + _len_sum(F.regexp_extract_all(r, F.lit(spec.HEX_BLOB_PATTERN), 0)),
     )
 
 

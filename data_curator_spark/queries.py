@@ -1758,8 +1758,10 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     separable data). Components remain in LEGACY_QUERIES."""
     from data_curator_spark.functions import text as T
     from data_curator_spark.operators.classifier import nb_langid
-    from data_curator_spark.pipeline import spec
-    from data_curator_spark.pipeline.stages import with_heuristics
+    from data_curator_spark.pipeline.stages import (
+        heuristics_pass_expr,
+        with_heuristics,
+    )
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("content")
@@ -1786,13 +1788,12 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b64_blob_chars",
         "hex_blob_chars",
         "autogen_head",
-        (
-            (F.col("n_chars") >= spec.MIN_CHARS)
-            & (F.col("max_line_len") <= spec.MAX_LINE_LENGTH)
-            & (F.col("avg_line_len") <= spec.MAX_AVG_LINE_LENGTH)
-            & (F.col("alnum_ratio") >= spec.MIN_ALNUM_RATIO)
-            & (F.col("digit_ratio") <= spec.MAX_DIGIT_RATIO)
-        ).alias("heuristics_pass"),
+        # the pipeline's FULL content gate (stages.heuristics_pass_expr:
+        # 5 scalar rules + repetitive + blob/autogen) — single source, so
+        # this row can never drift from what stage 1 actually gates.
+        # vendored_path (needs a path column) and compressible
+        # (model-stage) are out of scope for the documents table.
+        heuristics_pass_expr().alias("heuristics_pass"),
     ).join(nb, on="doc_id", how="left")
 
 
@@ -1872,10 +1873,14 @@ nb_g AS (
 
 
 def _blob_sql() -> str:
-    """Blob/provenance columns of the pipeline's code heuristics
-    (pipeline/stages.py:with_heuristics) — patterns imported from
-    pipeline/spec.py, never re-derived here. Total covered chars of the
-    greedy character-class runs; null text stays null like Spark."""
+    """Blob/provenance columns + the FULL content heuristics gate of the
+    pipeline (pipeline/stages.py:with_heuristics / heuristics_pass_expr)
+    — patterns and thresholds imported from pipeline/spec.py, never
+    re-derived here. Blob chars = total covered chars of the greedy
+    character-class runs; the gate recomputes every ratio UNROUNDED from
+    raw text (the rounded ch columns are display values — a ratio within
+    5e-7 of a threshold must gate identically to Spark). Null text stays
+    null like Spark."""
     from data_curator_spark.pipeline import spec
 
     def covered(pat: str) -> str:
@@ -1887,14 +1892,43 @@ def _blob_sql() -> str:
         )
 
     return f"""
-bl AS (
-  SELECT doc_id,
+bl0 AS (
+  SELECT doc_id, text,
          {covered(spec.B64_BLOB_PATTERN)} AS b64_blob_chars,
          {covered(spec.HEX_BLOB_PATTERN)} AS hex_blob_chars,
          CASE WHEN text IS NULL THEN NULL ELSE
            regexp_matches(substr(text, 1, {spec.AUTOGEN_HEAD_CHARS}),
-                          '{spec.AUTOGEN_PATTERN}') END AS autogen_head
+                          '{spec.AUTOGEN_PATTERN}') END AS autogen_head,
+         length(text) AS bn_chars,
+         len(string_split(text, chr(10))) AS bn_lines,
+         list_max(list_transform(string_split(text, chr(10)),
+                                 x -> length(x))) AS bmax_line,
+         CAST(length(text) - len(string_split(text, chr(10))) + 1
+              AS DOUBLE) / len(string_split(text, chr(10))) AS bavg_line,
+         CAST(length(text) -
+              length(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS balnum,
+         CAST(length(text) -
+              length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS bdigit,
+         CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+           / len(string_split(text, chr(10))) AS bdistinct
   FROM documents
+), bl AS (
+  SELECT doc_id, b64_blob_chars, hex_blob_chars, autogen_head,
+         (bn_chars >= {spec.MIN_CHARS}
+          AND bmax_line <= {spec.MAX_LINE_LENGTH}
+          AND bavg_line <= {spec.MAX_AVG_LINE_LENGTH}
+          AND balnum >= {spec.MIN_ALNUM_RATIO}
+          AND bdigit <= {spec.MAX_DIGIT_RATIO}
+          AND NOT (bn_lines >= {spec.DISTINCT_LINE_MIN_LINES}
+                   AND bdistinct < {spec.MIN_DISTINCT_LINE_RATIO})
+          AND b64_blob_chars <=
+              CAST({spec.MAX_B64_BLOB_RATIO} AS DOUBLE) * bn_chars
+          AND hex_blob_chars <=
+              CAST({spec.MAX_HEX_BLOB_RATIO} AS DOUBLE) * bn_chars
+          AND NOT autogen_head) AS heuristics_pass
+  FROM bl0
 )"""
 
 
@@ -1907,7 +1941,7 @@ SELECT ts.doc_id, ts.ws_tokens, ts.bpe_tokens, ts.mean_word_len,
        ch.n_chars, ch.n_lines, ch.max_line_len, ch.avg_line_len,
        ch.alnum_ratio, ch.digit_ratio, ch.distinct_line_ratio,
        bl.b64_blob_chars, bl.hex_blob_chars, bl.autogen_head,
-       ch.heuristics_pass,
+       bl.heuristics_pass,
        nb.nb_pred, nb.nb_margin_unats
 FROM ts JOIN ch ON ts.doc_id = ch.doc_id
 JOIN bl ON ts.doc_id = bl.doc_id

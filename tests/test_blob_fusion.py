@@ -1,0 +1,77 @@
+"""The fused single-scan blob counters (stages._b64_chars_fused /
+_hex_chars_fused) must equal direct per-pattern extraction — the
+soundness claim in spec.py, checked on adversarial run layouts."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_curator_spark.pipeline import spec
+
+B = spec.B64_BLOB_RUN
+H = spec.HEX_BLOB_RUN
+
+
+def _direct(text: str, pattern: str) -> int:
+    return sum(len(m) for m in re.findall(pattern, text))
+
+
+CASES = [
+    "",
+    "plain code line with identifiers",
+    # pure hex run below/at/above both thresholds
+    "a" * (H - 1),
+    "a" * H,
+    "a" * B,
+    "a" * (B + 5),
+    # b64 run (contains '+') at b64 threshold — hex sub-runs split by '+'
+    ("f" * 40) + "+" + ("e" * 40),  # 81-char superset run >= B
+    ("f" * 20) + "+" + ("e" * 20),  # 41-char superset run < B, hex subs < H
+    ("f" * 35) + "+" + ("e" * 35),  # both hex sub-runs >= H, superset >= B? 71>=64
+    # superset run >= H but < B with one long hex sub-run
+    ("f" * 33) + "+",
+    # '=' padding and digits
+    "QUJD" * 20 + "==",
+    # runs broken by spaces/newlines
+    ("a" * H + " ") * 3,
+    "0x" + "ab" * 20 + ",\n0x" + "cd" * 25,
+    # uppercase hex inside mixed-case b64
+    ("A" * 30) + ("g" * 30) + ("B" * 30),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(CASES)))
+def test_fused_equals_direct(spark, idx):
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.pipeline.stages import (
+        _b64_chars_fused,
+        _hex_chars_fused,
+    )
+
+    text = CASES[idx]
+    df = spark.createDataFrame([(text,)], "content string")
+    got = df.select(
+        _b64_chars_fused(F.col("content")).alias("b64"),
+        _hex_chars_fused(F.col("content")).alias("hex"),
+    ).collect()[0]
+    assert got["b64"] == _direct(text, spec.B64_BLOB_PATTERN), text
+    assert got["hex"] == _direct(text, spec.HEX_BLOB_PATTERN), text
+
+
+def test_fused_null_text(spark):
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.pipeline.stages import (
+        _b64_chars_fused,
+        _hex_chars_fused,
+    )
+
+    df = spark.createDataFrame([(None,)], "content string")
+    got = df.select(
+        _b64_chars_fused(F.col("content")).alias("b64"),
+        _hex_chars_fused(F.col("content")).alias("hex"),
+    ).collect()[0]
+    assert got["b64"] is None and got["hex"] is None

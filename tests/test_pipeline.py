@@ -72,11 +72,13 @@ def test_sha256_preserved_for_untouched_rows(labels, spark_result):
 
 
 def test_every_rule_fires_in_corpus(labels):
+    from data_curator_spark.pipeline import spec
+
     reasons = set(labels["drop_reason"].dropna())
-    assert {"long_line", "high_digit", "repetitive", "high_perplexity",
-            "langid_mismatch", "langid_low_margin",
-            "b64_blob", "hex_blob", "autogenerated",
-            "compressible", "vendored_path"} <= reasons
+    # every registered rule must fire in the seed-42 corpus EXCEPT
+    # too_short: the generator has no sub-20-char kind (its defect files
+    # are long), so requiring it would pin a kind that doesn't exist
+    assert set(spec.RULE_NAMES) - {"too_short"} <= reasons
 
 
 def test_salted_buckets_defuse_mega_repo(spark, corpus_path):
