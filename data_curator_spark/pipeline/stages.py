@@ -34,6 +34,12 @@ from data_curator_spark.pipeline.model import BigramLM, LangIdModel, build_bigra
 # ---------------------------------------------------------------------------
 
 
+_ALNUM_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
+_DIGIT_CHARS = "0123456789"
+
+
 def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
     c = F.col(content)
     lines = F.split(c, "\n")
@@ -47,15 +53,22 @@ def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
         n_lines.alias("n_lines"),
         F.array_max(F.transform(lines, lambda x: F.length(x))).alias("max_line_len"),
         avg_line.alias("avg_line_len"),
-        # regexp_count, NOT length(regexp_replace(...)): the replace
-        # variant materializes a second ~full-size string per row (5×
-        # slower, heavy allocation/GC at scale)
+        # translate()-delete, NOT regexp_count: Spark 4 lowers
+        # regexp_count to size(regexp_extract_all(...)), materializing
+        # one array element PER MATCHED CHARACTER — measured 1.9× slower
+        # than the branch-free translate scan. Exact for these literal
+        # ASCII classes (and the DuckDB oracle / pandas labeler count the
+        # same chars by their own methods, so parity is on values).
         (
-            F.regexp_count(c, F.lit("[A-Za-z0-9]")).cast("double")
+            (n_chars - F.length(F.translate(c, _ALNUM_CHARS, ""))).cast(
+                "double"
+            )
             / F.greatest(n_chars, F.lit(1))
         ).alias("alnum_ratio"),
         (
-            F.regexp_count(c, F.lit("[0-9]")).cast("double")
+            (n_chars - F.length(F.translate(c, _DIGIT_CHARS, ""))).cast(
+                "double"
+            )
             / F.greatest(n_chars, F.lit(1))
         ).alias("digit_ratio"),
         (
@@ -222,7 +235,6 @@ def scrub_expr(content: Column) -> Column:
 
 
 def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
-    c = F.col(content)
     # fire flag = CHANGE DETECTION on the progressively-scrubbed chain
     # (rule fired ⟺ its replacement modified the text), the same
     # intermediate the labeler tests (ADVICE r1). This both removes the
@@ -231,29 +243,42 @@ def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
     # replace outputs the chain computes anyway. It also makes
     # "scrub_rules_fired is empty ⟺ sha256 unchanged" exact by
     # construction.
-    fired = []
-    cur = c
-    for name, pattern, repl in spec.SCRUB_RULES:
-        nxt = F.regexp_replace(cur, pattern, repl)
-        fired.append(F.when(nxt != cur, F.lit(name)))
-        cur = nxt
-    scrubbed = cur
-    fired_arr = F.array_compact(F.array(*fired))
-    sha_orig = F.sha2(c, 256)
+    #
+    # STRUCTURE MATTERS: each chain step is materialized as its own
+    # withColumn and downstream expressions reference the COLUMN, never
+    # the expression tree. Building the chain as one nested expression
+    # inlined every prior replace into every fired flag and sha — the
+    # executed plan carried 60 regexp_replace instances instead of 5
+    # (measured 4.6× slower on the bench corpus). CollapseProject keeps
+    # these projections separate because regexp_replace is non-cheap and
+    # each intermediate is referenced more than once.
+    out = df
+    prev = content
+    steps: list[tuple[str, str, str]] = []  # (rule, prev_col, this_col)
+    for i, (name, pattern, repl) in enumerate(spec.SCRUB_RULES):
+        col = f"__scrub{i}"
+        out = out.withColumn(col, F.regexp_replace(F.col(prev), pattern, repl))
+        steps.append((name, prev, col))
+        prev = col
+    fired_arr = F.array_compact(
+        F.array(
+            *[F.when(F.col(c) != F.col(p), F.lit(n)) for n, p, c in steps]
+        )
+    )
+    out = out.withColumn("__fired", fired_arr)
     # no rule fired ⟹ scrubbed IS the original text: reuse its sha
     # instead of hashing the full content a second time (most docs are
     # untouched, and sha256 over content is one of the pass's largest
     # per-row costs; the value is identical by the fired ⟺ changed
-    # contract above, so this is pure savings). Catalyst's
-    # subexpression elimination shares sha_orig/fired_arr across the
-    # two projections.
-    return df.select(
-        "*",
-        scrubbed.alias("content_scrubbed"),
-        fired_arr.alias("scrub_rules_fired"),
-        sha_orig.alias("sha256_original"),
-        F.when(F.size(fired_arr) == 0, sha_orig)
-        .otherwise(F.sha2(scrubbed, 256))
+    # contract above, so this is pure savings).
+    out = out.withColumn("__sha_orig", F.sha2(F.col(content), 256))
+    return out.select(
+        *df.columns,
+        F.col(prev).alias("content_scrubbed"),
+        F.col("__fired").alias("scrub_rules_fired"),
+        F.col("__sha_orig").alias("sha256_original"),
+        F.when(F.size(F.col("__fired")) == 0, F.col("__sha_orig"))
+        .otherwise(F.sha2(F.col(prev), 256))
         .alias("sha256_scrubbed"),
     )
 
@@ -485,9 +510,15 @@ def run_stages(
     decontamination and before near-dup — so near-dup's canonical
     selection never elects a span-duplicated copy as survivor."""
     out = with_heuristics(df)
-    out = with_model_scores(
-        out, spark, gate=heuristics_pass_expr() & ~vendored_path_expr()
+    # materialize the gate as a COLUMN: passing the expression tree
+    # inlined the blob-counter extractions a second time into the
+    # UDF-stage projection (same CollapseProject trap the scrub chain
+    # documents) — an attribute reference cannot be re-inlined
+    out = out.withColumn(
+        "__gate", heuristics_pass_expr() & ~vendored_path_expr()
     )
+    out = with_model_scores(out, spark, gate=F.col("__gate"))
+    out = out.drop("__gate")
     out = with_scrub(out)
     out = with_decision(out)
     if bench_hashes is not None:
