@@ -172,10 +172,32 @@ def with_model_scores(
 
     @F.pandas_udf(
         "struct<lang_pred:string, langid_margin:double, log_ppl:double,"
-        " compress_ratio:double>"
+        " compress_ratio:double, secret_entropy:double>"
     )
     def score(texts: pd.Series, gate_mask: pd.Series) -> pd.DataFrame:
+        import math
+        import re
         import zlib
+
+        secret_rx = re.compile(spec.SECRET_LITERAL_PATTERN)
+
+        def max_literal_entropy(doc: str) -> float:
+            # Shannon bits/char of the highest-entropy quoted literal;
+            # 0.0 when no literal matches. Deterministic summation
+            # (sorted counts) so the pandas labeler's independent
+            # implementation is bit-identical.
+            best = 0.0
+            for lit in secret_rx.findall(doc):
+                n = len(lit)
+                counts = sorted(
+                    lit.count(ch) for ch in sorted(set(lit))
+                )
+                h = math.log2(n) - sum(
+                    c * math.log2(c) for c in counts
+                ) / n
+                if h > best:
+                    best = h
+            return best
 
         model = LangIdModel(
             langs=tuple(b_langs.value), weights=b_weights.value, priors=b_priors.value
@@ -187,6 +209,7 @@ def with_model_scores(
         margin = np.full(n, np.nan)
         ppl = np.full(n, np.nan)
         comp = np.full(n, np.nan)
+        sent = np.full(n, np.nan)
         idx = np.where(keep)[0]
         if len(idx):
             docs = texts.iloc[idx].fillna("").tolist()
@@ -199,12 +222,14 @@ def with_model_scores(
                 len(zlib.compress(b, spec.ZLIB_LEVEL)) / max(len(b), 1)
                 for b in (d.encode("utf-8") for d in docs)
             ]
+            sent[idx] = [max_literal_entropy(d) for d in docs]
         return pd.DataFrame(
             {
                 "lang_pred": lang_pred,
                 "langid_margin": margin,
                 "log_ppl": ppl,
                 "compress_ratio": comp,
+                "secret_entropy": sent,
             }
         )
 
@@ -219,6 +244,7 @@ def with_model_scores(
         "__scores.langid_margin",
         "__scores.log_ppl",
         "__scores.compress_ratio",
+        "__scores.secret_entropy",
     ).drop("__scores")
 
 
@@ -321,6 +347,10 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
         (
             "compressible",
             F.col("compress_ratio") < spec.MIN_COMPRESS_RATIO,
+        ),
+        (
+            "secret_entropy",
+            F.col("secret_entropy") > spec.MAX_SECRET_ENTROPY,
         ),
         ("high_perplexity", F.col("log_ppl") > spec.MAX_LOG_PERPLEXITY),
         ("langid_low_margin", F.col("langid_margin") < spec.MIN_LANGID_MARGIN),

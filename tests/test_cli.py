@@ -28,7 +28,8 @@ def test_cli_corpus_and_pipeline(tmp_path):
             "--manifest", str(tmp_path / "m"), "--buckets", "4",
         )
     )
-    assert r2["rows_total"] == 215  # 200 + 5% dups + 2.5% code-defect files
+    # 200 + 5% dups + code-defect files (max(n//40, 6) = 6 at n=200)
+    assert r2["rows_total"] == 216
     assert r2["buckets_processed"] == 4
     # resume is a no-op
     r3 = json.loads(
