@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
         "(e.g. 5000 = half the file), drop_reason=dup_spans",
     )
     p.add_argument(
+        "--cdc-dup-bp", type=int, default=None, metavar="BASIS_POINTS",
+        help="enable the corpus-level content-defined-chunk duplication "
+        "stage: drop files whose byte coverage by CDC chunks duplicated "
+        "anywhere else in the corpus reaches this many basis points "
+        "(shift-robust complement to --span-dedup-bp), "
+        "drop_reason=dup_chunks",
+    )
+    p.add_argument(
         "--layout", choices=["overwrite", "mvcc"], default="overwrite",
         help="overwrite = one physical copy per bucket (default); "
         "mvcc = immutable run partitions with time travel + vacuum",
@@ -137,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                 near_dup=args.near_dup,
                 bench_hashes=bench_hashes,
                 span_dedup_bp=args.span_dedup_bp,
+                cdc_dup_bp=args.cdc_dup_bp,
             )
         else:
             from data_curator_spark.pipeline.runner import run_pipeline
@@ -146,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_buckets=args.buckets, near_dup=args.near_dup,
                 bench_hashes=bench_hashes,
                 span_dedup_bp=args.span_dedup_bp,
+                cdc_dup_bp=args.cdc_dup_bp,
             )
         print(json.dumps(stats))
         spark.stop()

@@ -447,6 +447,7 @@ def run_pipeline_mvcc(
     near_dup: bool = False,
     bench_hashes: list[int] | None = None,
     span_dedup_bp: int | None = None,
+    cdc_dup_bp: int | None = None,
 ) -> dict:
     """Run/resume the pipeline with the MVCC layout.
 
@@ -472,7 +473,7 @@ def run_pipeline_mvcc(
 
     result = run_stages(
         todo, spark, near_dup=near_dup, bench_hashes=bench_hashes,
-        span_dedup_bp=span_dedup_bp,
+        span_dedup_bp=span_dedup_bp, cdc_dup_bp=cdc_dup_bp,
     ).select("bucket", *OUTPUT_COLS)
     observation, result = attach_lineage_observation(result, run_id)
     # IMMUTABLE write: append under this run's partition — never touches

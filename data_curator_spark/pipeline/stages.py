@@ -513,12 +513,73 @@ def with_span_dedup(
     )
 
 
+def with_cdc_dedup(
+    df: DataFrame,
+    content: str = "content_scrubbed",
+    id_cols: tuple[str, str] = ("repo", "path"),
+    max_bp: int = 5000,
+    min_len: int = 16,
+    avg_len: int = 64,
+    max_len: int = 512,
+) -> DataFrame:
+    """Optional corpus-level SHIFT-ROBUST duplication marking stage:
+    demote keep=true rows whose content-defined-chunk duplication
+    (operators/cdc.py:cdc_dup_stats — bytes in Gear/FastCDC chunks whose
+    hash occurs more than once corpus-wide) reaches ``max_bp`` basis
+    points. Demoted rows flip to keep=false / drop_reason='dup_chunks'.
+    Complements with_span_dedup: token windows need tokenizable text,
+    CDC chunk identity survives arbitrary byte insertions — the
+    granularity for minified/binary-ish content. Content is NOT
+    rewritten (sha256 contract holds for every row).
+
+    Corpus-global stage — same full-pass caveat as ``with_near_dup``.
+
+    Scale shape: chunk rows carry ids + 8-byte hashes only; duplication
+    is one count window on chunk_hash; the demotion table is filtered to
+    over-threshold docs before the size-gated-broadcast join back.
+
+    Chunk-size defaults are CODE-TUNED, smaller than the operator's
+    (16/64/512 vs 32/256/1024): source files repeat a small token
+    vocabulary, so distinct 64-byte Gear windows are far fewer than
+    positions and an 8-bit boundary condition (avg 256) can starve —
+    measured 0 boundary candidates on a 1.6 KB synthetic file, i.e.
+    only position-defined max_len cuts, which defeats shift-robustness.
+    A 6-bit condition (avg 64 ≈ line granularity) keeps boundary
+    density healthy on 57/69 sampled corpus files."""
+    from data_curator_spark.engine.cache import persist_tracked
+    from data_curator_spark.operators.cdc import cdc_dup_stats
+    from data_curator_spark.operators.dedup import size_gated_broadcast
+
+    keyed = df.withColumn("__doc_id", _doc_identity(id_cols))
+    flagged = persist_tracked(
+        cdc_dup_stats(
+            keyed, "__doc_id", content,
+            min_len=min_len, avg_len=avg_len, max_len=max_len,
+        )
+        .filter(F.col("dup_chunk_bp") >= max_bp)
+        .select(F.col("__doc_id"), "dup_chunk_bp")
+    )
+    out = keyed.join(size_gated_broadcast(flagged), on="__doc_id", how="left")
+    demoted = F.col("keep") & F.col("dup_chunk_bp").isNotNull()
+    return (
+        out.withColumn(
+            "drop_reason",
+            F.when(demoted, F.lit("dup_chunks")).otherwise(
+                F.col("drop_reason")
+            ),
+        )
+        .withColumn("keep", F.col("keep") & ~demoted)
+        .drop("__doc_id", "dup_chunk_bp")
+    )
+
+
 def run_stages(
     df: DataFrame,
     spark: SparkSession,
     near_dup: bool = False,
     bench_hashes: list[int] | None = None,
     span_dedup_bp: int | None = None,
+    cdc_dup_bp: int | None = None,
 ) -> DataFrame:
     """Full stage chain over the raw corpus table. Model scoring is
     gated on the heuristics (contract: model columns are null for
@@ -538,7 +599,12 @@ def run_stages(
     ``span_dedup_bp`` (basis points, None=off) appends the ExactSubstr
     duplicated-span demotion stage (with_span_dedup), after
     decontamination and before near-dup — so near-dup's canonical
-    selection never elects a span-duplicated copy as survivor."""
+    selection never elects a span-duplicated copy as survivor.
+
+    ``cdc_dup_bp`` (basis points, None=off) appends the shift-robust
+    content-defined-chunk demotion stage (with_cdc_dedup), after
+    span-dedup and before near-dup, for the same canonical-selection
+    reason."""
     out = with_heuristics(df)
     # materialize the gate as a COLUMN: passing the expression tree
     # inlined the blob-counter extractions a second time into the
@@ -563,4 +629,6 @@ def run_stages(
         out = streaming_contamination(out, bench_hashes)
     if span_dedup_bp is not None:
         out = with_span_dedup(out, max_bp=span_dedup_bp)
+    if cdc_dup_bp is not None:
+        out = with_cdc_dedup(out, max_bp=cdc_dup_bp)
     return with_near_dup(out) if near_dup else out

@@ -1,0 +1,82 @@
+"""with_cdc_dedup pipeline stage: shift-robust chunk-duplication
+demotion end to end through run_stages, plus the --cdc-dup-bp CLI
+surface via the runner kwarg."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_curator_spark.pipeline.corpus import generate_corpus
+from data_curator_spark.pipeline.stages import run_stages
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    """A corpus where one KEPT document exists twice — the second copy
+    with 40 prepended bytes (every position-defined hash shifts) — plus
+    the untouched rest of a small synthetic corpus."""
+    base = generate_corpus(60, seed=13)
+    plain = run_stages(
+        spark.createDataFrame(base), spark
+    ).select("repo", "path", "keep").toPandas()
+    kept = plain[plain.keep]
+    # pick a kept doc with enough bytes to span several CDC chunks
+    merged = base.merge(kept, on=["repo", "path"])
+    merged = merged[merged.content.str.len() > 1500]
+    assert len(merged) > 0
+    src = merged.iloc[0]
+    shifted = "// prepended header line of 40 bytes __\n" + src["content"]
+    extra = base.iloc[:0].copy()
+    extra.loc[0] = [src["repo"], "src/copyA_cdc.py", "c" * 40,
+                    src["lang"], src["content"]]
+    extra.loc[1] = [src["repo"], "src/copyB_cdc.py", "d" * 40,
+                    src["lang"], shifted]
+    import pandas as pd
+
+    full = pd.concat(
+        [base[(base.repo != src["repo"]) | (base.path != src["path"])],
+         extra],
+        ignore_index=True,
+    )
+    return spark.createDataFrame(full), src
+
+
+def test_cdc_stage_demotes_shifted_copies(spark, frame):
+    df, src = frame
+    out = run_stages(df, spark, cdc_dup_bp=3000).select(
+        "repo", "path", "keep", "drop_reason",
+        "sha256_original", "sha256_scrubbed", "scrub_rules_fired",
+    ).toPandas()
+    copies = out[out.path.isin(["src/copyA_cdc.py", "src/copyB_cdc.py"])]
+    assert len(copies) == 2
+    # both copies demoted by chunk duplication despite the 40-byte shift
+    assert (~copies.keep).all()
+    assert (copies.drop_reason == "dup_chunks").all()
+    # content untouched: marking only, sha contract intact
+    untouched = copies[copies.scrub_rules_fired.map(len) == 0]
+    assert (untouched.sha256_original == untouched.sha256_scrubbed).all()
+
+
+def test_cdc_stage_high_threshold_noop(spark, frame):
+    df, _ = frame
+    plain = run_stages(df, spark).select("repo", "path", "keep", "drop_reason")
+    gated = run_stages(df, spark, cdc_dup_bp=10001).select(
+        "repo", "path", "keep", "drop_reason"
+    )
+    assert plain.exceptAll(gated).count() == 0
+    assert gated.exceptAll(plain).count() == 0
+
+
+def test_cdc_stage_only_demotes_kept_rows(spark, frame):
+    df, _ = frame
+    plain = run_stages(df, spark).select("repo", "path", "drop_reason").toPandas()
+    gated = run_stages(df, spark, cdc_dup_bp=3000).select(
+        "repo", "path", "drop_reason"
+    ).toPandas()
+    m = plain.merge(gated, on=["repo", "path"], suffixes=("_p", "_g"))
+    changed = m[m.drop_reason_p.fillna("") != m.drop_reason_g.fillna("")]
+    # every changed row was previously kept (null reason) and is now
+    # dup_chunks — already-dropped rows keep their original reason
+    assert (changed.drop_reason_p.isna()).all()
+    assert (changed.drop_reason_g == "dup_chunks").all()
