@@ -80,6 +80,18 @@ def _read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _read_data(spark: SparkSession, output_path: str) -> DataFrame:
+    """Data-table read for paths that may span runs written by DIFFERENT
+    code versions (read_current / read_snapshot / snapshot_diff):
+    mergeSchema unions every run's parquet schema instead of sampling
+    one footer, so a column added by a pipeline upgrade (e.g.
+    secret_entropy) is visible regardless of which file the sampler
+    hits; pre-upgrade rows read it as null. NOTE: a bucket REWRITTEN
+    after such an upgrade nets a non-empty snapshot_diff even for
+    byte-identical content — the new columns ARE a logical change."""
+    return spark.read.option("mergeSchema", "true").parquet(output_path)
+
+
 def _selection_predicate(pairs: list[tuple[str, int]]):
     """(run_id, bucket) pairs → a partition-literal predicate Spark can
     prune directories with. Grouped per run_id so the expression is
@@ -104,7 +116,7 @@ def read_current(spark: SparkSession, output_path: str, manifest_path: str) -> D
     """The table's CURRENT state: latest committed version of every
     bucket, resolved from the manifest, partition-pruned scan."""
     pairs = _current_pairs(spark, manifest_path)
-    df = spark.read.parquet(output_path)
+    df = _read_data(spark, output_path)
     return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
 
 
@@ -140,7 +152,7 @@ def read_snapshot(
 ) -> DataFrame:
     """Time travel: the table as of ``snapshot_id``."""
     pairs = _pairs_as_of(spark, manifest_path, snapshot_id)
-    df = spark.read.parquet(output_path)
+    df = _read_data(spark, output_path)
     return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
 
 
@@ -186,7 +198,7 @@ def snapshot_diff(
     old_pairs = [(from_map[b], b) for b in sorted(changed) if b in from_map]
     new_pairs = [(to_map[b], b) for b in sorted(changed) if b in to_map]
 
-    base = spark.read.parquet(output_path)
+    base = _read_data(spark, output_path)
     cols = ["bucket", *[c for c in OUTPUT_COLS if c in base.columns]]
 
     def _side(pairs: list[tuple[str, int]]) -> DataFrame:

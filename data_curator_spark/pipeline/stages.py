@@ -172,7 +172,8 @@ def with_model_scores(
 
     @F.pandas_udf(
         "struct<lang_pred:string, langid_margin:double, log_ppl:double,"
-        " compress_ratio:double, secret_entropy:double>"
+        " compress_ratio:double, secret_entropy:double,"
+        " secret_redacted:string>"
     )
     def score(texts: pd.Series, gate_mask: pd.Series) -> pd.DataFrame:
         import math
@@ -181,23 +182,33 @@ def with_model_scores(
 
         secret_rx = re.compile(spec.SECRET_LITERAL_PATTERN)
 
-        def max_literal_entropy(doc: str) -> float:
-            # Shannon bits/char of the highest-entropy quoted literal;
-            # 0.0 when no literal matches. Deterministic summation
-            # (sorted counts) so the pandas labeler's independent
+        def literal_entropy(lit: str) -> float:
+            # Shannon bits/char; deterministic summation (sorted
+            # counts) so the pandas labeler's independent
             # implementation is bit-identical.
+            n = len(lit)
+            counts = sorted(lit.count(ch) for ch in sorted(set(lit)))
+            return math.log2(n) - sum(
+                c * math.log2(c) for c in counts
+            ) / n
+
+        def scan_secrets(doc: str) -> tuple[float, str | None]:
+            # (max literal entropy, redacted text or None if untouched):
+            # every over-threshold literal is replaced, keeping quotes
             best = 0.0
-            for lit in secret_rx.findall(doc):
-                n = len(lit)
-                counts = sorted(
-                    lit.count(ch) for ch in sorted(set(lit))
-                )
-                h = math.log2(n) - sum(
-                    c * math.log2(c) for c in counts
-                ) / n
+
+            def sub(m):
+                nonlocal best
+                h = literal_entropy(m.group(1))
                 if h > best:
                     best = h
-            return best
+                if h > spec.MAX_SECRET_ENTROPY:
+                    whole = m.group(0)
+                    return whole[0] + spec.SECRET_REPLACEMENT + whole[-1]
+                return m.group(0)
+
+            out = secret_rx.sub(sub, doc)
+            return best, (out if out != doc else None)
 
         model = LangIdModel(
             langs=tuple(b_langs.value), weights=b_weights.value, priors=b_priors.value
@@ -209,7 +220,6 @@ def with_model_scores(
         margin = np.full(n, np.nan)
         ppl = np.full(n, np.nan)
         comp = np.full(n, np.nan)
-        sent = np.full(n, np.nan)
         idx = np.where(keep)[0]
         if len(idx):
             docs = texts.iloc[idx].fillna("").tolist()
@@ -222,7 +232,13 @@ def with_model_scores(
                 len(zlib.compress(b, spec.ZLIB_LEVEL)) / max(len(b), 1)
                 for b in (d.encode("utf-8") for d in docs)
             ]
-            sent[idx] = [max_literal_entropy(d) for d in docs]
+        # the secret scan runs UNGATED — privacy holds for every row
+        # the output persists, including heuristic-dropped ones (the
+        # named scrub regexes are likewise ungated). Cheap relative to
+        # the gated NB/LM scoring: one findall + entropy per doc.
+        scanned = [scan_secrets(d) for d in texts.fillna("").tolist()]
+        sent = np.array([s[0] for s in scanned])
+        redacted = np.array([s[1] for s in scanned], dtype=object)
         return pd.DataFrame(
             {
                 "lang_pred": lang_pred,
@@ -230,6 +246,7 @@ def with_model_scores(
                 "log_ppl": ppl,
                 "compress_ratio": comp,
                 "secret_entropy": sent,
+                "secret_redacted": redacted,
             }
         )
 
@@ -245,6 +262,7 @@ def with_model_scores(
         "__scores.log_ppl",
         "__scores.compress_ratio",
         "__scores.secret_entropy",
+        "__scores.secret_redacted",
     ).drop("__scores")
 
 
@@ -260,7 +278,11 @@ def scrub_expr(content: Column) -> Column:
     return out
 
 
-def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
+def with_scrub(
+    df: DataFrame,
+    content: str = "content",
+    pre_redacted: str | None = None,
+) -> DataFrame:
     # fire flag = CHANGE DETECTION on the progressively-scrubbed chain
     # (rule fired ⟺ its replacement modified the text), the same
     # intermediate the labeler tests (ADVICE r1). This both removes the
@@ -278,19 +300,34 @@ def with_scrub(df: DataFrame, content: str = "content") -> DataFrame:
     # (measured 4.6× slower on the bench corpus). CollapseProject keeps
     # these projections separate because regexp_replace is non-cheap and
     # each intermediate is referenced more than once.
+    #
+    # ``pre_redacted`` (a nullable column of UDF-redacted text, e.g. the
+    # secret-entropy redaction) becomes the chain's BASE when present;
+    # it registers in scrub_rules_fired as 'secret_literal' so the
+    # "fired empty ⟺ sha unchanged" contract covers it.
     out = df
-    prev = content
+    if pre_redacted is not None:
+        out = out.withColumn(
+            "__scrub_base", F.coalesce(F.col(pre_redacted), F.col(content))
+        )
+        prev = "__scrub_base"
+    else:
+        prev = content
     steps: list[tuple[str, str, str]] = []  # (rule, prev_col, this_col)
     for i, (name, pattern, repl) in enumerate(spec.SCRUB_RULES):
         col = f"__scrub{i}"
         out = out.withColumn(col, F.regexp_replace(F.col(prev), pattern, repl))
         steps.append((name, prev, col))
         prev = col
-    fired_arr = F.array_compact(
-        F.array(
-            *[F.when(F.col(c) != F.col(p), F.lit(n)) for n, p, c in steps]
+    fired = [F.when(F.col(c) != F.col(p), F.lit(n)) for n, p, c in steps]
+    if pre_redacted is not None:
+        fired.insert(
+            0,
+            F.when(
+                F.col(pre_redacted).isNotNull(), F.lit("secret_literal")
+            ),
         )
-    )
+    fired_arr = F.array_compact(F.array(*fired))
     out = out.withColumn("__fired", fired_arr)
     # no rule fired ⟹ scrubbed IS the original text: reuse its sha
     # instead of hashing the full content a second time (most docs are
@@ -489,27 +526,53 @@ def with_span_dedup(
     Scale shape: the marking kernel shuffles (id, pos, 8-byte hash)
     only; the demotion table is filtered to OVER-threshold docs before
     the size-gated-broadcast join back, so the corpus streams once."""
-    from data_curator_spark.engine.cache import persist_tracked
-    from data_curator_spark.operators.dedup import (
-        duplicated_span_stats,
-        size_gated_broadcast,
+    from data_curator_spark.operators.dedup import duplicated_span_stats
+
+    return _demote_over_threshold(
+        df,
+        lambda keyed: duplicated_span_stats(
+            keyed, "__doc_id", content, span_len=span_len
+        ),
+        stat_col="dup_span_bp",
+        reason="dup_spans",
+        id_cols=id_cols,
+        max_bp=max_bp,
     )
+
+
+def _demote_over_threshold(
+    df: DataFrame,
+    stats_fn,
+    stat_col: str,
+    reason: str,
+    id_cols: tuple[str, str],
+    max_bp: int,
+) -> DataFrame:
+    """Shared demote-by-threshold skeleton of the corpus-global marking
+    stages (span-dedup, CDC-dedup): key with _doc_identity, compute
+    per-doc basis-point stats via ``stats_fn(keyed)``, filter to
+    over-threshold docs, size-gated-broadcast join back, and flip
+    keep/drop_reason for previously-KEPT rows only. One definition so
+    demotion semantics (null-keep handling, persist lifecycle) cannot
+    drift between stages."""
+    from data_curator_spark.engine.cache import persist_tracked
+    from data_curator_spark.operators.dedup import size_gated_broadcast
 
     keyed = df.withColumn("__doc_id", _doc_identity(id_cols))
     flagged = persist_tracked(
-        duplicated_span_stats(keyed, "__doc_id", content, span_len=span_len)
-        .filter(F.col("dup_span_bp") >= max_bp)
-        .select("__doc_id", "dup_span_bp")
+        stats_fn(keyed)
+        .filter(F.col(stat_col) >= max_bp)
+        .select("__doc_id", stat_col)
     )
     out = keyed.join(size_gated_broadcast(flagged), on="__doc_id", how="left")
-    demoted = F.col("keep") & F.col("dup_span_bp").isNotNull()
+    demoted = F.col("keep") & F.col(stat_col).isNotNull()
     return (
         out.withColumn(
             "drop_reason",
-            F.when(demoted, F.lit("dup_spans")).otherwise(F.col("drop_reason")),
+            F.when(demoted, F.lit(reason)).otherwise(F.col("drop_reason")),
         )
         .withColumn("keep", F.col("keep") & ~demoted)
-        .drop("__doc_id", "dup_span_bp")
+        .drop("__doc_id", stat_col)
     )
 
 
@@ -546,30 +609,18 @@ def with_cdc_dedup(
     only position-defined max_len cuts, which defeats shift-robustness.
     A 6-bit condition (avg 64 ≈ line granularity) keeps boundary
     density healthy on 57/69 sampled corpus files."""
-    from data_curator_spark.engine.cache import persist_tracked
     from data_curator_spark.operators.cdc import cdc_dup_stats
-    from data_curator_spark.operators.dedup import size_gated_broadcast
 
-    keyed = df.withColumn("__doc_id", _doc_identity(id_cols))
-    flagged = persist_tracked(
-        cdc_dup_stats(
+    return _demote_over_threshold(
+        df,
+        lambda keyed: cdc_dup_stats(
             keyed, "__doc_id", content,
             min_len=min_len, avg_len=avg_len, max_len=max_len,
-        )
-        .filter(F.col("dup_chunk_bp") >= max_bp)
-        .select(F.col("__doc_id"), "dup_chunk_bp")
-    )
-    out = keyed.join(size_gated_broadcast(flagged), on="__doc_id", how="left")
-    demoted = F.col("keep") & F.col("dup_chunk_bp").isNotNull()
-    return (
-        out.withColumn(
-            "drop_reason",
-            F.when(demoted, F.lit("dup_chunks")).otherwise(
-                F.col("drop_reason")
-            ),
-        )
-        .withColumn("keep", F.col("keep") & ~demoted)
-        .drop("__doc_id", "dup_chunk_bp")
+        ),
+        stat_col="dup_chunk_bp",
+        reason="dup_chunks",
+        id_cols=id_cols,
+        max_bp=max_bp,
     )
 
 
@@ -615,7 +666,9 @@ def run_stages(
     )
     out = with_model_scores(out, spark, gate=F.col("__gate"))
     out = out.drop("__gate")
-    out = with_scrub(out)
+    out = with_scrub(out, pre_redacted="secret_redacted").drop(
+        "secret_redacted"
+    )
     out = with_decision(out)
     if bench_hashes is not None:
         # function-level import: quality_stream imports run_stages at

@@ -71,6 +71,43 @@ def test_sha256_preserved_for_untouched_rows(labels, spark_result):
     assert (touched["sha256_original_spark"] != touched["sha256_scrubbed_spark"]).all()
 
 
+def test_secret_literals_redacted_in_all_persisted_rows(labels, spark_result):
+    """Privacy is UNGATED: every over-threshold credential literal must be
+    absent from content_scrubbed on every persisted row — kept rows,
+    heuristic-dropped rows, and model-dropped rows alike — and the
+    redaction must register as the 'secret_literal' scrub rule."""
+    import math
+    import re
+
+    from data_curator_spark.pipeline import spec
+    from data_curator_spark.pipeline.corpus import generate_corpus
+
+    rx = re.compile(spec.SECRET_LITERAL_PATTERN)
+
+    def hot_literals(doc: str) -> list[str]:
+        out = []
+        for lit in rx.findall(doc):
+            n = len(lit)
+            counts = sorted(lit.count(ch) for ch in sorted(set(lit)))
+            h = math.log2(n) - sum(c * math.log2(c) for c in counts) / n
+            if h > spec.MAX_SECRET_ENTROPY:
+                out.append(lit)
+        return out
+
+    corpus = generate_corpus(N_FILES, SEED)
+    corpus["__hot"] = corpus["content"].map(hot_literals)
+    hot = corpus[corpus["__hot"].map(len) > 0]
+    assert len(hot) > 0  # the seed-42 corpus plants credential files
+    m = hot.merge(spark_result, on=["repo", "path"])
+    assert len(m) == len(hot)
+    assert not m["keep"].all()  # some carriers are heuristic-dropped
+    for _, row in m.iterrows():
+        for lit in row["__hot"]:
+            assert lit not in row["content_scrubbed"]
+        assert "secret_literal" in list(row["scrub_rules_fired"])
+        assert spec.SECRET_REPLACEMENT in row["content_scrubbed"]
+
+
 def test_every_rule_fires_in_corpus(labels):
     from data_curator_spark.pipeline import spec
 
