@@ -48,7 +48,7 @@ OUTPUT_COLS = [
     "n_chars", "n_lines", "max_line_len", "avg_line_len",
     "alnum_ratio", "digit_ratio", "distinct_line_ratio",
     "b64_blob_chars", "hex_blob_chars", "autogen_head", "compress_ratio",
-    "secret_entropy",
+    "secret_entropy", "mojibake_chars", "comment_chars",
 ]
 
 # 100-TB resume granularity: a lost bucket re-runs 1/n_buckets of the

@@ -87,6 +87,18 @@ def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
         F.substring(c, 1, spec.AUTOGEN_HEAD_CHARS)
         .rlike(spec.AUTOGEN_PATTERN)
         .alias("autogen_head"),
+        # encoding damage via the same translate()-delete trick as the
+        # ratio counts — branch-free, no regex, exact for the literal
+        # char set (U+FFFD + C0 controls minus whitespace)
+        (n_chars - F.length(F.translate(c, spec.MOJIBAKE_CHARS, "")))
+        .cast("long")
+        .alias("mojibake_chars"),
+        # chars covered by full-line / block comments, ONE fused
+        # alternation scan (spec.COMMENT_PATTERN has the portability
+        # argument); extract_all materializes one element per comment,
+        # not per char, so the array stays small on normal code
+        _len_sum(F.regexp_extract_all(c, F.lit(spec.COMMENT_PATTERN), 0))
+        .alias("comment_chars"),
     )
 
 
@@ -151,6 +163,14 @@ def heuristics_pass_expr() -> Column:
             <= spec.MAX_HEX_BLOB_RATIO * F.col("n_chars")
         )
         & ~F.col("autogen_head")
+        & (
+            F.col("comment_chars")
+            <= spec.MAX_COMMENT_RATIO * F.col("n_chars")
+        )
+        & (
+            F.col("mojibake_chars")
+            <= spec.MAX_MOJIBAKE_RATIO * F.col("n_chars")
+        )
     )
 
 
@@ -381,6 +401,15 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
             F.col("hex_blob_chars") > spec.MAX_HEX_BLOB_RATIO * F.col("n_chars"),
         ),
         ("autogenerated", F.col("autogen_head")),
+        (
+            "comment_heavy",
+            F.col("comment_chars") > spec.MAX_COMMENT_RATIO * F.col("n_chars"),
+        ),
+        (
+            "mojibake",
+            F.col("mojibake_chars")
+            > spec.MAX_MOJIBAKE_RATIO * F.col("n_chars"),
+        ),
         (
             "compressible",
             F.col("compress_ratio") < spec.MIN_COMPRESS_RATIO,

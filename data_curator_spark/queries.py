@@ -1788,8 +1788,11 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b64_blob_chars",
         "hex_blob_chars",
         "autogen_head",
+        "mojibake_chars",
+        "comment_chars",
         # the pipeline's FULL content gate (stages.heuristics_pass_expr:
-        # 5 scalar rules + repetitive + blob/autogen) — single source, so
+        # 5 scalar rules + repetitive + blob/autogen + comment-heavy +
+        # mojibake) — single source, so
         # this row can never drift from what stage 1 actually gates.
         # vendored_path (needs a path column) and compressible
         # (model-stage) are out of scope for the documents table.
@@ -1897,6 +1900,11 @@ bl0 AS (
          {covered(spec.B64_BLOB_PATTERN)} AS b64_blob_chars,
          {covered(spec.HEX_BLOB_PATTERN)} AS hex_blob_chars,
          CASE WHEN text IS NULL THEN NULL ELSE
+           CAST(length(text) - length(regexp_replace(text,
+                '{spec.MOJIBAKE_PATTERN}', '', 'g')) AS BIGINT)
+         END AS mojibake_chars,
+         {covered(spec.COMMENT_PATTERN)} AS comment_chars,
+         CASE WHEN text IS NULL THEN NULL ELSE
            regexp_matches(substr(text, 1, {spec.AUTOGEN_HEAD_CHARS}),
                           '{spec.AUTOGEN_PATTERN}') END AS autogen_head,
          length(text) AS bn_chars,
@@ -1916,6 +1924,7 @@ bl0 AS (
   FROM documents
 ), bl AS (
   SELECT doc_id, b64_blob_chars, hex_blob_chars, autogen_head,
+         mojibake_chars, comment_chars,
          (bn_chars >= {spec.MIN_CHARS}
           AND bmax_line <= {spec.MAX_LINE_LENGTH}
           AND bavg_line <= {spec.MAX_AVG_LINE_LENGTH}
@@ -1927,7 +1936,12 @@ bl0 AS (
               CAST({spec.MAX_B64_BLOB_RATIO} AS DOUBLE) * bn_chars
           AND hex_blob_chars <=
               CAST({spec.MAX_HEX_BLOB_RATIO} AS DOUBLE) * bn_chars
-          AND NOT autogen_head) AS heuristics_pass
+          AND NOT autogen_head
+          AND comment_chars <=
+              CAST({spec.MAX_COMMENT_RATIO} AS DOUBLE) * bn_chars
+          AND mojibake_chars <=
+              CAST({spec.MAX_MOJIBAKE_RATIO} AS DOUBLE) * bn_chars
+         ) AS heuristics_pass
   FROM bl0
 )"""
 
@@ -1941,6 +1955,7 @@ SELECT ts.doc_id, ts.ws_tokens, ts.bpe_tokens, ts.mean_word_len,
        ch.n_chars, ch.n_lines, ch.max_line_len, ch.avg_line_len,
        ch.alnum_ratio, ch.digit_ratio, ch.distinct_line_ratio,
        bl.b64_blob_chars, bl.hex_blob_chars, bl.autogen_head,
+       bl.mojibake_chars, bl.comment_chars,
        bl.heuristics_pass,
        nb.nb_pred, nb.nb_margin_unats
 FROM ts JOIN ch ON ts.doc_id = ch.doc_id

@@ -112,10 +112,10 @@ def test_every_rule_fires_in_corpus(labels):
     from data_curator_spark.pipeline import spec
 
     reasons = set(labels["drop_reason"].dropna())
-    # every registered rule must fire in the seed-42 corpus EXCEPT
-    # too_short: the generator has no sub-20-char kind (its defect files
-    # are long), so requiring it would pin a kind that doesn't exist
-    assert set(spec.RULE_NAMES) - {"too_short"} <= reasons
+    # every registered rule must fire in the seed-42 corpus (the wave-7
+    # defect pass guarantees comment_heavy / mojibake / too_short kinds
+    # at any n_files via kind = j % 3)
+    assert set(spec.RULE_NAMES) <= reasons
 
 
 def test_salted_buckets_defuse_mega_repo(spark, corpus_path):
