@@ -15,7 +15,7 @@ configured identifier); this is engine-added for corpus curation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_curator_spark.operators.dedup import hex_prefix_long
@@ -106,6 +106,48 @@ def hash_split(
             cond = gate < cum
             expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out_col, expr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the write-side of a training-data pipeline: rows land in
+    ``n_shards`` files in an order that is pseudorandom w.r.t. the
+    input order yet fully reproducible.
+
+    Adds ``shuffle_key`` (portable 60-bit md5 over salt+id),
+    ``shard`` (key mod n_shards) and ``shard_pos`` (0-based rank within
+    the shard by (key, id) — the id tiebreak makes the order TOTAL even
+    under hash collisions). The triple is a pure function of (id, salt,
+    n_shards): independent of input partitioning, parallelism and
+    cluster size, so a re-run — or the same job at N vs 4N executors —
+    writes byte-identical shards. Different salts give independent
+    permutations (epoch reshuffles without rewriting upstream data).
+
+    100-TB shape: exactly ONE shuffle (the rank window's
+    partitionBy(shard)); md5 spreads rows uniformly so shards are
+    balanced by construction — pick n_shards >= cluster cores so the
+    per-shard sort parallelizes. The alternative (global orderBy =
+    range-exchange + total sort) costs a sampling pass plus a second
+    exchange; partitioning BY the output unit is cheaper and writes
+    directly as partitioned files."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = hex_prefix_long(
+        F.concat(F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string")),
+        15,
+    )
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", (F.col("shuffle_key") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("long")
+    )
 
 
 def pack_sequences(

@@ -3948,6 +3948,38 @@ QUERIES["bpe_encode"] = q_bpe_encode
 # oracle added lazily in get_oracles() — it trains on the checked sf dir
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    (shuffle_key, shard, shard_pos) triple that is a pure function of
+    (doc_id, salt, n_shards) — reproducible across reruns, engines,
+    partitionings and cluster sizes (operators/sampling.py:
+    shuffle_shards)."""
+    from data_curator_spark.operators.sampling import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, "doc_id", n_shards=8).select(
+        "doc_id", "shuffle_key", "shard", "shard_pos"
+    )
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH sk AS (
+  SELECT doc_id,
+         md5('shuffle' || chr(31) || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+), k AS (
+  SELECT doc_id,
+         CAST({_hex_long_sql("m", 15)} AS BIGINT) AS shuffle_key
+  FROM sk
+)
+SELECT doc_id, shuffle_key,
+       CAST(shuffle_key % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+            ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shard_pos
+FROM k
+"""
+
+
 # ---------------------------------------------------------------------------
 # Legacy (deregistered) queries
 # ---------------------------------------------------------------------------
@@ -3981,6 +4013,7 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split": q_corpus_split,
     "dedup_lines": q_dedup_lines,
     "repetition_profile": q_repetition_profile,
+    "shuffle_shards": q_shuffle_shards,
 }
 
 LEGACY_ORACLES: dict[str, str] = {
@@ -4001,4 +4034,5 @@ LEGACY_ORACLES: dict[str, str] = {
     "corpus_split": _corpus_split_oracle_sql(),
     "dedup_lines": SQL_DEDUP_LINES,
     "repetition_profile": SQL_REPETITION_PROFILE,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
 }

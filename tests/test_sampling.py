@@ -350,3 +350,63 @@ def test_budget_sample_monotone_in_budget(spark):
         assert prev <= kept, budget
         prev = kept
     assert len(prev) == 199  # huge budget keeps everything
+
+
+def test_shuffle_shards_deterministic_across_partitionings(spark):
+    """The (shuffle_key, shard, shard_pos) triple is a pure function of
+    (id, salt, n_shards): identical whether the input arrives as one
+    partition or thirty-two randomly-ordered ones — the property that
+    makes the shard writer byte-identical at N vs 4N executors."""
+    from data_curator_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {
+        (r.doc_id, r.shuffle_key, r.shard, r.shard_pos)
+        for r in shuffle_shards(df.coalesce(1), "doc_id", 8).collect()
+    }
+    b = {
+        (r.doc_id, r.shuffle_key, r.shard, r.shard_pos)
+        for r in shuffle_shards(
+            df.repartition(32, F.rand(7)), "doc_id", 8
+        ).collect()
+    }
+    assert a == b
+    # shard_pos is a 0-based total rank within each shard
+    by_shard: dict = {}
+    for _, key, shard, pos in a:
+        by_shard.setdefault(shard, []).append((pos, key))
+    assert set(by_shard) == set(range(8))
+    for shard, items in by_shard.items():
+        items.sort()
+        assert [p for p, _ in items] == list(range(len(items)))
+        keys = [k for _, k in items]
+        assert keys == sorted(keys)  # intra-shard order follows the key
+
+
+def test_shuffle_shards_salt_gives_independent_permutation(spark):
+    from data_curator_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r.doc_id: r.shard for r in shuffle_shards(df, "doc_id", 8).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in shuffle_shards(df, "doc_id", 8, salt="epoch2").collect()
+    }
+    moved = sum(1 for i in a if a[i] != b[i])
+    assert moved > 200  # ~7/8 expected to move under an independent hash
+    # md5 balance: no shard is empty or dominant
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2.5 * min(sizes.values())
+
+
+def test_shuffle_shards_validation(spark):
+    import pytest as _pytest
+
+    from data_curator_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", 0)

@@ -52,12 +52,21 @@ def main() -> int:
 
     # data-dependent oracles (ann_ivf) must train on the same sf dir
     os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
-    only = set(sys.argv[2:]) or None
+    args = sys.argv[2:]
+    legacy = "--legacy" in args
+    only = set(a for a in args if a != "--legacy") or None
 
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if legacy:
+        # the deregistered queries (outside the driver's 50-row gate
+        # window) with their oracles — same comparison, run on demand
+        from data_curator_spark.queries import LEGACY_ORACLES, LEGACY_QUERIES
+
+        qs = dict(LEGACY_QUERIES)
+        oracles = dict(LEGACY_ORACLES)
 
     spark = build_session("oracle-check")
     con = duckdb.connect()
