@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
         "drop_reason=dup_chunks",
     )
     p.add_argument(
+        "--repo-min-keep-bp", type=int, default=None, metavar="BASIS_POINTS",
+        help="enable repo-level curation: after all per-file decisions, "
+        "repos with >=5 files whose kept fraction is below this many "
+        "basis points (e.g. 2500 = 25%%) have their remaining kept files "
+        "demoted with drop_reason=repo_flagged",
+    )
+    p.add_argument(
         "--layout", choices=["overwrite", "mvcc"], default="overwrite",
         help="overwrite = one physical copy per bucket (default); "
         "mvcc = immutable run partitions with time travel + vacuum",
@@ -146,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
                 bench_hashes=bench_hashes,
                 span_dedup_bp=args.span_dedup_bp,
                 cdc_dup_bp=args.cdc_dup_bp,
+                repo_min_keep_bp=args.repo_min_keep_bp,
             )
         else:
             from data_curator_spark.pipeline.runner import run_pipeline
@@ -156,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
                 bench_hashes=bench_hashes,
                 span_dedup_bp=args.span_dedup_bp,
                 cdc_dup_bp=args.cdc_dup_bp,
+                repo_min_keep_bp=args.repo_min_keep_bp,
             )
         print(json.dumps(stats))
         spark.stop()

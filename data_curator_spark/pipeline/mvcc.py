@@ -460,6 +460,7 @@ def run_pipeline_mvcc(
     bench_hashes: list[int] | None = None,
     span_dedup_bp: int | None = None,
     cdc_dup_bp: int | None = None,
+    repo_min_keep_bp: int | None = None,
 ) -> dict:
     """Run/resume the pipeline with the MVCC layout.
 
@@ -486,6 +487,7 @@ def run_pipeline_mvcc(
     result = run_stages(
         todo, spark, near_dup=near_dup, bench_hashes=bench_hashes,
         span_dedup_bp=span_dedup_bp, cdc_dup_bp=cdc_dup_bp,
+        repo_min_keep_bp=repo_min_keep_bp,
     ).select("bucket", *OUTPUT_COLS)
     observation, result = attach_lineage_observation(result, run_id)
     # IMMUTABLE write: append under this run's partition — never touches

@@ -202,6 +202,7 @@ def run_pipeline(
     bench_hashes: list[int] | None = None,
     span_dedup_bp: int | None = None,
     cdc_dup_bp: int | None = None,
+    repo_min_keep_bp: int | None = None,
 ) -> dict:
     """Run (or resume) the pipeline.
 
@@ -230,6 +231,7 @@ def run_pipeline(
     result = run_stages(
         todo, spark, near_dup=near_dup, bench_hashes=bench_hashes,
         span_dedup_bp=span_dedup_bp, cdc_dup_bp=cdc_dup_bp,
+        repo_min_keep_bp=repo_min_keep_bp,
     ).select("bucket", *OUTPUT_COLS)
     # run-level lineage totals ride the WRITE pass for free and
     # cross-check the per-bucket metrics below. Per-bucket metrics do NOT

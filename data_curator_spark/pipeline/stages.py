@@ -653,6 +653,61 @@ def with_cdc_dedup(
     )
 
 
+def with_repo_demotion(
+    df: DataFrame,
+    min_keep_bp: int,
+    min_files: int = 5,
+    repo_col: str = "repo",
+) -> DataFrame:
+    """Repo-level curation (The Stack-style): when almost everything in
+    a repository failed quality, the stragglers that squeaked past the
+    per-file rules are demoted too — low-quality repos (scraped mirrors,
+    generated trees, vendored dumps) are junk at REPO granularity, and
+    per-file rules see each file in isolation.
+
+    A repo is flagged when it has at least ``min_files`` files AND its
+    kept fraction is below ``min_keep_bp`` basis points (e.g. 2500 =
+    a quarter). Previously-KEPT rows of flagged repos flip to
+    keep=false / drop_reason='repo_flagged'; rows already dropped keep
+    their original reason (rule evidence is preserved).
+
+    Scale shape: the rollup is one groupBy(repo) over two tiny columns
+    with map-side partial aggregation — the shuffle carries one row per
+    repo per task, and mega-repo skew is irrelevant to an aggregate
+    this narrow. The flagged-repo table (repos-only, filtered) joins
+    back through size_gated_broadcast, so the corpus streams once. In
+    the incremental runner the rollup sees the RUN's bucket subset
+    (same per-run scope note as with_near_dup)."""
+    from data_curator_spark.engine.cache import persist_tracked
+    from data_curator_spark.operators.dedup import size_gated_broadcast
+
+    stats = df.groupBy(repo_col).agg(
+        F.count(F.lit(1)).alias("__repo_files"),
+        F.sum(F.col("keep").cast("long")).alias("__repo_kept"),
+    )
+    flagged = persist_tracked(
+        stats.filter(
+            (F.col("__repo_files") >= min_files)
+            & (
+                F.col("__repo_kept") * 10_000
+                < min_keep_bp * F.col("__repo_files")
+            )
+        ).select(repo_col, F.lit(True).alias("__repo_flagged"))
+    )
+    out = df.join(size_gated_broadcast(flagged), on=repo_col, how="left")
+    demoted = F.col("keep") & F.col("__repo_flagged").isNotNull()
+    return (
+        out.withColumn(
+            "drop_reason",
+            F.when(demoted, F.lit("repo_flagged")).otherwise(
+                F.col("drop_reason")
+            ),
+        )
+        .withColumn("keep", F.col("keep") & ~demoted)
+        .drop("__repo_flagged")
+    )
+
+
 def run_stages(
     df: DataFrame,
     spark: SparkSession,
@@ -660,6 +715,7 @@ def run_stages(
     bench_hashes: list[int] | None = None,
     span_dedup_bp: int | None = None,
     cdc_dup_bp: int | None = None,
+    repo_min_keep_bp: int | None = None,
 ) -> DataFrame:
     """Full stage chain over the raw corpus table. Model scoring is
     gated on the heuristics (contract: model columns are null for
@@ -713,4 +769,10 @@ def run_stages(
         out = with_span_dedup(out, max_bp=span_dedup_bp)
     if cdc_dup_bp is not None:
         out = with_cdc_dedup(out, max_bp=cdc_dup_bp)
-    return with_near_dup(out) if near_dup else out
+    if near_dup:
+        out = with_near_dup(out)
+    if repo_min_keep_bp is not None:
+        # LAST: the rollup judges repos on the final per-file verdicts,
+        # dedup demotions included (with_repo_demotion)
+        out = with_repo_demotion(out, min_keep_bp=repo_min_keep_bp)
+    return out

@@ -391,3 +391,91 @@ def test_run_stages_span_dedup_end_to_end(spark, corpus_path):
             )
         else:
             assert base[k]["keep"] is True
+
+
+def test_repo_demotion_flags_junk_repo(spark):
+    """Repo-level curation: a repo whose kept fraction is below the
+    threshold has its surviving files demoted to
+    drop_reason='repo_flagged'; healthy repos and under-min_files repos
+    are untouched, and already-dropped rows keep their original
+    evidence."""
+    from data_curator_spark.pipeline.stages import with_repo_demotion
+
+    rows = []
+    # junk repo: 10 files, 2 kept (20% < 25% threshold)
+    for i in range(10):
+        rows.append(("org/junk", f"f{i}.py", i < 2, None if i < 2 else "long_line"))
+    # healthy repo: 10 files, 8 kept
+    for i in range(10):
+        rows.append(("org/good", f"g{i}.py", i < 8, None if i < 8 else "long_line"))
+    # tiny repo below min_files: 3 files, 0 kept — exempt
+    for i in range(3):
+        rows.append(("org/tiny", f"t{i}.py", i < 1, None if i < 1 else "long_line"))
+    df = spark.createDataFrame(
+        rows, "repo string, path string, keep boolean, drop_reason string"
+    )
+    out = with_repo_demotion(df, min_keep_bp=2500, min_files=5).collect()
+    by = {(r.repo, r.path): r for r in out}
+    assert len(out) == 23
+    for i in range(2):  # junk repo's survivors demoted
+        r = by[("org/junk", f"f{i}.py")]
+        assert not r.keep and r.drop_reason == "repo_flagged"
+    for i in range(2, 10):  # junk repo's dropped rows keep their reason
+        r = by[("org/junk", f"f{i}.py")]
+        assert not r.keep and r.drop_reason == "long_line"
+    for i in range(8):  # healthy repo untouched
+        assert by[("org/good", f"g{i}.py")].keep
+    # tiny repo exempt despite 33% kept < threshold
+    assert by[("org/tiny", "t0.py")].keep
+    assert by[("org/tiny", "t0.py")].drop_reason is None
+
+
+def test_repo_demotion_threshold_edge_and_partitioning(spark):
+    """kept*10000 < bp*files is a strict integer comparison: exactly-at-
+    threshold repos are NOT flagged; the outcome is invariant to input
+    partitioning (the rollup is a plain aggregate)."""
+    from data_curator_spark.pipeline.stages import with_repo_demotion
+
+    rows = [
+        ("org/edge", f"e{i}.py", i < 2, None if i < 2 else "long_line")
+        for i in range(8)  # exactly 25%
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, keep boolean, drop_reason string"
+    )
+    a = with_repo_demotion(df, min_keep_bp=2500, min_files=5)
+    assert all(r.keep for r in a.collect() if r.path in ("e0.py", "e1.py"))
+    b = with_repo_demotion(
+        df.repartition(16, F.rand(3)), min_keep_bp=2500, min_files=5
+    )
+    sa = sorted(map(tuple, a.collect()))
+    sb = sorted(map(tuple, b.collect()))
+    assert sa == sb
+
+
+def test_repo_demotion_end_to_end(spark, corpus_path):
+    """run_stages(repo_min_keep_bp=...) composes with the full chain:
+    flagged-repo survivors flip, global kept count only decreases, and
+    the expected flag set matches an independent pandas rollup."""
+    import pandas as pd
+
+    base = run_stages(spark.read.parquet(corpus_path), spark)
+    plain = base.select("repo", "path", "keep", "drop_reason").toPandas()
+    out = run_stages(
+        spark.read.parquet(corpus_path), spark, repo_min_keep_bp=6000
+    ).select("repo", "path", "keep", "drop_reason").toPandas()
+
+    g = plain.groupby("repo")["keep"].agg(["size", "sum"])
+    flagged = set(g[(g["size"] >= 5) & (g["sum"] * 10_000 < 6000 * g["size"])].index)
+    assert flagged  # the threshold is chosen to fire on this corpus
+    m = plain.merge(out, on=["repo", "path"], suffixes=("_a", "_b"))
+    assert len(m) == len(plain)
+    exp_demoted = m["keep_a"] & m["repo"].isin(flagged)
+    assert (m.loc[exp_demoted, "drop_reason_b"] == "repo_flagged").all()
+    assert (~m.loc[exp_demoted, "keep_b"]).all()
+    un = ~exp_demoted
+    assert (m.loc[un, "keep_a"] == m.loc[un, "keep_b"]).all()
+    assert (
+        m.loc[un, "drop_reason_a"].fillna("")
+        == m.loc[un, "drop_reason_b"].fillna("")
+    ).all()
