@@ -150,6 +150,54 @@ def shuffle_shards(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int,
+    overlap_chars: int = 0,
+) -> DataFrame:
+    """Split long documents into fixed-size context-window chunks with
+    optional overlap — the standard pretraining prep for docs longer
+    than the model context. Emits (id, chunk_idx, chunk_start,
+    chunk_text): chunk i covers [i*stride, i*stride + chunk_chars)
+    where stride = chunk_chars - overlap_chars; the chunk count is
+    max(1, ceil((len - overlap) / stride)) computed in INTEGER
+    arithmetic so every engine agrees exactly (empty text → one empty
+    chunk; null text → no rows, like every explode).
+
+    100-TB shape: pure projection + explode — ZERO shuffle at any
+    scale; each task chunks its own rows and the output partitioning
+    inherits the input's. Pair with shuffle_shards on (id, chunk_idx)
+    downstream to randomize training order."""
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not 0 <= overlap_chars < chunk_chars:
+        raise ValueError(
+            f"overlap_chars must be in [0, chunk_chars), got {overlap_chars}"
+        )
+    stride = chunk_chars - overlap_chars
+    n_len = F.length(F.col(text_col))
+    # integer ceil-div, clamped: the clamp hides the engines' divergent
+    # negative-division conventions (len < overlap → both clamp to 1).
+    # NOT F.greatest(1, raw): greatest SKIPS nulls, which would turn
+    # null text into one null chunk instead of zero rows — when/otherwise
+    # propagates the null so explode drops the row.
+    raw = F.floor((n_len - overlap_chars + stride - 1) / stride).cast("int")
+    n_chunks = F.when(raw < 1, F.lit(1)).otherwise(raw)
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = df.select(F.col(id_col), F.col(text_col), idx)
+    start = F.col("chunk_idx").cast("long") * stride
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.alias("chunk_start"),
+        F.substring(
+            F.col(text_col), (start + 1).cast("int"), chunk_chars
+        ).alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -3980,6 +3980,31 @@ FROM k
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (operators/sampling.py:
+    chunk_documents): every document split into 512-char windows with
+    64-char overlap — zero-shuffle explode."""
+    from data_curator_spark.operators.sampling import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "doc_id", "text", 512, 64)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH n AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST((length(text) - 64 + 448 - 1) // 448 AS BIGINT))
+           AS n_chunks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 448 AS BIGINT) AS chunk_start,
+       substr(text, CAST(i * 448 + 1 AS INT), 512) AS chunk_text
+FROM n, LATERAL unnest(range(n_chunks)) AS t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Legacy (deregistered) queries
 # ---------------------------------------------------------------------------
@@ -4014,6 +4039,7 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
     "repetition_profile": q_repetition_profile,
     "shuffle_shards": q_shuffle_shards,
+    "chunk_documents": q_chunk_documents,
 }
 
 LEGACY_ORACLES: dict[str, str] = {
@@ -4035,4 +4061,5 @@ LEGACY_ORACLES: dict[str, str] = {
     "dedup_lines": SQL_DEDUP_LINES,
     "repetition_profile": SQL_REPETITION_PROFILE,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }

@@ -410,3 +410,53 @@ def test_shuffle_shards_validation(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError):
         shuffle_shards(df, "doc_id", 0)
+
+
+def test_chunk_documents_reconstruction_and_bounds(spark):
+    """Stripping each chunk's leading overlap and concatenating in
+    chunk_idx order reproduces the original text exactly; starts follow
+    the stride; every chunk is non-empty and within size."""
+    from data_curator_spark.operators.sampling import chunk_documents
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    docs = [
+        (i, "".join(chr(97 + int(c)) for c in rng.integers(0, 26, int(n))))
+        for i, n in enumerate(rng.integers(0, 45, 60))
+    ] + [(1000, ""), (1001, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunk, overlap = 10, 3
+    out = chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    by: dict = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    assert 1001 not in by  # null text -> no rows
+    assert [r.chunk_text for r in by[1000]] == [""]  # empty -> one empty
+    stride = chunk - overlap
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        rows = sorted(by[doc_id], key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        rebuilt = rows[0].chunk_text + "".join(
+            r.chunk_text[overlap:] for r in rows[1:]
+        )
+        assert rebuilt == text, doc_id
+        for r in rows:
+            assert r.chunk_start == r.chunk_idx * stride
+            assert len(r.chunk_text) <= chunk
+            if r.chunk_idx > 0:  # every later chunk adds new content
+                assert len(r.chunk_text) > overlap
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from data_curator_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 10, 10)
