@@ -29,7 +29,8 @@ def test_cli_corpus_and_pipeline(tmp_path):
         )
     )
     # 200 + 5% dups + code-defect files (max(n//40, 6) = 6 at n=200)
-    assert r2["rows_total"] == 216
+    # + wave-7 quality-defect files (max(n//80, 6) = 6 at n=200)
+    assert r2["rows_total"] == 222
     assert r2["buckets_processed"] == 4
     # resume is a no-op
     r3 = json.loads(
