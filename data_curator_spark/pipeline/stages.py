@@ -379,9 +379,15 @@ def vendored_path_expr(path: str = "path") -> Column:
     )
 
 
-def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
-    checks: list[tuple[str, Column]] = [
-        ("vendored_path", vendored_path_expr()),
+def content_rule_checks() -> list[tuple[str, Column]]:
+    """The CONTENT heuristic rules as (name, fire-condition) pairs over
+    with_heuristics columns, in RULE_NAMES order — the single source
+    shared by with_decision and the rule-ablation analytics query
+    (queries.py:q_rule_ablation), so a threshold or a new rule can never
+    reach one consumer and miss the other. vendored_path (needs a path
+    column) and the model rules (need stage-2 scores) are composed
+    separately by with_decision."""
+    return [
         ("too_short", F.col("n_chars") < spec.MIN_CHARS),
         ("long_line", F.col("max_line_len") > spec.MAX_LINE_LENGTH),
         ("long_avg_line", F.col("avg_line_len") > spec.MAX_AVG_LINE_LENGTH),
@@ -410,6 +416,13 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
             F.col("mojibake_chars")
             > spec.MAX_MOJIBAKE_RATIO * F.col("n_chars"),
         ),
+    ]
+
+
+def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
+    checks: list[tuple[str, Column]] = [
+        ("vendored_path", vendored_path_expr()),
+        *content_rule_checks(),
         (
             "compressible",
             F.col("compress_ratio") < spec.MIN_COMPRESS_RATIO,
@@ -422,6 +435,10 @@ def with_decision(df: DataFrame, claimed_lang: str = "lang") -> DataFrame:
         ("langid_low_margin", F.col("langid_margin") < spec.MIN_LANGID_MARGIN),
         ("langid_mismatch", F.col("lang_pred") != F.col(claimed_lang)),
     ]
+    # the decision order IS the drop_reason priority contract shared
+    # with the labeler — a rule added to one list but not the other
+    # would silently mis-prioritize
+    assert [n for n, _ in checks] == spec.RULE_NAMES
     reason = F.lit(None).cast("string")
     for name, cond in reversed(checks):
         reason = F.when(cond, F.lit(name)).otherwise(reason)

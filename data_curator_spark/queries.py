@@ -4005,6 +4005,137 @@ FROM n, LATERAL unnest(range(n_chunks)) AS t(i)
 """
 
 
+def q_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: per content-rule fire counts and
+    EXCLUSIVE fire counts (docs only that rule would drop) over the
+    documents table — the ablation view a pipeline operator reads
+    before moving a threshold. Conditions come from the single shared
+    source (stages.content_rule_checks), so this can never drift from
+    what with_decision actually gates. One scan, one tiny aggregate
+    row, unpivoted JVM-side — no shuffle beyond the global agg."""
+    from data_curator_spark.pipeline.stages import (
+        content_rule_checks,
+        with_heuristics,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    h = with_heuristics(d)
+    checks = content_rule_checks()
+    fired = h.select(
+        *[
+            F.coalesce(cond, F.lit(False)).alias(f"__f_{name}")
+            for name, cond in checks
+        ]
+    )
+    n_fired = sum(
+        (F.col(f"__f_{name}").cast("int") for name, _ in checks),
+        F.lit(0),
+    )
+    fired = fired.withColumn("__n", n_fired)
+    agg = fired.agg(
+        *[
+            F.sum(F.col(f"__f_{n}").cast("long")).alias(f"fires_{n}")
+            for n, _ in checks
+        ],
+        *[
+            F.sum(
+                (F.col(f"__f_{n}") & (F.col("__n") == 1)).cast("long")
+            ).alias(f"excl_{n}")
+            for n, _ in checks
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{n}', fires_{n}, excl_{n}" for n, _ in checks
+    )
+    return agg.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (rule, n_fires, n_exclusive)"
+    )
+
+
+def _rule_ablation_oracle_sql() -> str:
+    """DuckDB replica: the same 11 content-rule conditions re-derived
+    from spec constants over the documents table (null text counts as
+    not-fired, matching the Spark coalesce)."""
+    from data_curator_spark.pipeline import spec
+
+    def covered(pat: str) -> str:
+        return (
+            "COALESCE(list_aggregate(list_transform("
+            f"regexp_extract_all(text, '{pat}'), x -> length(x)), 'sum'), 0)"
+        )
+
+    conds = {
+        "too_short": f"n_chars < {spec.MIN_CHARS}",
+        "long_line": f"max_line_len > {spec.MAX_LINE_LENGTH}",
+        "long_avg_line": f"avg_line_len > {spec.MAX_AVG_LINE_LENGTH}",
+        "low_alnum": f"alnum_ratio < {spec.MIN_ALNUM_RATIO}",
+        "high_digit": f"digit_ratio > {spec.MAX_DIGIT_RATIO}",
+        "repetitive": (
+            f"(n_lines >= {spec.DISTINCT_LINE_MIN_LINES} AND "
+            f"distinct_line_ratio < {spec.MIN_DISTINCT_LINE_RATIO})"
+        ),
+        "b64_blob": (
+            f"b64c > CAST({spec.MAX_B64_BLOB_RATIO} AS DOUBLE) * n_chars"
+        ),
+        "hex_blob": (
+            f"hexc > CAST({spec.MAX_HEX_BLOB_RATIO} AS DOUBLE) * n_chars"
+        ),
+        "autogenerated": "autog",
+        "comment_heavy": (
+            f"commc > CAST({spec.MAX_COMMENT_RATIO} AS DOUBLE) * n_chars"
+        ),
+        "mojibake": (
+            f"mojc > CAST({spec.MAX_MOJIBAKE_RATIO} AS DOUBLE) * n_chars"
+        ),
+    }
+    flags = ",\n         ".join(
+        f"COALESCE(({c}), FALSE) AS f_{n}" for n, c in conds.items()
+    )
+    n_sum = " + ".join(f"CAST(f_{n} AS INT)" for n in conds)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS rule,"
+        f" CAST(SUM(CAST(f_{n} AS INT)) AS BIGINT) AS n_fires,"
+        f" CAST(SUM(CAST((f_{n} AND nf = 1) AS INT)) AS BIGINT)"
+        f" AS n_exclusive FROM fl"
+        for n in conds
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, chr(10))) AS n_lines,
+         list_max(list_transform(string_split(text, chr(10)),
+                                 x -> length(x))) AS max_line_len,
+         CAST(length(text) - len(string_split(text, chr(10))) + 1
+              AS DOUBLE) / len(string_split(text, chr(10)))
+           AS avg_line_len,
+         CAST(length(text) -
+              length(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS alnum_ratio,
+         CAST(length(text) -
+              length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS digit_ratio,
+         CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+           / len(string_split(text, chr(10))) AS distinct_line_ratio,
+         {covered(spec.B64_BLOB_PATTERN)} AS b64c,
+         {covered(spec.HEX_BLOB_PATTERN)} AS hexc,
+         {covered(spec.COMMENT_PATTERN)} AS commc,
+         length(text) - length(regexp_replace(text,
+             '{spec.MOJIBAKE_PATTERN}', '', 'g')) AS mojc,
+         regexp_matches(substr(text, 1, {spec.AUTOGEN_HEAD_CHARS}),
+                        '{spec.AUTOGEN_PATTERN}') AS autog
+  FROM documents
+), f AS (
+  SELECT doc_id, {flags} FROM h
+), fl AS (
+  SELECT *, ({n_sum}) AS nf FROM f
+)
+{rows}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Legacy (deregistered) queries
 # ---------------------------------------------------------------------------
@@ -4040,6 +4171,7 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_profile": q_repetition_profile,
     "shuffle_shards": q_shuffle_shards,
     "chunk_documents": q_chunk_documents,
+    "rule_ablation": q_rule_ablation,
 }
 
 LEGACY_ORACLES: dict[str, str] = {
@@ -4062,4 +4194,5 @@ LEGACY_ORACLES: dict[str, str] = {
     "repetition_profile": SQL_REPETITION_PROFILE,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "rule_ablation": _rule_ablation_oracle_sql(),
 }
