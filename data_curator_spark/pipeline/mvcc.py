@@ -80,15 +80,33 @@ def _read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _read_data(spark: SparkSession, output_path: str) -> DataFrame:
+def _read_data(
+    spark: SparkSession,
+    output_path: str,
+    pairs: list[tuple[str, int]] | None = None,
+) -> DataFrame:
     """Data-table read for paths that may span runs written by DIFFERENT
     code versions (read_current / read_snapshot / snapshot_diff):
-    mergeSchema unions every run's parquet schema instead of sampling
+    mergeSchema unions the runs' parquet schemas instead of sampling
     one footer, so a column added by a pipeline upgrade (e.g.
     secret_entropy) is visible regardless of which file the sampler
     hits; pre-upgrade rows read it as null. NOTE: a bucket REWRITTEN
     after such an upgrade nets a non-empty snapshot_diff even for
-    byte-identical content — the new columns ARE a logical change."""
+    byte-identical content — the new columns ARE a logical change.
+
+    Schema inference under mergeSchema reads EVERY discovered footer,
+    BEFORE partition pruning — so when the selection is known, the read
+    is scoped to the SELECTED run directories (basePath keeps the
+    run_id/bucket partition columns): footer cost is O(live selection),
+    not O(every file ever written), on a long-lived MVCC table whose
+    history grows a full copy per rewrite."""
+    if pairs:
+        run_dirs = sorted({f"{output_path}/run_id={r}" for r, _ in pairs})
+        return (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", output_path)
+            .parquet(*run_dirs)
+        )
     return spark.read.option("mergeSchema", "true").parquet(output_path)
 
 
@@ -116,7 +134,7 @@ def read_current(spark: SparkSession, output_path: str, manifest_path: str) -> D
     """The table's CURRENT state: latest committed version of every
     bucket, resolved from the manifest, partition-pruned scan."""
     pairs = _current_pairs(spark, manifest_path)
-    df = _read_data(spark, output_path)
+    df = _read_data(spark, output_path, pairs)
     return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
 
 
@@ -152,7 +170,7 @@ def read_snapshot(
 ) -> DataFrame:
     """Time travel: the table as of ``snapshot_id``."""
     pairs = _pairs_as_of(spark, manifest_path, snapshot_id)
-    df = _read_data(spark, output_path)
+    df = _read_data(spark, output_path, pairs)
     return df.filter(_selection_predicate(pairs)) if pairs else df.limit(0)
 
 
@@ -198,7 +216,10 @@ def snapshot_diff(
     old_pairs = [(from_map[b], b) for b in sorted(changed) if b in from_map]
     new_pairs = [(to_map[b], b) for b in sorted(changed) if b in to_map]
 
-    base = _read_data(spark, output_path)
+    # scope the footer-merging read to BOTH endpoints' changed runs;
+    # the empty-diff case still needs a schema, so fall back to the
+    # full-path read only when no pair is selected on either side
+    base = _read_data(spark, output_path, old_pairs + new_pairs)
     cols = ["bucket", *[c for c in OUTPUT_COLS if c in base.columns]]
 
     def _side(pairs: list[tuple[str, int]]) -> DataFrame:
@@ -482,6 +503,17 @@ def run_pipeline_mvcc(
     done = set(completed_buckets(spark, manifest_path))
     redo = set(reprocess_buckets or ())
     skip = (done - redo) | set(fail_buckets or ())
+    if repo_min_keep_bp is not None and skip:
+        # repo demotion needs GLOBAL per-repo keep stats (salted
+        # bucketing spreads every repo across all buckets); a
+        # resume/backfill rollup over the bucket subset would FALSELY
+        # demote files of globally-healthy repos — same guard as
+        # runner.run_pipeline
+        raise ValueError(
+            "repo_min_keep_bp requires a full (non-resume, non-backfill) "
+            "run: this invocation skips committed buckets, so the "
+            "per-repo rollup would see a biased subset"
+        )
     todo = raw.filter(~F.col("bucket").isin(list(skip))) if skip else raw
 
     result = run_stages(

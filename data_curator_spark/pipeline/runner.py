@@ -224,6 +224,18 @@ def run_pipeline(
     raw = with_bucket(spark.read.parquet(input_path), n_buckets)
     parent_snapshot = latest_snapshot_id(spark, manifest_path)
     done = completed_buckets(spark, manifest_path)
+    if repo_min_keep_bp is not None and (done or fail_buckets):
+        # repo demotion needs GLOBAL per-repo keep stats; a resume's
+        # rollup would see only the todo-buckets' slice of each repo
+        # (salted bucketing spreads every repo across all buckets) and
+        # FALSELY demote files of globally-healthy repos — unlike the
+        # near-dup per-run caveat, which only under-detects
+        raise ValueError(
+            "repo_min_keep_bp requires a full (non-resume) run: "
+            "completed buckets exist, so the per-repo rollup would see "
+            "a biased subset; re-run on a fresh manifest or use "
+            "with_repo_demotion as a batch post-pass over the output"
+        )
     todo = raw.filter(~F.col("bucket").isin(done)) if done else raw
     if fail_buckets:
         todo = todo.filter(~F.col("bucket").isin(list(fail_buckets)))

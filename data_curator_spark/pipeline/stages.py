@@ -144,34 +144,14 @@ def heuristics_pass_expr() -> Column:
     drop_reason decided, so model scoring is skipped for them — they
     carry null model columns. On this corpus that's ~55% of character
     volume never shipped to Python."""
-    return (
-        (F.col("n_chars") >= spec.MIN_CHARS)
-        & (F.col("max_line_len") <= spec.MAX_LINE_LENGTH)
-        & (F.col("avg_line_len") <= spec.MAX_AVG_LINE_LENGTH)
-        & (F.col("alnum_ratio") >= spec.MIN_ALNUM_RATIO)
-        & (F.col("digit_ratio") <= spec.MAX_DIGIT_RATIO)
-        & ~(
-            (F.col("n_lines") >= spec.DISTINCT_LINE_MIN_LINES)
-            & (F.col("distinct_line_ratio") < spec.MIN_DISTINCT_LINE_RATIO)
-        )
-        & (
-            F.col("b64_blob_chars")
-            <= spec.MAX_B64_BLOB_RATIO * F.col("n_chars")
-        )
-        & (
-            F.col("hex_blob_chars")
-            <= spec.MAX_HEX_BLOB_RATIO * F.col("n_chars")
-        )
-        & ~F.col("autogen_head")
-        & (
-            F.col("comment_chars")
-            <= spec.MAX_COMMENT_RATIO * F.col("n_chars")
-        )
-        & (
-            F.col("mojibake_chars")
-            <= spec.MAX_MOJIBAKE_RATIO * F.col("n_chars")
-        )
-    )
+    # derived from the SAME condition list with_decision consumes
+    # (content_rule_checks) — NOT-OR equals the old AND-of-complements
+    # exactly, nulls included (De Morgan holds in Kleene logic), and a
+    # wave-N rule added to the list reaches the gate automatically
+    fired = None
+    for _, cond in content_rule_checks():
+        fired = cond if fired is None else (fired | cond)
+    return ~fired
 
 
 def with_model_scores(
@@ -692,9 +672,14 @@ def with_repo_demotion(
     with map-side partial aggregation — the shuffle carries one row per
     repo per task, and mega-repo skew is irrelevant to an aggregate
     this narrow. The flagged-repo table (repos-only, filtered) joins
-    back through size_gated_broadcast, so the corpus streams once. In
-    the incremental runner the rollup sees the RUN's bucket subset
-    (same per-run scope note as with_near_dup)."""
+    back through size_gated_broadcast, so the corpus streams once.
+
+    REQUIRES GLOBAL INPUT: the rollup must see every file of a repo.
+    Unlike the near-dup per-run caveat (which only under-detects), a
+    bucket-subset rollup would FALSELY demote files of globally-healthy
+    repos, so both incremental runners refuse repo_min_keep_bp on a
+    resume/backfill; run it on a full pass or as a batch post-pass over
+    the completed output."""
     from data_curator_spark.engine.cache import persist_tracked
     from data_curator_spark.operators.dedup import size_gated_broadcast
 

@@ -479,3 +479,25 @@ def test_repo_demotion_end_to_end(spark, corpus_path):
         m.loc[un, "drop_reason_a"].fillna("")
         == m.loc[un, "drop_reason_b"].fillna("")
     ).all()
+
+
+def test_repo_demotion_refuses_partial_runs(spark, corpus_path, tmp_path):
+    """repo_min_keep_bp needs a GLOBAL rollup: both a fail-bucket run
+    and a resume over an existing manifest must refuse it (a bucket
+    subset would falsely demote globally-healthy repos)."""
+    out_dir = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    with pytest.raises(ValueError, match="full"):
+        run_pipeline(
+            spark, corpus_path, out_dir, manifest, n_buckets=8,
+            fail_buckets={3}, repo_min_keep_bp=2500,
+        )
+    # full run with the flag is fine; the RESUME after a crash is not
+    run_pipeline(
+        spark, corpus_path, out_dir, manifest, n_buckets=8, fail_buckets={3}
+    )
+    with pytest.raises(ValueError, match="full"):
+        run_pipeline(
+            spark, corpus_path, out_dir, manifest, n_buckets=8,
+            repo_min_keep_bp=2500,
+        )

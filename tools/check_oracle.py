@@ -47,14 +47,16 @@ def multiset(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # --legacy may appear anywhere (incl. argv[1]); the first non-flag
+    # argument is the sf dir, the rest are query names
+    args = [a for a in sys.argv[1:] if a != "--legacy"]
+    legacy = "--legacy" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import os
 
     # data-dependent oracles (ann_ivf) must train on the same sf dir
     os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
-    args = sys.argv[2:]
-    legacy = "--legacy" in args
-    only = set(a for a in args if a != "--legacy") or None
+    only = set(args[1:]) or None
 
     import __spark_entry__ as entry_mod
 
@@ -67,6 +69,18 @@ def main() -> int:
 
         qs = dict(LEGACY_QUERIES)
         oracles = dict(LEGACY_ORACLES)
+
+    if only:
+        # a name that matches nothing must be a hard error — a typo'd or
+        # wrong-registry name (legacy vs registered) would otherwise
+        # skip every query and still print the green all-match line.
+        # Checked BEFORE Spark starts so the failure is instant.
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL unknown query name(s) {sorted(unknown)} — "
+                  f"not in the {'legacy' if legacy else 'registered'} "
+                  "registry; check the name or toggle --legacy")
+            return 1
 
     spark = build_session("oracle-check")
     con = duckdb.connect()
