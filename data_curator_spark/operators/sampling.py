@@ -198,6 +198,55 @@ def chunk_documents(
     )
 
 
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transform for code pretraining: split each
+    document at two deterministic cut points into (prefix, middle,
+    suffix) plus a psm/spm mode flag — the standard FIM augmentation,
+    reproducible across reruns and engines because the cuts derive from
+    the portable 60-bit md5 of (salt, id), not an RNG. Different salts
+    give independent splits (fresh augmentation per epoch without
+    storing state).
+
+    Cut points are uniform over [0, len] (two keys, ordered), so
+    degenerate splits (empty prefix/middle/suffix) occur at the natural
+    boundary rates — downstream filters can drop them by length.
+    prefix || middle || suffix == text always (property-tested).
+
+    100-TB shape: pure projection — zero shuffle, no RNG state, output
+    partitioning inherits the input's."""
+    n_len = F.length(F.col(text_col))
+
+    def key(tag: str) -> Column:
+        return hex_prefix_long(
+            F.concat(
+                F.lit(salt),
+                F.lit("\x1f"),
+                F.col(id_col).cast("string"),
+                F.lit("\x1f"),
+                F.lit(tag),
+            ),
+            15,
+        )
+
+    c1 = (key("a") % (n_len + 1)).cast("int")
+    c2 = (key("b") % (n_len + 1)).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    return df.select(
+        id_col,
+        F.substring(F.col(text_col), 1, lo).alias("fim_prefix"),
+        F.substring(F.col(text_col), lo + 1, hi - lo).alias("fim_middle"),
+        F.substring(F.col(text_col), hi + 1, n_len - hi).alias("fim_suffix"),
+        F.when(key("m") % 2 == 0, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("fim_mode"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

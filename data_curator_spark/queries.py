@@ -4005,6 +4005,48 @@ FROM n, LATERAL unnest(range(n_chunks)) AS t(i)
 """
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fill-in-the-middle split over documents
+    (operators/sampling.py:fim_transform) — hash-derived cut points,
+    psm/spm mode flag, zero shuffle."""
+    from data_curator_spark.operators.sampling import fim_transform
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(d, "doc_id", "text")
+
+
+def _fim_oracle_sql() -> str:
+    def key(tag: str) -> str:
+        return (
+            "CAST("
+            + _hex_long_sql(
+                f"md5('fim' || chr(31) || CAST(doc_id AS VARCHAR)"
+                f" || chr(31) || '{tag}')",
+                15,
+            )
+            + " AS BIGINT)"
+        )
+
+    return f"""
+WITH k AS (
+  SELECT doc_id, text, length(text) AS n,
+         {key("a")} AS ka, {key("b")} AS kb, {key("m")} AS km
+  FROM documents
+), c AS (
+  SELECT doc_id, text, n,
+         LEAST(ka % (n + 1), kb % (n + 1)) AS lo,
+         GREATEST(ka % (n + 1), kb % (n + 1)) AS hi,
+         km FROM k
+)
+SELECT doc_id,
+       substr(text, 1, CAST(lo AS INT)) AS fim_prefix,
+       substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) AS fim_middle,
+       substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT)) AS fim_suffix,
+       CASE WHEN km % 2 = 0 THEN 'psm' ELSE 'spm' END AS fim_mode
+FROM c
+"""
+
+
 def q_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation observability: per content-rule fire counts and
     EXCLUSIVE fire counts (docs only that rule would drop) over the
@@ -4172,6 +4214,7 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "chunk_documents": q_chunk_documents,
     "rule_ablation": q_rule_ablation,
+    "fim_transform": q_fim_transform,
 }
 
 LEGACY_ORACLES: dict[str, str] = {
@@ -4195,4 +4238,5 @@ LEGACY_ORACLES: dict[str, str] = {
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "rule_ablation": _rule_ablation_oracle_sql(),
+    "fim_transform": _fim_oracle_sql(),
 }

@@ -460,3 +460,42 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, "doc_id", "text", 0)
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", 10, 10)
+
+
+def test_fim_transform_reassembly_and_determinism(spark):
+    """prefix || middle || suffix == text for every row; the split is a
+    pure function of (id, salt) — partitioning-invariant — and a
+    different salt produces different cuts; both psm and spm occur."""
+    from data_curator_spark.operators.sampling import fim_transform
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    docs = [
+        (i, "".join(chr(97 + int(c)) for c in rng.integers(0, 26, int(n))))
+        for i, n in enumerate(rng.integers(0, 80, 120))
+    ] + [(999, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r.doc_id: r for r in fim_transform(df, "doc_id", "text").collect()}
+    b = {
+        r.doc_id: r
+        for r in fim_transform(
+            df.repartition(16, F.rand(2)), "doc_id", "text"
+        ).collect()
+    }
+    for doc_id, text in docs:
+        r = a[doc_id]
+        assert r.fim_prefix + r.fim_middle + r.fim_suffix == text
+        assert tuple(r) == tuple(b[doc_id])  # partitioning-invariant
+    assert {r.fim_mode for r in a.values()} == {"psm", "spm"}
+    c = {
+        r.doc_id: r
+        for r in fim_transform(df, "doc_id", "text", salt="epoch2").collect()
+    }
+    moved = sum(
+        1
+        for i in a
+        if len(a[i].fim_prefix) != len(c[i].fim_prefix)
+        and len(a[i].fim_prefix or "") + len(a[i].fim_middle or "") > 0
+    )
+    assert moved > 60  # independent cuts under a different salt
