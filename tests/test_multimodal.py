@@ -203,3 +203,60 @@ def test_codec_present_uses_real_decode_not_raise(monkeypatch):
     got = _decode_image(bmp, 4, 4)
     assert np.array_equal(got, px)
     assert "image" not in calls  # PIL never consulted for native BMP
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """A 2x2 BMP resized to 4x4 must replicate each source pixel into a
+    2x2 block (nearest neighbor, integer index map) — verified
+    byte-exactly against a hand-built expectation."""
+    import numpy as np
+
+    from data_curator_spark.operators.multimodal import (
+        _decode_bmp,
+        resize_images,
+    )
+
+    src = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]],
+        dtype=np.uint8,
+    )
+    payload = _bmp_bytes(src)
+    assert (_decode_bmp(payload) == src).all()  # sanity on the fixture
+    df = spark.createDataFrame(
+        [("m1", "image", payload, "image/bmp", 2, 2, None, None),
+         ("a1", "audio", b"xx", None, None, None, 16000, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, sample_rate int, n_frames int",
+    )
+    rows = resize_images(df, 4, 4).collect()
+    assert len(rows) == 1  # non-image rows dropped
+    r = rows[0]
+    assert (r.width, r.height, r.mime) == (4, 4, "image/raw-rgb8")
+    got = np.frombuffer(bytes(r.payload), dtype=np.uint8).reshape(4, 4, 3)
+    exp = src.repeat(2, axis=0).repeat(2, axis=1)
+    assert (got == exp).all()
+
+
+def test_sample_frames_even_spacing_and_stride(spark):
+    from data_curator_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(60))  # 6 frames x 10 bytes, stride convention
+    df = spark.createDataFrame(
+        [("v1", "video", payload, "application/octet-stream", 8, 8, None, 6),
+         ("v2", "video", payload, None, 8, 8, None, 2),
+         ("i1", "image", payload, None, 8, 8, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, sample_rate int, n_frames int",
+    )
+    rows = sample_frames(df, max_frames=4).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.media_id, []).append(r)
+    assert set(by) == {"v1", "v2"}
+    v1 = sorted(by["v1"], key=lambda r: r.frame_idx)
+    # floor(k*6/4) for k=0..3 -> 0,1,3,4
+    assert [r.frame_idx for r in v1] == [0, 1, 3, 4]
+    for r in v1:
+        assert bytes(r.payload) == payload[r.frame_idx :: 6]
+        assert r.n_frames == 6 and r.width == 8
+    assert [r.frame_idx for r in sorted(by["v2"], key=lambda r: r.frame_idx)] == [0, 1]
