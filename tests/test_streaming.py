@@ -65,3 +65,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # the 10 re-ingested identical contents are dropped by streaming dedup
     assert got.count() == len(corpus)
     assert got.select("sha256_original").distinct().count() == got.count()
+
+
+def test_chunk_and_fim_are_streaming_safe(spark, tmp_path):
+    """chunk_documents and fim_transform are stateless projections —
+    they must run unchanged inside a Structured Streaming query (no
+    state store, no watermark) and emit exactly the batch results."""
+    import pandas as pd
+
+    from data_curator_spark.operators.sampling import (
+        chunk_documents,
+        fim_transform,
+    )
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    pdf = pd.DataFrame(
+        {"doc_id": range(40), "text": [("abcdefgh" * (i % 7 + 1)) for i in range(40)]}
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(land / "d.parquet"))
+
+    batch_df = spark.read.parquet(str(land))
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(str(land))
+
+    for name, op in (
+        ("chunks", lambda d: chunk_documents(d, "doc_id", "text", 16, 4)),
+        ("fim", lambda d: fim_transform(d, "doc_id", "text")),
+    ):
+        out = str(tmp_path / f"out_{name}")
+        q = (
+            op(stream_df)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in op(batch_df).collect()}
+        assert got == want
