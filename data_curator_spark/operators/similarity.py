@@ -520,6 +520,206 @@ def ivf_ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (memory-bounded ANN at 10^12-vector scale)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector is split into ``m``
+    equal subspaces and each gets its own ``k``-centroid k-means
+    (train_ivf_centroids on the sliced column, per-subspace seed), so
+    the whole model is m·k·(dim/m) floats on the driver. A PQ code is
+    then m small ints — 8 bytes/vector at m=8 — which is what makes a
+    10^12-vector index fit in cluster memory (raw float32x64 = 256 B/vec,
+    PQ8x16 = 8 B/vec, 32× smaller; distances stay ~cosine-faithful
+    after re-rank)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            *( [id_col] if id_col else [] ),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sub"),
+        )
+        books.append(
+            train_ivf_centroids(
+                sliced, "__sub", n_centroids=k, iters=iters, dim=sub,
+                seed=seed + s, id_col=id_col,
+            )
+        )
+    return books
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched encoder: per subspace, numpy argmin over the
+    (k × sub) codebook — first-min index, matching _assign_cell's
+    tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    m = len(books)
+
+    # no type hints: PEP-563 string annotations (future-import above)
+    # break pandas-UDF type inference; the explicit returnType governs
+    def encode(vecs):
+        out = []
+        arrs, idxs = [], []
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == m * sub:
+                arrs.append(v)
+                idxs.append(i)
+        codes_by_row: dict[int, list[int]] = {}
+        if arrs:
+            a = np.asarray(arrs, dtype=np.float64).reshape(len(arrs), m, sub)
+            for s, book in enumerate(books):
+                # sequential-fold distance (see train_ivf_centroids_numpy)
+                d = np.zeros((len(arrs), book.shape[0]))
+                for j in range(sub):
+                    t = a[:, s, j, None] - book[None, :, j]
+                    d += t * t
+                assign = d.argmin(axis=1)
+                for row, c in zip(idxs, assign):
+                    codes_by_row.setdefault(row, []).append(int(c))
+        for i in range(len(vecs)):
+            out.append(codes_by_row.get(i))
+        return pd.Series(out)
+
+    return F.pandas_udf(encode, "array<int>")
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, pq_code array<int>) for every well-formed vector; null /
+    wrong-width vectors encode as null (dropped by pq_ann_topk, like
+    every ANN entry point). Map-only: the output is ids + m smallints,
+    the compressed index a 10^12-row corpus ships to every consumer."""
+    return df.select(
+        F.col(id_col),
+        _pq_encode_udf(codebooks)(F.col(vec_col)).alias("pq_code"),
+    )
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance (ADC) + exact re-rank: corpus
+    vectors are PQ-encoded once; each query precomputes a per-subspace
+    lookup table LUT[s][c] = ||q_s − codebook[s][c]||² on the driver
+    (m·k doubles), approximate distance is the pure-JVM fold
+    Σ_s LUT[s][code[s]] over the m-int code — NO floating vectors move
+    for the scan — and the ``refine·k`` best candidates per query are
+    re-ranked with exact cosine against the full vectors.
+
+    100-TB shape: the scan touches only (id, 8-byte code) + a broadcast
+    LUT literal; full vectors are read for refine·k·|queries| rows via
+    an ids-only semi-join. Determinism: seeded training, first-min
+    encode, (dist, id) tie-breaks end-to-end."""
+    books = train_pq_codebooks(
+        corpus, vec_col, m=m, k=n_codes, iters=iters, dim=dim, seed=seed,
+        id_col=id_col,
+    )
+    codes = pq_encode(corpus, id_col, vec_col, books).filter(
+        F.col("pq_code").isNotNull()
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    import numpy as np
+
+    qrows = (
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .orderBy(id_col)
+        .limit(BROADCAST_QUERY_CAP)
+        .collect()
+    )
+    sub = dim // m
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r[vec_col], dtype=np.float64).reshape(m, sub)
+        lut = [
+            [float(((q[s] - c) ** 2).sum()) for c in books_np[s]]
+            for s in range(m)
+        ]
+        lut_rows.append((r[id_col], lut))
+    spark = queries.sparkSession
+    qlut = F.broadcast(
+        spark.createDataFrame(
+            lut_rows, f"query_id {queries.schema[id_col].dataType.simpleString()}, lut array<array<double>>"
+        )
+    )
+
+    # ADC fold: pure JVM, no vectors — element_at is 1-based
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        ),
+    )
+    cand = codes.crossJoin(qlut).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= refine * k)
+        .drop("__r")
+    )
+
+    # exact re-rank: ids-only shortlist joins the full vectors back
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    qvec = F.broadcast(
+        spark.createDataFrame(
+            [(r[id_col], list(map(float, r[vec_col]))) for r in qrows],
+            f"query_id {queries.schema[id_col].dataType.simpleString()}, __qvec array<double>",
+        )
+    )
+    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        short.join(nvec, on="neighbor_id")
+        .join(qvec, on="query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def centroid_outliers(
     df: DataFrame,
     id_col: str,
