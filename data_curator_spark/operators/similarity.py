@@ -561,6 +561,33 @@ def train_pq_codebooks(
     return books
 
 
+def train_pq_codebooks_numpy(
+    arr,  # np.ndarray (n, dim) in id order
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Driver-side replica of train_pq_codebooks for oracle generation:
+    per subspace, the same train_ivf_centroids_numpy with seed+s on the
+    sliced columns — bit-identical codebooks by the IVF reproducibility
+    contract."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    a = np.asarray(arr, dtype=np.float64)
+    return [
+        train_ivf_centroids_numpy(
+            a[:, s * sub : (s + 1) * sub], n_centroids=k, iters=iters,
+            dim=sub, seed=seed + s,
+        )
+        for s in range(m)
+    ]
+
+
 def _pq_encode_udf(codebooks: list[list[list[float]]]):
     """Arrow-batched encoder: per subspace, numpy argmin over the
     (k × sub) codebook — first-min index, matching _assign_cell's
@@ -691,8 +718,14 @@ def pq_ann_topk(
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
+    # 6-decimal rounding before ranking: Spark's fold and the oracle's
+    # SUM may order the m terms differently (~1e-13 relative error);
+    # rounding makes the shortlist boundary engine-stable, and ties
+    # break by neighbor_id
     short = (
-        cand.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        cand.select(
+            "query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist")
+        )
         .withColumn("__r", F.row_number().over(w_adc))
         .filter(F.col("__r") <= refine * k)
         .drop("__r")

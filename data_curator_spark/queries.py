@@ -2055,6 +2055,124 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_ann_topk):
+    seeded per-subspace codebooks, 8-byte codes, pure-JVM ADC scan,
+    exact cosine re-rank of the refine·k shortlist."""
+    from data_curator_spark.operators.similarity import pq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    return pq_ann_topk(
+        q, e, "vec_id", "embedding",
+        k=3, m=8, n_codes=8, refine=4, iters=3, dim=64, seed=42,
+    )
+
+
+def _pq_ann_oracle_sql(
+    sf_dir: str,
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 8,
+    refine: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Generate the PQ oracle at call time: numpy replica of the
+    per-subspace codebook training on the actual embeddings, then emit
+    encode (per-subspace argmin) / ADC (6-decimal rounded, matching the
+    Spark fold's rounding) / exact-re-rank SQL with the codebooks as
+    literals."""
+    import duckdb
+
+    import numpy as np
+
+    from data_curator_spark.operators.similarity import train_pq_codebooks_numpy
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " WHERE embedding IS NOT NULL AND len(embedding) = "
+        f"{dim} ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    arr = np.array([r[0] for r in rows], dtype=np.float64)
+    books = train_pq_codebooks_numpy(arr, m=m, k=n_codes, iters=iters, dim=dim, seed=seed)
+    sub = dim // m
+    vals = ",\n    ".join(
+        "({}, {}, CAST(['{}'] AS DOUBLE[]))".format(
+            s, ci, "', '".join(repr(float(x)) for x in c)
+        )
+        for s, book in enumerate(books)
+        for ci, c in enumerate(book)
+    )
+    cos = _COS_SQL.format(dim=dim, q="q.qemb", c="n.cemb")
+    return f"""
+WITH cents(s, ci, cv) AS (
+  VALUES
+    {vals}
+), corp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+), dsub AS (
+  SELECT e.vec_id, c.s, c.ci,
+         list_sum(list_transform(range(1, {sub}+1),
+           j -> (CAST(e.embedding[c.s*{sub}+j] AS DOUBLE) - cv[j])
+              * (CAST(e.embedding[c.s*{sub}+j] AS DOUBLE) - cv[j]))) AS dist
+  FROM corp e CROSS JOIN cents c
+), codes AS (
+  SELECT vec_id AS neighbor_id, s, ci
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, ci) AS rn FROM dsub)
+  WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, s, ci, dist FROM dsub WHERE {query_pred}
+), adc AS (
+  SELECT l.query_id, c.neighbor_id, ROUND(SUM(l.dist), 6) AS adc_dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.ci = c.ci
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY l.query_id, c.neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc)
+  WHERE rn <= {refine * k}
+), scored AS (
+  SELECT sh.query_id, sh.neighbor_id, {cos} AS sim
+  FROM short sh
+  JOIN (SELECT vec_id, embedding AS qemb FROM corp) q ON q.vec_id = sh.query_id
+  JOIN (SELECT vec_id, embedding AS cemb FROM corp) n ON n.vec_id = sh.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def get_legacy_oracles() -> dict[str, str]:
+    """LEGACY_ORACLES plus the data-dependent entries (pq_ann trains
+    its codebooks on the checked sf dir, like ann_ivf in
+    get_oracles)."""
+    import os
+
+    out = dict(LEGACY_ORACLES)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    try:
+        out["pq_ann"] = _pq_ann_oracle_sql(sf_dir)
+    except Exception as e:  # noqa: BLE001 — unreadable data: rows-only
+        import sys
+
+        print(f"get_legacy_oracles(): pq_ann oracle skipped: {e}", file=sys.stderr)
+    return out
+
+
 def get_oracles() -> dict[str, str]:
     """Assemble the oracle dict, adding data-dependent oracles lazily.
 
@@ -4215,6 +4333,7 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "rule_ablation": q_rule_ablation,
     "fim_transform": q_fim_transform,
+    "pq_ann": q_pq_ann,
 }
 
 LEGACY_ORACLES: dict[str, str] = {

@@ -38,8 +38,8 @@ def test_every_registered_query_is_oracled():
 
 def test_legacy_queries_do_not_overlap_registry():
     import __spark_entry__ as entry
-    from data_curator_spark.queries import LEGACY_ORACLES, LEGACY_QUERIES
+    from data_curator_spark.queries import LEGACY_QUERIES, get_legacy_oracles
 
     qs = set(entry.queries())
     assert not qs & set(LEGACY_QUERIES)
-    assert set(LEGACY_QUERIES) == set(LEGACY_ORACLES)
+    assert set(LEGACY_QUERIES) == set(get_legacy_oracles())

@@ -94,3 +94,20 @@ def test_pq_validation_and_nulls(spark):
     out = {r.id: r.pq_code for r in pq_encode(df, "id", "vec", books).collect()}
     assert out[1] is not None
     assert out[2] is None and out[3] is None  # null / wrong width
+
+
+def test_pq_codebooks_spark_equals_numpy(spark, emb):
+    """The oracle contract: the distributed trainer and the driver-side
+    numpy replica produce the IDENTICAL codebook matrices."""
+    import pandas as pd
+
+    from data_curator_spark.operators.similarity import (
+        train_pq_codebooks,
+        train_pq_codebooks_numpy,
+    )
+
+    pdf = emb.orderBy("id").toPandas()
+    arr = np.array([list(v) for v in pdf["vec"]], dtype=np.float64)
+    a = train_pq_codebooks(emb, "vec", m=4, k=8, iters=3, dim=64, id_col="id")
+    b = train_pq_codebooks_numpy(arr, m=4, k=8, iters=3, dim=64)
+    assert a == b

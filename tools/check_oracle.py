@@ -65,10 +65,10 @@ def main() -> int:
     if legacy:
         # the deregistered queries (outside the driver's 50-row gate
         # window) with their oracles — same comparison, run on demand
-        from data_curator_spark.queries import LEGACY_ORACLES, LEGACY_QUERIES
+        from data_curator_spark.queries import LEGACY_QUERIES, get_legacy_oracles
 
         qs = dict(LEGACY_QUERIES)
-        oracles = dict(LEGACY_ORACLES)
+        oracles = get_legacy_oracles()
 
     if only:
         # a name that matches nothing must be a hard error — a typo'd or
