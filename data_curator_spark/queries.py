@@ -2156,6 +2156,55 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level curation rollup over documents: per `source`,
+    doc count, heuristics-gate pass count, and the EXACT flag rule of
+    pipeline/stages.py:with_repo_demotion (kept·10⁴ < bp·files in
+    integer arithmetic, min-files floor) — the driver-grade
+    cross-check of the repo-demotion math (the pipeline stage itself
+    is pytest-pinned; this pins the flag semantics against DuckDB)."""
+    from data_curator_spark.pipeline.stages import (
+        heuristics_pass_expr,
+        with_heuristics,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("text").alias("content")
+    )
+    h = with_heuristics(d).select(
+        "source",
+        F.coalesce(heuristics_pass_expr(), F.lit(False)).alias("__pass"),
+    )
+    agg = h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__pass").cast("long")).alias("n_pass"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        (
+            (F.col("n_docs") >= 5)
+            & (F.col("n_pass") * 10_000 < 2500 * F.col("n_docs"))
+        ).alias("flagged"),
+    )
+
+
+def _source_rollup_oracle_sql() -> str:
+    return f"""
+WITH {_blob_sql().lstrip()}
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(COALESCE(heuristics_pass, FALSE) AS INT)) AS BIGINT)
+         AS n_pass,
+       (COUNT(*) >= 5 AND
+        SUM(CAST(COALESCE(heuristics_pass, FALSE) AS INT)) * 10000
+          < 2500 * COUNT(*)) AS flagged
+FROM bl JOIN documents USING (doc_id)
+GROUP BY source
+"""
+
+
 def get_legacy_oracles() -> dict[str, str]:
     """LEGACY_ORACLES plus the data-dependent entries (pq_ann trains
     its codebooks on the checked sf dir, like ann_ivf in
@@ -4334,6 +4383,7 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_ablation": q_rule_ablation,
     "fim_transform": q_fim_transform,
     "pq_ann": q_pq_ann,
+    "source_rollup": q_source_rollup,
 }
 
 LEGACY_ORACLES: dict[str, str] = {
@@ -4358,4 +4408,5 @@ LEGACY_ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "rule_ablation": _rule_ablation_oracle_sql(),
     "fim_transform": _fim_oracle_sql(),
+    "source_rollup": _source_rollup_oracle_sql(),
 }
