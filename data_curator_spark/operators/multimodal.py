@@ -109,6 +109,16 @@ def _decode_wav_pcm16(payload: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
 
 
+def _fake_tile(payload: bytes, width: int, height: int) -> np.ndarray:
+    """The deterministic no-codec fallback: payload bytes tiled into
+    the (height, width, 3) metadata shape (dims clamped to >= 1)."""
+    width, height = max(width, 1), max(height, 1)
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    need = width * height * 3
+    reps = -(-need // len(buf))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode an encoded image to an HxWx3 uint8 array.
 
@@ -139,10 +149,7 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
                 return np.asarray(im.convert("RGB"), dtype=np.uint8)
         except Exception:  # noqa: BLE001
             pass
-    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-    need = width * height * 3
-    reps = -(-need // len(buf))
-    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+    return _fake_tile(payload, width, height)
 
 
 def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
@@ -331,6 +338,17 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 _decode_image(p, int(w), int(h))
                 for p, w, h in zip(payloads, widths, heights)
             ]
+            # degrade-don't-kill: a corrupt-but-parseable header can
+            # declare width or height 0 (decoded shape (h,0,3) etc.) —
+            # fancy-indexing that would IndexError the task. Route
+            # zero-dim decodes to the deterministic fake tile at the
+            # metadata shape, like _decode_image's own fallback.
+            decoded = [
+                img
+                if img.shape[0] > 0 and img.shape[1] > 0
+                else _fake_tile(p, int(w), int(h))
+                for img, p, w, h in zip(decoded, payloads, widths, heights)
+            ]
             by_shape: dict[tuple, list] = {}
             for pos, img in enumerate(decoded):
                 by_shape.setdefault(img.shape, []).append((pos, img))
@@ -405,7 +423,11 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(j)
                     out["n_frames"].append(nf)
-                    out["payload"].append(payload[j::nf])
+                    # `or payload`: a payload shorter than n_frames has
+                    # empty stride slices for the tail frames — fall back
+                    # to the whole payload exactly like extract_features'
+                    # video path, so sample->extract equals extract-on-video
+                    out["payload"].append(payload[j::nf] or payload)
                     out["width"].append(row["width"])
                     out["height"].append(row["height"])
                     out["mime"].append(row["mime"])

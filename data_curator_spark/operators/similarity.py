@@ -545,19 +545,82 @@ def train_pq_codebooks(
     after re-rank)."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    import numpy as np
+
     sub = dim // m
-    books = []
+    # full-width filter BEFORE slicing: F.slice silently truncates a
+    # short vector, so without this a wrong-width row would train
+    # subspaces 0..j and be dropped from the rest — diverging from
+    # train_pq_codebooks_numpy / the pq_ann oracle, which exclude such
+    # rows from EVERY subspace
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+
+    # init: ONE driver sample of full vectors (the same first k·20 rows
+    # in id order every per-subspace trainer would collect), sliced
+    # locally with each subspace's own seed — bit-identical to m
+    # independent train_ivf_centroids inits
+    sample_src = corpus.orderBy(id_col) if id_col is not None else corpus
+    sample = sample_src.select(vec_col).limit(k * 20).collect()
+    books: list[list[list[float]]] = []
     for s in range(m):
-        sliced = corpus.select(
-            *( [id_col] if id_col else [] ),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sub"),
-        )
+        rng = np.random.default_rng(seed + s)
+        idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
         books.append(
-            train_ivf_centroids(
-                sliced, "__sub", n_centroids=k, iters=iters, dim=sub,
-                seed=seed + s, id_col=id_col,
-            )
+            [
+                [float(x) for x in sample[i][0][s * sub : (s + 1) * sub]]
+                for i in idx
+            ]
         )
+
+    # iterations: ALL m subspaces train in ONE corpus pass each — the
+    # vector explodes into m tagged sub-slices, the assignment is a
+    # per-subspace _assign_cell behind a lazy when-chain (each row
+    # evaluates only its own subspace's k distances), and one
+    # groupBy(s, cell, pos) average rebuilds every codebook. The naive
+    # per-subspace loop was m·iters corpus scans + m init collects;
+    # this is iters scans + 1 init collect, same math: per-(s, cell)
+    # means with the same 6-decimal rounding, so the result is
+    # bit-identical to train_pq_codebooks_numpy except on the documented
+    # ~1e-14 rounding-boundary ties (the IVF reproducibility contract).
+    for _ in range(iters):
+        exploded = corpus.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(F.col(vec_col), s * sub + 1, sub).alias("v"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sv")
+        ).select(F.col("sv.s").alias("__s"), F.col("sv.v").alias("__v"))
+        assign = None
+        for s in range(m):
+            cell_s = _assign_cell(F.col("__v"), books[s])
+            assign = (
+                F.when(F.col("__s") == s, cell_s)
+                if assign is None
+                else assign.when(F.col("__s") == s, cell_s)
+            )
+        agg = (
+            exploded.select("__s", assign.alias("__c"), "__v")
+            .select("__s", "__c", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__s", "__c", "__pos")
+            .agg(F.avg("__x").alias("__mu"))
+            .collect()
+        )
+        new_books = [
+            {ci: list(cent) for ci, cent in enumerate(b)} for b in books
+        ]
+        for r in agg:
+            d = new_books[r["__s"]]
+            d.setdefault(r["__c"], [0.0] * sub)
+            d[r["__c"]][r["__pos"]] = round(float(r["__mu"]), 6)
+        books = [[d[i] for i in sorted(d)] for d in new_books]
     return books
 
 
@@ -690,10 +753,19 @@ def pq_ann_topk(
     lut_rows = []
     for r in qrows:
         q = np.asarray(r[vec_col], dtype=np.float64).reshape(m, sub)
-        lut = [
-            [float(((q[s] - c) ** 2).sum()) for c in books_np[s]]
-            for s in range(m)
-        ]
+        lut = []
+        for s in range(m):
+            row = []
+            for c in books_np[s]:
+                # SEQUENTIAL fold over j (numpy .sum() is pairwise and
+                # can differ by an ulp — enough to flip a ROUND(...,6)
+                # boundary vs the oracle's list_sum)
+                acc = 0.0
+                for j in range(sub):
+                    t = q[s, j] - c[j]
+                    acc += t * t
+                row.append(float(acc))
+            lut.append(row)
         lut_rows.append((r[id_col], lut))
     spark = queries.sparkSession
     qlut = F.broadcast(

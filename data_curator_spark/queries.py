@@ -2211,11 +2211,16 @@ def get_legacy_oracles() -> dict[str, str]:
     get_oracles)."""
     import os
 
+    import duckdb
+
     out = dict(LEGACY_ORACLES)
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     try:
         out["pq_ann"] = _pq_ann_oracle_sql(sf_dir)
-    except Exception as e:  # noqa: BLE001 — unreadable data: rows-only
+    except (FileNotFoundError, OSError, duckdb.IOException) as e:
+        # NARROW catch (same tuple as get_oracles): only missing/
+        # unreadable data downgrades to rows-only — a bug in the oracle
+        # generator must surface, not silently weaken the gate
         import sys
 
         print(f"get_legacy_oracles(): pq_ann oracle skipped: {e}", file=sys.stderr)

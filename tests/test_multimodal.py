@@ -260,3 +260,46 @@ def test_sample_frames_even_spacing_and_stride(spark):
         assert bytes(r.payload) == payload[r.frame_idx :: 6]
         assert r.n_frames == 6 and r.width == 8
     assert [r.frame_idx for r in sorted(by["v2"], key=lambda r: r.frame_idx)] == [0, 1]
+
+
+def test_resize_images_degrades_on_zero_dim_bmp(spark):
+    """A corrupt-but-parseable BMP declaring width=0 must DEGRADE (fake
+    tile at the metadata shape), never IndexError the task."""
+    import struct
+
+    import numpy as np
+
+    from data_curator_spark.operators.multimodal import resize_images
+
+    # minimal BMP header with width=0, height=2, 24bpp, no compression
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    struct.pack_into("<I", hdr, 10, 54)   # data offset
+    struct.pack_into("<i", hdr, 18, 0)    # width = 0
+    struct.pack_into("<i", hdr, 22, 2)    # height = 2
+    struct.pack_into("<H", hdr, 28, 24)   # bpp
+    struct.pack_into("<I", hdr, 30, 0)    # compression
+    df = spark.createDataFrame(
+        [("z1", "image", bytes(hdr), "image/bmp", 4, 4, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, sample_rate int, n_frames int",
+    )
+    rows = resize_images(df, 2, 2).collect()
+    assert len(rows) == 1
+    got = np.frombuffer(bytes(rows[0].payload), dtype=np.uint8)
+    assert got.shape == (2 * 2 * 3,)  # fake tile resized, task alive
+
+
+def test_sample_frames_short_payload_falls_back_whole(spark):
+    from data_curator_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [("v3", "video", b"abc", None, 8, 8, None, 6)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, sample_rate int, n_frames int",
+    )
+    rows = sample_frames(df, max_frames=4).collect()
+    for r in rows:
+        want = b"abc"[r.frame_idx :: 6] or b"abc"
+        assert bytes(r.payload) == want
+        assert len(r.payload) > 0  # never an empty frame
