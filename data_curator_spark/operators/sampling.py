@@ -108,6 +108,59 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def temperature_rates_permille(
+    counts: dict[str, int], alpha: float, target_total: int
+) -> dict[str, int]:
+    """Temperature-sampling rates (mT5/XLM-R-style multilingual
+    rebalancing): sample stratum s with probability ∝ p_s^alpha
+    (p_s = n_s / N), so alpha=1 keeps the natural distribution and
+    alpha→0 approaches uniform — boosting low-resource strata without
+    epoch-starving the head.
+
+    Returns integer PERMILLE keep-rates: expected kept per stratum is
+    q_s·target_total, rate_s = min(1000, round(1000·q_s·target/n_s)).
+    Computed DRIVER-side in one place so the Spark gate and any oracle
+    share the exact same integer literals — no cross-engine pow()
+    boundary risk ever reaches the data plane."""
+    if not counts or target_total <= 0:
+        return {k: 0 for k in counts}
+    total = sum(counts.values())
+    weights = {s: (n / total) ** alpha for s, n in counts.items() if n > 0}
+    z = sum(weights.values())
+    out = {}
+    for s, n in counts.items():
+        if n <= 0:
+            out[s] = 0
+            continue
+        q = weights[s] / z
+        out[s] = min(1000, int(round(1000.0 * q * target_total / n)))
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.7,
+    target_total: int = 100,
+    salt: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature sampling: compute per-stratum counts
+    (one tiny groupBy), derive p^alpha-proportional integer keep-rates
+    driver-side (temperature_rates_permille), and keep rows through the
+    usual md5 permille gate. Scale shape: one narrow count aggregation
+    + a scan-level CASE filter — the corpus streams once and the
+    filter pushes to the source like every sampler here."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[strata_col] is not None
+    }
+    rates = temperature_rates_permille(counts, alpha, target_total)
+    gate = sample_gate(F.col(id_col), salt)
+    return df.filter(gate < _strata_case(strata_col, rates, 0))
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str,

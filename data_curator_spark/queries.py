@@ -2205,6 +2205,53 @@ GROUP BY source
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based stratum rebalancing (mT5/XLM-R curriculum):
+    keep-rates ∝ (n_lang/N)^alpha derived driver-side as integer
+    permilles (operators/sampling.py:temperature_rates_permille), so
+    low-resource languages are boosted deterministically."""
+    from data_curator_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return temperature_sample(
+        d, "doc_id", "lang", alpha=0.5, target_total=200, salt="r6temp"
+    )
+
+
+def _temperature_sample_oracle_sql(sf_dir: str) -> str:
+    """Data-dependent oracle: replicate the driver-side rate derivation
+    on the actual per-lang counts, then inject the SAME integer permille
+    literals into the gate CASE — cross-engine pow() never touches the
+    data plane (both engines filter on identical ints)."""
+    import duckdb
+
+    from data_curator_spark.operators.sampling import temperature_rates_permille
+
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            "SELECT lang, COUNT(*) FROM read_parquet("
+            f"'{sf_dir}/documents.parquet') WHERE lang IS NOT NULL GROUP BY lang"
+        ).fetchall()
+    )
+    con.close()
+    rates = temperature_rates_permille(counts, alpha=0.5, target_total=200)
+    case = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(rates.items())
+    )
+    gate = _hex_long_sql("md5('r6temp:' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, source, n_chars, ({gate}) % 1000 AS gate
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars FROM g
+WHERE gate < CASE lang {case} ELSE 0 END
+"""
+
+
 def get_legacy_oracles() -> dict[str, str]:
     """LEGACY_ORACLES plus the data-dependent entries (pq_ann trains
     its codebooks on the checked sf dir, like ann_ivf in
@@ -2217,13 +2264,14 @@ def get_legacy_oracles() -> dict[str, str]:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     try:
         out["pq_ann"] = _pq_ann_oracle_sql(sf_dir)
+        out["temperature_sample"] = _temperature_sample_oracle_sql(sf_dir)
     except (FileNotFoundError, OSError, duckdb.IOException) as e:
         # NARROW catch (same tuple as get_oracles): only missing/
         # unreadable data downgrades to rows-only — a bug in the oracle
         # generator must surface, not silently weaken the gate
         import sys
 
-        print(f"get_legacy_oracles(): pq_ann oracle skipped: {e}", file=sys.stderr)
+        print(f"get_legacy_oracles(): data-dependent oracle skipped: {e}", file=sys.stderr)
     return out
 
 
@@ -4389,6 +4437,7 @@ LEGACY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fim_transform": q_fim_transform,
     "pq_ann": q_pq_ann,
     "source_rollup": q_source_rollup,
+    "temperature_sample": q_temperature_sample,
 }
 
 LEGACY_ORACLES: dict[str, str] = {

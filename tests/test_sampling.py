@@ -538,3 +538,41 @@ def test_hash_primitives_properties(spark):
             assert rebuilt == text
 
     check()
+
+
+def test_temperature_rates_properties():
+    """alpha=1 reproduces natural proportions; alpha->0 approaches
+    uniform; low-resource strata get boosted rates; caps at 1000."""
+    from data_curator_spark.operators.sampling import temperature_rates_permille
+
+    counts = {"en": 8000, "de": 1500, "sw": 500}
+    nat = temperature_rates_permille(counts, 1.0, 1000)
+    # alpha=1: expected kept per stratum = n/N*target -> rate = target/N
+    assert nat == {"en": 100, "de": 100, "sw": 100}
+    cool = temperature_rates_permille(counts, 0.3, 1000)
+    assert cool["sw"] > cool["de"] > cool["en"]  # low-resource boost
+    # tiny stratum + low alpha: rate caps at 1000 (keep everything)
+    tiny = temperature_rates_permille({"en": 100000, "xx": 3}, 0.1, 50000)
+    assert tiny["xx"] == 1000
+    assert temperature_rates_permille({"a": 5}, 0.5, 0) == {"a": 0}
+    assert temperature_rates_permille({"a": 0, "b": 5}, 0.5, 10)["a"] == 0
+
+
+def test_temperature_sample_deterministic(spark):
+    from data_curator_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 10 else "sw") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r.doc_id for r in temperature_sample(df, "doc_id", "lang", 0.4, 100).collect()}
+    b = {
+        r.doc_id
+        for r in temperature_sample(
+            df.repartition(16, F.rand(9)), "doc_id", "lang", 0.4, 100
+        ).collect()
+    }
+    assert a == b
+    kept = {r.doc_id % 10 == 0: 0 for r in []}
+    sw = sum(1 for i in a if i % 10 == 0)
+    en = len(a) - sw
+    # sw is 10% of docs but must be kept at a HIGHER rate than en
+    assert sw / 100 > en / 900
