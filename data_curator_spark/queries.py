@@ -1763,13 +1763,19 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_heuristics,
     )
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("content")
+    # _spread BOTH scans: the per-char heuristics/token kernels and the
+    # NB char-trigram explode are map-heavy; a single-split local scan
+    # serializes them onto one core (measured 37s of the query's 39s at
+    # sf1.0 in the nb feature pass alone — bench_extra.py dq.nb_feats)
+    d = _spread(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
     )
     h = with_heuristics(d)
     c = F.col("content")
     nb = nb_langid(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", "lang"
     ).select("doc_id", "nb_pred", "nb_margin_unats")
     return h.select(
         "doc_id",
@@ -3271,7 +3277,11 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines = q_dedup_lines(spark, sf_dir)
     reps = q_repetition_profile(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # _spread: the segment-hash and span-window kernels below explode
+    # per-word/per-window md5 work — single-split input serializes them
+    # (guide §2.5 input skew; measured 8.4s + 13.6s at sf1.0 on a 2-task
+    # scan, bench_extra.py lr.*)
+    d = _spread(_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     sd = dedup_segments_global(d, "doc_id", "text", delimiter=" ").select(
         "doc_id",
         F.col("n_segments").alias("n_segs"),
