@@ -38,6 +38,10 @@ P31 = 2_147_483_647  # Mersenne prime 2^31 - 1: affine-hash modulus
 # inside executor memory); a pathological pair graph above it falls back
 # to AQE-chosen shuffle joins instead of OOMing the driver
 BROADCAST_LABEL_CAP = 5_000_000
+# connected_components sizes its per-round (id, label) frames off the
+# edge count: one partition per this many edges (~2×16B×250k ≈ 8 MB of
+# shuffled pairs per task), capped at the session's parallelism
+_EDGES_PER_PARTITION = 250_000
 
 
 def size_gated_broadcast(df: DataFrame, cap: int = BROADCAST_LABEL_CAP) -> DataFrame:
@@ -491,7 +495,23 @@ def connected_components(
     # near-dup pairs touch a tiny fraction of the table, so each round's
     # shuffle is sized by the pair graph, not the corpus — untouched
     # vertices are singletons by definition and join back at the end
+    # right-size the loop's partitioning from the MEASURED edge count
+    # (guide §2.2 — fewer, larger partitions): the union above doubles
+    # the input partition count, so a small pair graph would drag
+    # 2×shuffle.partitions near-empty tasks through every round's join,
+    # groupBy and checkpoint. One bounded count on the persisted edges
+    # derives the real need; at corpus scale the same formula keeps full
+    # parallelism. coalesce() on the persisted frame merges cached
+    # blocks without a shuffle.
+    n_edges = edges.count()
+    target_parts = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        n_edges // _EDGES_PER_PARTITION + 1,
+    ))
+    if edges.rdd.getNumPartitions() > target_parts:
+        edges = edges.coalesce(target_parts)
     touched = edges.select(F.col("src").alias("id")).distinct()
+    round_hint = lambda df: df  # noqa: E731  (see loop below)
     # round 0 needs no checkpoint: the identity plan is flat — lineage
     # growth only starts once rounds nest
     labels = touched.select("id", F.col("id").alias("label"))
@@ -501,7 +521,7 @@ def connected_components(
     converged = False
     for it in range(max_iter):
         prop = (
-            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            edges.join(round_hint(labels.withColumnRenamed("id", "src")), on="src")
             .select(F.col("dst").alias("id"), "label")
         )
         stepped = (
@@ -524,7 +544,7 @@ def connected_components(
             ptr = stepped.select(
                 F.col("id").alias("label"), F.col("label").alias("__label2")
             )
-            stepped = stepped.join(ptr, on="label", how="left").select(
+            stepped = stepped.join(round_hint(ptr), on="label", how="left").select(
                 "id", F.coalesce("__label2", "label").alias("label")
             )
         before = persisted_rdd_ids(spark)
@@ -548,7 +568,10 @@ def connected_components(
             unchanged = False
         else:
             unchanged = (
-                labels.join(prev_labels.withColumnRenamed("label", "__old"), on="id")
+                labels.join(
+                    round_hint(prev_labels.withColumnRenamed("label", "__old")),
+                    on="id",
+                )
                 .filter(F.col("label") != F.col("__old"))
                 .isEmpty()
             )
@@ -792,43 +815,49 @@ def dedup_segments_global(
     segs = F.split(F.col(text_col), delim_re)
 
     base = df.select(F.col(id_col), F.col(text_col))
-    pos_segs = base.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.posexplode(segs).alias("pos", "seg"),
+    # keep the UNEXPLODED segment arrays for the rebuild: only the hash
+    # pass explodes, so document text never shuffles at all (the earlier
+    # rebuild re-exploded the corpus and reassembled it through a
+    # groupBy(id) collect_list — a full text shuffle + per-doc sort that
+    # the per-doc loser-position arrays below replace; the
+    # exact_substring_dedup kernel already uses this shape)
+    arr = base.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), segs.alias("__segs")
     )
-    occ = pos_segs.filter(F.length("seg") >= min_len).select(
+    occ = arr.select(
+        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
+    ).filter(F.length("seg") >= min_len).select(
         F.col(id_col), "pos", hex_prefix_long(F.col("seg"), 15).alias("h")
     )
     w = Window.partitionBy("h").orderBy(
         F.col(id_col).asc(), F.col("pos").asc()
     )
+    # one row per AFFECTED doc carrying its loser positions — bounded by
+    # corpus duplication, not corpus size
     losers = persist_tracked(
         occ.select(
             F.col(id_col), "pos", F.row_number().over(w).alias("__rn")
         )
         .filter(F.col("__rn") > 1)
-        .select(id_col, "pos")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__lpos"))
     )
-    flagged = pos_segs.join(
-        size_gated_broadcast(losers.withColumn("__dup", F.lit(True))),
-        on=[id_col, "pos"],
-        how="left",
-    ).select(
-        id_col, "pos", "seg", F.coalesce("__dup", F.lit(False)).alias("__dup")
+    flagged = arr.join(size_gated_broadcast(losers), on=id_col, how="left")
+    kept = F.when(
+        F.col("__lpos").isNull(), F.col("__segs")
+    ).otherwise(
+        F.filter(
+            "__segs", lambda x, i: ~F.array_contains(F.col("__lpos"), i)
+        )
     )
-    rebuilt = flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(F.collect_list(F.struct("pos", "seg", "__dup"))),
-                    lambda s: ~s.getField("__dup"),
-                ),
-                lambda s: s.getField("seg"),
-            ),
-            delimiter,
-        ).alias(out_col),
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.when(F.col("__dup"), 0).otherwise(1)).alias("n_kept"),
+    rebuilt = flagged.select(
+        F.col(id_col),
+        F.array_join(kept, delimiter).alias(out_col),
+        F.size("__segs").cast("long").alias("n_segments"),
+        (
+            F.size("__segs")
+            - F.coalesce(F.size("__lpos"), F.lit(0))
+        ).cast("long").alias("n_kept"),
     )
     null_rows = base.filter(F.col(text_col).isNull()).select(
         F.col(id_col),

@@ -71,13 +71,26 @@ def cosine_topk(
     Queries are broadcast (small side); the corpus is scanned once. Ties
     broken by neighbor id for determinism. ``sim_decimals`` rounds the
     similarity before ranking (oracle hash stability)."""
+    # norms are precomputed ONCE PER ROW before the cross join — the
+    # per-pair expression was re-folding l2_norm(q) and l2_norm(c) for
+    # every (query, neighbor) combination (higher-order folds are
+    # interpreted, not codegen'd: 3 array folds per pair → 1). The
+    # product norm_q·norm_c is the identical IEEE multiplication the
+    # fused cosine() computed, so similarities are bit-equal.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qnorm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    denom = F.col("__qnorm") * F.col("__cnorm")
+    sim = F.when(denom != 0, dot(F.col("__qvec"), F.col("__cvec")) / denom)
     if sim_decimals is not None:
         sim = F.round(sim, sim_decimals)
     scored = (

@@ -955,8 +955,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_curator_spark.operators.similarity import cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
+    # _spread the corpus side: the single-split embeddings scan would
+    # run every pairwise cosine on one core (queries stay unspread —
+    # they are broadcast)
     return cosine_topk(
-        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=3
+        e.filter(F.col("vec_id") < 5), _spread(e), "vec_id", "embedding", k=3
     )
 
 
