@@ -485,7 +485,14 @@ def connected_components(
     edges = persist_tracked(edges)
 
     identity = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    if edges.isEmpty():  # all-singleton corpus: no propagation needed
+    # ONE count materializes the persisted edges and serves three
+    # decisions that each used to be (or would be) their own job: the
+    # all-singleton early exit (was a separate isEmpty), the loop's
+    # partition sizing, and the final-phase broadcast gate (labels rows
+    # are bounded by |touched| ≤ 2·n_edges, so the exact labels.count()
+    # job is unnecessary)
+    n_edges = edges.count()
+    if n_edges == 0:  # all-singleton corpus: no propagation needed
         return identity.select(
             F.col("id").alias(id_col),
             F.col("label").alias("cluster_id"),
@@ -494,16 +501,14 @@ def connected_components(
     # iterate ONLY over pair-touched vertices: at corpus scale the
     # near-dup pairs touch a tiny fraction of the table, so each round's
     # shuffle is sized by the pair graph, not the corpus — untouched
-    # vertices are singletons by definition and join back at the end
-    # right-size the loop's partitioning from the MEASURED edge count
+    # vertices are singletons by definition and join back at the end.
+    # Right-size the loop's partitioning from the MEASURED edge count
     # (guide §2.2 — fewer, larger partitions): the union above doubles
     # the input partition count, so a small pair graph would drag
     # 2×shuffle.partitions near-empty tasks through every round's join,
-    # groupBy and checkpoint. One bounded count on the persisted edges
-    # derives the real need; at corpus scale the same formula keeps full
-    # parallelism. coalesce() on the persisted frame merges cached
+    # groupBy and checkpoint; at corpus scale the same formula keeps
+    # full parallelism. coalesce() on the persisted frame merges cached
     # blocks without a shuffle.
-    n_edges = edges.count()
     target_parts = max(1, min(
         spark.sparkContext.defaultParallelism,
         n_edges // _EDGES_PER_PARTITION + 1,
@@ -511,7 +516,6 @@ def connected_components(
     if edges.rdd.getNumPartitions() > target_parts:
         edges = edges.coalesce(target_parts)
     touched = edges.select(F.col("src").alias("id")).distinct()
-    round_hint = lambda df: df  # noqa: E731  (see loop below)
     # round 0 needs no checkpoint: the identity plan is flat — lineage
     # growth only starts once rounds nest
     labels = touched.select("id", F.col("id").alias("label"))
@@ -521,7 +525,7 @@ def connected_components(
     converged = False
     for it in range(max_iter):
         prop = (
-            edges.join(round_hint(labels.withColumnRenamed("id", "src")), on="src")
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
             .select(F.col("dst").alias("id"), "label")
         )
         stepped = (
@@ -544,7 +548,7 @@ def connected_components(
             ptr = stepped.select(
                 F.col("id").alias("label"), F.col("label").alias("__label2")
             )
-            stepped = stepped.join(round_hint(ptr), on="label", how="left").select(
+            stepped = stepped.join(ptr, on="label", how="left").select(
                 "id", F.coalesce("__label2", "label").alias("label")
             )
         before = persisted_rdd_ids(spark)
@@ -568,10 +572,7 @@ def connected_components(
             unchanged = False
         else:
             unchanged = (
-                labels.join(
-                    round_hint(prev_labels.withColumnRenamed("label", "__old")),
-                    on="id",
-                )
+                labels.join(prev_labels.withColumnRenamed("label", "__old"), on="id")
                 .filter(F.col("label") != F.col("__old"))
                 .isEmpty()
             )
@@ -608,7 +609,7 @@ def connected_components(
     # too big to broadcast — AQE then picks the shuffle strategy.
     from data_curator_spark.engine.cache import local_checkpoint_tracked
 
-    hint = F.broadcast if labels.count() <= BROADCAST_LABEL_CAP else (lambda df: df)
+    hint = F.broadcast if 2 * n_edges <= BROADCAST_LABEL_CAP else (lambda df: df)
     # corpus stream 1: keep only labels whose id is a real vertex, then
     # remap each component to its min REAL id — materialized (tiny) so
     # the final join does not replay this scan
@@ -969,8 +970,16 @@ def exact_substring_dedup(
     # duplicated starts (stats) and/or its loser starts (removal);
     # the post-agg filter keeps the join table bounded by AFFECTED
     # docs, not docs-with-windows
+    # drop the non-duplicated windows BEFORE the per-doc groupBy: a row
+    # with __c == 1 and __rn == 1 contributes null to every collected
+    # list (collect_list skips nulls), so filtering it first is a pure
+    # no-op on the output while shrinking the groupBy input from
+    # every-window-in-the-corpus to just the duplicated ones — in a
+    # mostly-unique corpus, orders of magnitude fewer rows
+    dup_pred = None
     agg_cols, keep_pred = [], None
     if stats:
+        dup_pred = F.col("__c") > 1
         agg_cols.append(
             F.collect_list(F.when(F.col("__c") > 1, F.col("pos"))).alias(
                 "__starts"
@@ -978,6 +987,8 @@ def exact_substring_dedup(
         )
         keep_pred = F.size("__starts") > 0
     if removal:
+        p_rn = F.col("__rn") > 1
+        dup_pred = p_rn if dup_pred is None else (dup_pred | p_rn)
         agg_cols.append(
             F.collect_list(F.when(F.col("__rn") > 1, F.col("pos"))).alias(
                 "__lstarts"
@@ -986,7 +997,7 @@ def exact_substring_dedup(
         p = F.size("__lstarts") > 0
         keep_pred = p if keep_pred is None else (keep_pred | p)
     affected = persist_tracked(
-        marked.groupBy(id_col).agg(*agg_cols).filter(keep_pred)
+        marked.filter(dup_pred).groupBy(id_col).agg(*agg_cols).filter(keep_pred)
     )
     out = base.join(size_gated_broadcast(affected), on=id_col, how="left")
 

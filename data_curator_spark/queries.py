@@ -1766,20 +1766,19 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_heuristics,
     )
 
-    # _spread BOTH scans: the per-char heuristics/token kernels and the
-    # NB char-trigram explode are map-heavy; a single-split local scan
-    # serializes them onto one core (measured 37s of the query's 39s at
-    # sf1.0 in the nb feature pass alone — bench_extra.py dq.nb_feats)
-    d = _spread(
-        _t(spark, sf_dir, "documents").select(
-            "doc_id", F.col("text").alias("content")
-        )
-    )
+    # ONE _spread scan feeds both branches: the per-char heuristics/
+    # token kernels and the NB char-trigram explode are map-heavy, and a
+    # single-split local scan serializes them onto one core (measured
+    # 37s of the query's 39s at sf1.0 in the nb feature pass alone —
+    # bench_extra.py dq.nb_feats); sharing the repartitioned frame also
+    # avoids a second scan+shuffle of the corpus text
+    base = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    d = base.select("doc_id", F.col("text").alias("content"))
     h = with_heuristics(d)
     c = F.col("content")
-    nb = nb_langid(
-        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", "lang"
-    ).select("doc_id", "nb_pred", "nb_margin_unats")
+    nb = nb_langid(base, "doc_id", "text", "lang").select(
+        "doc_id", "nb_pred", "nb_margin_unats"
+    )
     return h.select(
         "doc_id",
         T.whitespace_token_count(c).alias("ws_tokens"),
