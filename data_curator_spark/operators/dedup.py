@@ -43,6 +43,20 @@ BROADCAST_LABEL_CAP = 5_000_000
 # shuffled pairs per task), capped at the session's parallelism
 _EDGES_PER_PARTITION = 250_000
 
+# id types whose Python ordering provably matches Spark's (ints compare
+# numerically; str comparison is by code point, which equals Spark's
+# UTF8 binary order) — the gate for connected_components' driver-solve
+# fast path; other id types always take the distributed loop
+from pyspark.sql.types import (  # noqa: E402  (grouped with its consumer)
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
+
+_CC_DRIVER_SOLVE_TYPES = (ByteType, ShortType, IntegerType, LongType, StringType)
+
 
 def size_gated_broadcast(df: DataFrame, cap: int = BROADCAST_LABEL_CAP) -> DataFrame:
     """``F.broadcast(df)`` only when df is provably small: bounded
@@ -416,6 +430,7 @@ def connected_components(
     max_iter: int = 25,
     stats: dict | None = None,
     assume_unique_pairs: bool = False,
+    driver_solve_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup CLUSTERS from candidate pairs: assign every vertex the
     minimum id reachable through the pair graph (its connected
@@ -498,6 +513,66 @@ def connected_components(
             F.col("label").alias("cluster_id"),
             F.lit(True).alias("is_canonical"),
         )
+    id_type = vertices.schema[id_col].dataType
+    if n_edges <= driver_solve_edge_cap and isinstance(
+        id_type, _CC_DRIVER_SOLVE_TYPES
+    ):
+        # SMALL-GRAPH FAST PATH: the pair graph fits the same bounded-
+        # collect budget as the module's broadcast caps (≤1M edges ×
+        # two ids ≈ tens of MB), so solve it with driver union-find in
+        # one collect instead of paying 2+ distributed rounds of
+        # join+groupBy+checkpoint+convergence jobs whose cost is pure
+        # scheduling latency at this size (measured 4.5s for a 2.5k-
+        # edge graph at sf1.0; the fast path is <0.5s). Union-by-
+        # smaller-root keeps each component's representative at its
+        # MINIMUM id — exactly the loop's fixpoint — and Python's
+        # int/str ordering matches Spark's long/UTF8-binary ordering
+        # (the type gate above restricts the path to those id types).
+        # At corpus scale a real near-dup graph exceeds the cap and the
+        # distributed loop below runs unchanged; pass
+        # driver_solve_edge_cap=0 to force it (tests pinning the
+        # iterative trace do).
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            if a is None or b is None:
+                # a null endpoint joins nothing in the distributed
+                # rounds (SQL null semantics), so it carries no
+                # connectivity there either
+                continue
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["peak_checkpoint_rdds"] = 0
+        from pyspark.sql.types import StructField, StructType
+
+        labels = spark.createDataFrame(
+            [(x, find(x)) for x in parent],
+            StructType(
+                [
+                    StructField("id", id_type, True),
+                    StructField("label", id_type, True),
+                ]
+            ),
+        )
+        return _cc_attach_labels(identity, labels, id_col, n_edges)
     # iterate ONLY over pair-touched vertices: at corpus scale the
     # near-dup pairs touch a tiny fraction of the table, so each round's
     # shuffle is sized by the pair graph, not the corpus — untouched
@@ -591,22 +666,29 @@ def connected_components(
     # the FINAL round's checkpoint backs the returned frame; inside a
     # cache_scope it releases at scope exit with everything else
     track_rdd_ids_ambient(spark, prev_ids)
+    return _cc_attach_labels(identity, labels, id_col, n_edges)
 
-    # a pair may reference an id that is NOT in `vertices` (caller
-    # filtered the corpus but not the pre-computed pairs). Such dangling
-    # ids still CARRY connectivity through the propagation above, but
-    # must never become a cluster_id (the cluster would have no
-    # canonical member to keep) — relabel each component to its minimum
-    # VERTEX id.
-    #
-    # Scale shape: the corpus only ever STREAMS — it is never shuffled
-    # and never broadcast. `labels` is pair-touched-set sized (tiny next
-    # to the corpus), so both corpus joins hash against a broadcast of
-    # the label side; without the hint Spark at test scale happily
-    # broadcasts the CORPUS into the semi-join, which is exactly
-    # backwards at 100 TB. The count() is free (labels is checkpointed)
-    # and drops the hint for a pathological graph whose touched set is
-    # too big to broadcast — AQE then picks the shuffle strategy.
+
+def _cc_attach_labels(
+    identity: DataFrame, labels: DataFrame, id_col: str, n_edges: int
+) -> DataFrame:
+    """Shared final phase of connected_components: relabel components to
+    their minimum REAL vertex id and re-attach singletons.
+
+    A pair may reference an id that is NOT in `vertices` (caller
+    filtered the corpus but not the pre-computed pairs). Such dangling
+    ids still CARRY connectivity through the propagation, but must
+    never become a cluster_id (the cluster would have no canonical
+    member to keep) — relabel each component to its minimum VERTEX id.
+
+    Scale shape: the corpus only ever STREAMS — it is never shuffled
+    and never broadcast. `labels` is pair-touched-set sized (tiny next
+    to the corpus), so both corpus joins hash against a broadcast of
+    the label side; without the hint Spark at test scale happily
+    broadcasts the CORPUS into the semi-join, which is exactly
+    backwards at 100 TB. The 2·n_edges bound on label rows gates the
+    hint without a separate count job; a pathological graph past the
+    cap falls back to AQE-chosen shuffle joins."""
     from data_curator_spark.engine.cache import local_checkpoint_tracked
 
     hint = F.broadcast if 2 * n_edges <= BROADCAST_LABEL_CAP else (lambda df: df)

@@ -1262,9 +1262,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= 0.5
     )
     # lsh_candidate_pairs ends in dropDuplicates, so the edge-dedup
-    # shuffle inside connected_components is provably redundant here
+    # shuffle inside connected_components is provably redundant here.
+    # Vertices come from a FRESH ids-only scan, not the _spread frame:
+    # the vertex side only streams through CC's final joins, and reusing
+    # `d` would drag the text-carrying repartition exchange into both of
+    # them (ids-only parquet scan is cheaper than the shuffle)
+    verts = _t(spark, sf_dir, "documents").select("doc_id")
     return connected_components(
-        d.select("doc_id"), pairs, "doc_id", assume_unique_pairs=True
+        verts, pairs, "doc_id", assume_unique_pairs=True
     )
 
 

@@ -142,7 +142,7 @@ def test_connected_components_chains_and_singletons(spark):
     spark.catalog.clearCache()
     unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
     with cache_scope():
-        out = connected_components(verts, pairs, "doc_id")
+        out = connected_components(verts, pairs, "doc_id", driver_solve_edge_cap=0)
         got = {
             r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()
         }
@@ -181,7 +181,9 @@ def test_connected_components_long_chain_converges(spark):
     with cache_scope():
         got = {
             r["doc_id"]: r["cluster_id"]
-            for r in connected_components(verts, pairs, "doc_id").collect()
+            for r in connected_components(
+                verts, pairs, "doc_id", driver_solve_edge_cap=0
+            ).collect()
         }
     unpersist_rdd_ids(spark, persisted_rdd_ids(spark), blocking=True)
     assert got == {i: 0 for i in range(n)}
@@ -200,7 +202,9 @@ def test_connected_components_string_ids(spark):
     )
     got = {
         r["doc_id"]: (r["cluster_id"], r["is_canonical"])
-        for r in connected_components(verts, pairs, "doc_id").collect()
+        for r in connected_components(
+            verts, pairs, "doc_id", driver_solve_edge_cap=0
+        ).collect()
     }
     assert got == {
         "aa": ("aa", True), "bb": ("aa", False), "cc": ("aa", False),
@@ -242,7 +246,10 @@ def test_connected_components_deep_chain_logarithmic(spark):
     pairs = spark.createDataFrame(chain, "id_a string, id_b string")
 
     stats: dict = {}
-    out = connected_components(vertices, pairs, "doc_id", max_iter=40, stats=stats)
+    out = connected_components(
+        vertices, pairs, "doc_id", max_iter=40, stats=stats,
+        driver_solve_edge_cap=0,
+    )
     rows = out.collect()
     assert len(rows) == n
     assert {r["cluster_id"] for r in rows} == {"d00000"}
@@ -603,3 +610,39 @@ def test_exact_substring_random_differential(spark):
             ).collect()
         }
         assert got == ref, f"seed {seed}: kernel diverges from reference"
+
+
+def test_connected_components_driver_solve_matches_loop(spark):
+    """The small-graph driver union-find fast path must be output-
+    identical to the distributed min-label loop — same clusters, same
+    canonical members, dangling ids and null endpoints included."""
+    from data_curator_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame(
+        [(f"v{i:02d}",) for i in range(20)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        # two chains, one clique edge set, a dangling id, a null end
+        [("v01", "v02"), ("v02", "v03"), ("v07", "v08"),
+         ("v10", "v11"), ("v11", "v12"), ("v10", "v12"),
+         ("v15", "zz-dangling"), ("v16", "zz-dangling"),
+         ("v18", None)],
+        "id_a string, id_b string",
+    )
+
+    def run(cap):
+        return sorted(
+            (r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in connected_components(
+                verts, pairs, "doc_id", driver_solve_edge_cap=cap
+            ).collect()
+        )
+
+    fast = run(1_000_000)
+    loop = run(0)
+    assert fast == loop
+    stats_fast: dict = {}
+    connected_components(
+        verts, pairs, "doc_id", stats=stats_fast
+    ).collect()
+    assert stats_fast["rounds"] == 0  # proves the fast path actually ran
