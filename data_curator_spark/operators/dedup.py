@@ -816,32 +816,31 @@ def strip_hot_segments(
     )
     hint = F.broadcast if hot.count() <= BROADCAST_LABEL_CAP else (lambda d: d)
 
-    pos_segs = base.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.posexplode(segs).alias("pos", "seg"),
+    # the rebuild joins per-doc HOT-POSITION arrays onto the UNEXPLODED
+    # segment arrays (the exact_substring_dedup shape) instead of
+    # reassembling the corpus text through a groupBy(id) collect_list —
+    # document text never shuffles: only (id, pos) rows of hot segments
+    # (bounded by boilerplate volume) reach the aggregation
+    arr = base.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), segs.alias("__segs")
     )
-    flagged = pos_segs.join(
+    hot_pos = arr.select(
+        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
+    ).join(
         hint(hot),
         on=hex_prefix_long(F.col("seg"), 15) == F.col("h"),
-        how="left",
-    ).select(
-        id_col, "pos", "seg", F.col("h").isNotNull().alias("__hot")
+        how="inner",
+    ).groupBy(id_col).agg(F.collect_list("pos").alias("__hpos"))
+    kept = F.when(
+        F.col("__hpos").isNull(), F.col("__segs")
+    ).otherwise(
+        F.filter(
+            "__segs", lambda x, i: ~F.array_contains(F.col("__hpos"), i)
+        )
     )
-    # split('') yields [''], so every non-null-text doc contributes at
-    # least one segment row and survives the groupBy even when every
-    # segment is hot (filter inside the aggregate, not before it)
-    rebuilt = flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(F.collect_list(F.struct("pos", "seg", "__hot"))),
-                    lambda s: ~s.getField("__hot"),
-                ),
-                lambda s: s.getField("seg"),
-            ),
-            delimiter,
-        ).alias(out_col)
-    )
+    rebuilt = arr.join(
+        size_gated_broadcast(hot_pos), on=id_col, how="left"
+    ).select(F.col(id_col), F.array_join(kept, delimiter).alias(out_col))
     null_rows = base.filter(F.col(text_col).isNull()).select(
         F.col(id_col), F.lit(None).cast("string").alias(out_col)
     )

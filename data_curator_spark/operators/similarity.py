@@ -1063,16 +1063,29 @@ def semdedup_prune(
         _gated_broadcast(sizes.filter(F.col("__gn") <= max_cluster)),
         on=group_col,
     )
+    # integer square-norms computed ONCE PER ROW before the self-join —
+    # the per-pair expression re-folded both sides' norms for every
+    # (x, y) combination (interpreted higher-order folds; 3 per pair →
+    # 1). sqrt(cast(double)) of the same exact integer is the identical
+    # IEEE value, so pair_sim is bit-equal.
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    small = small.withColumn("__n2", nrm("__xq"))
     x = small.select(
         F.col(group_col),
         F.col(id_col).alias("__xid"),
         F.col("__xq").alias("__xv"),
+        F.col("__n2").alias("__xn2"),
         F.col("centroid_sim").alias("__xcs"),
     )
     y = small.select(
         F.col(group_col),
         F.col(id_col).alias("__yid"),
         F.col("__xq").alias("__yv"),
+        F.col("__n2").alias("__yn2"),
         F.col("centroid_sim").alias("__ycs"),
     )
     dot = F.aggregate(
@@ -1080,16 +1093,11 @@ def semdedup_prune(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    nrm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     pair_sim = F.round(
         F.try_divide(
             dot.cast("double"),
-            F.sqrt(nrm("__xv").cast("double"))
-            * F.sqrt(nrm("__yv").cast("double")),
+            F.sqrt(F.col("__xn2").cast("double"))
+            * F.sqrt(F.col("__yn2").cast("double")),
         ),
         6,
     )

@@ -29,16 +29,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a small scan up to the session's default
-    parallelism BEFORE a map-heavy stage (shingle explode, per-token
-    hashing). Locally the testdata tables are single parquet files = one
-    input split, which would serialize the expensive projection onto one
+def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Repartition a small scan up to the session's default parallelism
+    BEFORE a map-heavy stage (shingle explode, per-token hashing).
+    Locally the testdata tables are single parquet files = one input
+    split, which would serialize the expensive projection onto one
     core; at cluster scale inputs arrive in many splits and this is a
-    no-op (partitions already ≥ parallelism)."""
+    no-op (partitions already ≥ parallelism).
+
+    ``by``: HASH-partition on that column instead of round-robin. Use
+    it when the downstream pipeline aggregates per ``by`` (per-doc
+    token/gram groupBys): HashPartitioning(by) satisfies the clustered
+    distribution of every groupBy whose keys include ``by``, so those
+    aggregations reuse THIS exchange instead of shuffling the (much
+    larger) exploded gram rows — measured one Exchange total for
+    repartition→explode→groupBy(id,g)→groupBy(id) vs three (guide
+    §2.4: operations keyed the same way share one exchange)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target, F.col(by)) if by else df.repartition(target)
     return df
 
 
@@ -861,7 +870,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_verify,
     )
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     # persist = the query-level analog of materializing the signature /
     # candidate tables at cluster scale: each is computed once even
     # though the band self-join and the verify stage consume them twice.
@@ -883,7 +892,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SQL_MINHASH_LSH); estimate quality pinned by tests/test_dedup.py."""
     from data_curator_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     # signatures feed the band join (×2) and the est re-attach (×2):
     # persist = compute the expensive shingle→minhash aggregation once
     sigs = persist_tracked(minhash_signatures(d, "doc_id", "text", k=32))
@@ -936,7 +945,7 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the banding, which tests/test_dedup.py pins)."""
     from data_curator_spark.operators.dedup import simhash, simhash_near_pairs
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     # fingerprints feed the band explode (×2) and the hamming re-attach
     # (×2): persist = compute the token-explode + 60-vote groupBy once
     fps = persist_tracked(simhash(d, "doc_id", "text"))
@@ -1256,7 +1265,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id").select("doc_id", "text")
     sigs = persist_tracked(minhash_signatures(d, "doc_id", "text", k=32))
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8).filter(
         F.col("est_jaccard") >= 0.5
@@ -1777,7 +1786,10 @@ def q_doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 37s of the query's 39s at sf1.0 in the nb feature pass alone —
     # bench_extra.py dq.nb_feats); sharing the repartitioned frame also
     # avoids a second scan+shuffle of the corpus text
-    base = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    base = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang"),
+        by="doc_id",
+    )
     d = base.select("doc_id", F.col("text").alias("content"))
     h = with_heuristics(d)
     c = F.col("content")
@@ -2910,7 +2922,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Benchmark shingle-hash set broadcasts; corpus never self-joins."""
     from data_curator_spark.operators.dedup import contamination_overlap
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return contamination_overlap(
@@ -3288,7 +3300,10 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-word/per-window md5 work — single-split input serializes them
     # (guide §2.5 input skew; measured 8.4s + 13.6s at sf1.0 on a 2-task
     # scan, bench_extra.py lr.*)
-    d = _spread(_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
+    d = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        by="doc_id",
+    )
     sd = dedup_segments_global(d, "doc_id", "text", delimiter=" ").select(
         "doc_id",
         F.col("n_segments").alias("n_segs"),
@@ -3326,7 +3341,7 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: (doc, gram) partial counts combine map-side, then one
     per-doc aggregate; grams never leave their doc's shuffle key. Docs
     with <2 words have no bigrams and are excluded (both engines)."""
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     from data_curator_spark.operators.dedup import WS_RE
 
     words = F.split(F.trim("text"), WS_RE)
@@ -3501,7 +3516,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute the identical cut."""
     from data_curator_spark.operators.dedup import strip_hot_segments
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     n = d.filter(F.col("text").isNotNull()).count()
     # ceil(0.78 * n), integer-exact; max(,1) so an all-null/empty corpus
     # degrades to "nothing is hot" instead of tripping the operator's
@@ -3713,7 +3728,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, order-independent). Higher = more anomalous."""
     from data_curator_spark.operators.lm import unigram_surprisal
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     return unigram_surprisal(d, "doc_id", "text")
 
 
@@ -3750,7 +3765,7 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vocab bigram, exact integer per-doc sums."""
     from data_curator_spark.operators.lm import bigram_surprisal
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     return bigram_surprisal(d, "doc_id", "text")
 
 
@@ -3865,7 +3880,7 @@ def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_curator_spark.operators.sampling import sample_gate
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     gate = sample_gate(F.col("doc_id"), "r6lm")
     train, score = d.filter(gate < 800), d.filter(gate >= 800)
     # train the shared Laplace unigram ONCE (it is both the unigram
@@ -4043,7 +4058,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filtering and budget mixing."""
     from data_curator_spark.operators.lm import dsir_log_weights
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     tgt_sources = ["src0", "src1", "src2", "src3"]
     target = d.filter(F.col("source").isin(tgt_sources))
     source = d.filter(~F.col("source").isin(tgt_sources))
@@ -4127,7 +4142,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation bug surfaces as a hash mismatch."""
     from data_curator_spark.operators.bpe import bpe_encode_counts, bpe_train
 
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
     merges = bpe_train(d, "text", num_merges=BPE_ENCODE_MERGES)
     return bpe_encode_counts(d, "doc_id", "text", merges)
 
