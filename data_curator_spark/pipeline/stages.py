@@ -484,7 +484,10 @@ def with_near_dup(
 
     keyed = df.withColumn("__doc_id", _doc_identity(id_cols))
     sigs = minhash_signatures(keyed, "__doc_id", content)
-    pairs = lsh_candidate_ids(sigs, "__doc_id", max_bucket=max_bucket)
+    # persist: `pairs` feeds four plan branches below (touched ×2, the
+    # CC edge union ×2) — unpersisted, the signature+band-join chain
+    # would re-run per branch
+    pairs = persist_tracked(lsh_candidate_ids(sigs, "__doc_id", max_bucket=max_bucket))
     touched = (
         pairs.select(F.col("id_a").alias("__doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("__doc_id")))

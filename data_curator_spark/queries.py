@@ -1267,8 +1267,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(_t(spark, sf_dir, "documents"), by="doc_id").select("doc_id", "text")
     sigs = persist_tracked(minhash_signatures(d, "doc_id", "text", k=32))
-    pairs = lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8).filter(
-        F.col("est_jaccard") >= 0.5
+    # persist: connected_components builds its edge table as a UNION of
+    # two selects over `pairs`, so an unpersisted pair chain would run
+    # the band join + signature re-attach twice (measured ~2s extra at
+    # sf1.0); the first edge materialization fills this cache instead
+    pairs = persist_tracked(
+        lsh_candidate_pairs(sigs, "doc_id", k=32, bands=8).filter(
+            F.col("est_jaccard") >= 0.5
+        )
     )
     # lsh_candidate_pairs ends in dropDuplicates, so the edge-dedup
     # shuffle inside connected_components is provably redundant here.
