@@ -1035,14 +1035,30 @@ def exact_substring_dedup(
         hex_prefix_long(F.col("pg.g"), 15).alias("h"),
     )
     mark_cols = []
-    if stats:
+    w_rn = Window.partitionBy("h").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    if stats and removal:
+        # count over the SAME (partition, order) spec as the row_number
+        # with an explicit whole-partition frame — identical value to a
+        # frameless partition count, but both functions then share ONE
+        # WindowExec pass over the sorted partitions instead of two
+        mark_cols.append(
+            F.count(F.lit(1))
+            .over(
+                w_rn.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__c")
+        )
+    elif stats:
+        # stats-only callers keep the frameless count: no orderBy means
+        # the window needs no (id, pos) sort at all
         mark_cols.append(
             F.count(F.lit(1)).over(Window.partitionBy("h")).alias("__c")
         )
     if removal:
-        w_rn = Window.partitionBy("h").orderBy(
-            F.col(id_col).asc(), F.col("pos").asc()
-        )
         mark_cols.append(F.row_number().over(w_rn).alias("__rn"))
     marked = grams.select(id_col, "pos", *mark_cols)
 
