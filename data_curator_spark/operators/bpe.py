@@ -232,19 +232,29 @@ def bpe_encode_counts(
 
     from data_curator_spark.engine.cache import persist_tracked
 
+    # ONE corpus explode: per-doc word counts are aggregated first and
+    # persisted, then feed BOTH the distinct-word encode table and the
+    # final per-doc sums — the earlier shape exploded the corpus twice
+    # (once for distinct, once for the join), and the (id, w, cnt)
+    # table is also far smaller than the token stream when words repeat
+    # within documents. When the input is hash-partitioned by id (the
+    # gate query spreads by doc_id) both groupBys reuse that exchange.
+    gcounts = persist_tracked(
+        toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     # persist BEFORE the broadcast gate: the gate's size probe is an
     # action, and without the persist the distinct+encode pipeline
     # would run twice (probe + join)
     pieces = persist_tracked(
-        toks.select("w")
+        gcounts.select("w")
         .distinct()
         .mapInPandas(enc, "w string, n_pieces long")
     )
     return (
-        toks.join(size_gated_broadcast(pieces, ENCODE_BROADCAST_CAP), on="w")
+        gcounts.join(size_gated_broadcast(pieces, ENCODE_BROADCAST_CAP), on="w")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_pieces").alias("n_bpe_tokens"),
+            F.sum("__cnt").alias("n_words"),
+            F.sum(F.col("__cnt") * F.col("n_pieces")).alias("n_bpe_tokens"),
         )
     )

@@ -79,10 +79,17 @@ def unigram_surprisal(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col), F.explode(words).alias("w"))
 
-    # persist BEFORE the total: the scalar collect and the vocab
-    # materialization are two consumers of the same corpus-wide
-    # explode+groupBy — unpersisted, training would run twice
-    counts = persist_tracked(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    # per-doc word counts aggregated ONCE and persisted: they feed both
+    # the trainer (global counts re-aggregate this table, never the
+    # corpus) and the scorer (integer sums weighted by __cnt) — the
+    # earlier shape exploded the corpus twice, and the (id, w, cnt)
+    # table is smaller than the token stream wherever words repeat
+    # within a doc. With a doc-hash-partitioned input both per-doc
+    # groupBys also reuse that one exchange.
+    gcounts = persist_tracked(
+        toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    counts = gcounts.groupBy("w").agg(F.sum("__cnt").alias("c"))
     total_row = counts.agg(F.sum("c").alias("t")).collect()[0]
     total = int(total_row["t"] or 0)
     if total == 0:
@@ -104,11 +111,11 @@ def unigram_surprisal(
     ).cast("long")
     vocab = counts.select("w", lp_q.alias("lp"))
     return (
-        toks.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w")
+        gcounts.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (-F.sum("lp")).alias("surprisal_unats"),
+            F.sum("__cnt").alias("n_tokens"),
+            (-F.sum(F.col("__cnt") * F.col("lp"))).alias("surprisal_unats"),
         )
         .select(
             id_col,
@@ -152,10 +159,15 @@ def bigram_surprisal(
     """
     pairs = _bigram_pairs(df, id_col, text_col)
 
-    # persist: bigram_counts feeds BOTH the left-context marginal and
-    # the conditional table; the scoring join re-reads pairs separately
+    # per-doc bigram counts aggregated ONCE and persisted — same shape
+    # as unigram_surprisal's gcounts: the trainer re-aggregates this
+    # table (never the corpus) and the scorer consumes it with integer
+    # sums weighted by __cnt, so the corpus explodes once, not twice
+    gpairs = persist_tracked(
+        pairs.groupBy(id_col, "l", "r").agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     bigram_counts = persist_tracked(
-        pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+        gpairs.groupBy("l", "r").agg(F.sum("__cnt").alias("c_lr"))
     )
     # c_l(l) = Σ_r c_lr(l, r): derive the marginal from the (tiny)
     # bigram-vocab table instead of re-aggregating the corpus-sized
@@ -172,11 +184,11 @@ def bigram_surprisal(
         ).select("l", "r", lp_q.alias("lp"))
     )
     return (
-        pairs.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on=["l", "r"])
+        gpairs.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on=["l", "r"])
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (-F.sum("lp")).alias("surprisal_unats"),
+            F.sum("__cnt").alias("n_bigrams"),
+            (-F.sum(F.col("__cnt") * F.col("lp"))).alias("surprisal_unats"),
         )
         .select(
             id_col,
