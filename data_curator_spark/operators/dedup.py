@@ -125,12 +125,101 @@ def minhash_signatures(
     k: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """k-permutation MinHash signatures: explode distinct shingles, ONE
-    md5 base hash per shingle, k affine permutations mod 2^31−1, one
-    groupBy computing the k mins (map-side partial aggregation → one
-    narrow shuffle of k×8B per doc)."""
+    """k-permutation MinHash signatures: per doc, the k mins of affine
+    permutations (mod 2^31−1) over md5-prefix hashes of its word
+    ``shingle_n``-gram shingles.
+
+    Two bit-identical implementations (pinned against each other by
+    tests/test_dedup.py):
+
+    - ``use_arrow=True`` (default): ONE Arrow-batched ``mapInPandas``
+      pass — tokenize, hash and min-reduce per document inside the
+      batch with numpy for the k permutations and a per-worker memo of
+      gram→hash (shingle vocabularies repeat heavily across docs).
+      No explode, no shuffle at all: the measured JVM cost was not the
+      hashing but materializing ~50 shingle STRINGS per doc through
+      interpreted transform/slice/array_join expressions (guide §4.2 —
+      hand whole batches to vectorized native code).
+    - ``use_arrow=False``: the original expression pipeline — explode
+      distinct shingles, ONE md5 base hash per shingle, k affine
+      permutations, one groupBy computing the k mins (map-side partial
+      aggregation → one narrow shuffle of k×8B per doc).
+
+    Tokenization parity is exact: Spark's trim strips 0x20 only
+    (Python ``.strip(' ')``), and ``re.split`` on WS_RE matches Java
+    ``split`` with limit −1 (both keep leading/trailing empty fields).
+    Docs with null text or fewer than ``shingle_n`` words emit no row
+    in either path."""
     params = minhash_params(k, seed)
+    if use_arrow:
+        import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        schema = ", ".join(
+            [f"{id_col} {id_type}"] + [f"mh_{i} long" for i in range(k)]
+        )
+        a_vec = np.array([a for a, _ in params], dtype=np.int64)
+        b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+        def gen(batches):
+            import hashlib
+            import re as _re
+
+            import pandas as pd
+
+            ws = _re.compile(WS_RE)
+            memo: dict[str, int] = {}
+
+            def gram_x(g: str) -> int:
+                x = memo.get(g)
+                if x is None:
+                    if len(memo) >= 200_000:  # bound worker memory
+                        memo.clear()
+                    x = (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                        % P31
+                    )
+                    memo[g] = x
+                return x
+
+            for pdf in batches:
+                out_ids, out_sigs = [], []
+                for doc_id, txt in zip(pdf[id_col], pdf[content_col]):
+                    if txt is None:
+                        continue
+                    words = ws.split(txt.strip(" "))
+                    n_grams = len(words) - shingle_n + 1
+                    if n_grams < 1:
+                        continue
+                    xs = np.fromiter(
+                        {
+                            gram_x(" ".join(words[i : i + shingle_n]))
+                            for i in range(n_grams)
+                        },
+                        dtype=np.int64,
+                    )
+                    # (k, G) affine permutations, exact in int64:
+                    # a·x + b < 2^62 + 2^31
+                    sig = ((a_vec[:, None] * xs[None, :] + b_vec[:, None]) % P31).min(
+                        axis=1
+                    )
+                    out_ids.append(doc_id)
+                    out_sigs.append(sig)
+                cols = {id_col: out_ids}
+                sig_mat = (
+                    np.vstack(out_sigs)
+                    if out_sigs
+                    else np.empty((0, len(a_vec)), dtype=np.int64)
+                )
+                for i in range(len(a_vec)):
+                    cols[f"mh_{i}"] = sig_mat[:, i]
+                yield pd.DataFrame(cols)
+
+        return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+            gen, schema
+        )
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s")
     )

@@ -646,3 +646,46 @@ def test_connected_components_driver_solve_matches_loop(spark):
         verts, pairs, "doc_id", stats=stats_fast
     ).collect()
     assert stats_fast["rounds"] == 0  # proves the fast path actually ran
+
+
+def test_minhash_arrow_matches_expression_path(spark):
+    """The Arrow mapInPandas signature kernel must be bit-identical to
+    the JVM expression pipeline — same tokenization (trim = 0x20 only,
+    split keeps leading/trailing empties), same md5-prefix hashing,
+    same affine mins — on adversarial docs and on the sf0.01 corpus."""
+    from data_curator_spark.operators.dedup import minhash_signatures
+
+    adversarial = [
+        (1, "plain three word shingle text here"),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, "one two"),                      # < n words: no row
+        (6, "\n\nleading newline then words follow"),
+        (7, "tab\tseparated\twords\tfour"),
+        (8, "trailing spaces words here   "),
+        (9, "multi   space    words   here"),
+        (10, "unicode wörds café naïve résumé"),
+        (11, "a b c a b c a b c"),           # repeated shingles
+        (12, "x " * 500),                    # long repetitive doc
+    ]
+    df = spark.createDataFrame(adversarial, "doc_id long, text string")
+
+    def rows(use_arrow):
+        return sorted(
+            tuple(r) for r in minhash_signatures(
+                df, "doc_id", "text", k=8, use_arrow=use_arrow
+            ).collect()
+        )
+
+    assert rows(True) == rows(False)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(tuple(r) for r in minhash_signatures(docs, "doc_id", "text").collect())
+    b = sorted(
+        tuple(r)
+        for r in minhash_signatures(
+            docs, "doc_id", "text", use_arrow=False
+        ).collect()
+    )
+    assert a == b
