@@ -1,7 +1,10 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All hot paths are JVM-side built-ins (explode + hash + groupBy); nothing
-here runs per-row Python. Scale notes per operator inline — these are
+Hot paths are JVM-side built-ins (explode + hash + groupBy) or
+Arrow-batched mapInPandas kernels (minhash signatures, the (id, pos,
+hash) producers) — nothing runs row-at-a-time Python, and every Arrow
+kernel has a JVM expression twin pinned bit-identical by differential
+tests. Scale notes per operator inline — these are
 the dedup stages a 10^12-file corpus pipeline actually shuffles on, so
 shuffle keys and pre-aggregation are chosen to keep data movement
 minimal:
@@ -74,6 +77,65 @@ def hex_prefix_long(c: Column, n_hex: int) -> Column:
     engine produces the same lowercase md5 hex.
     """
     return F.conv(F.substring(F.md5(c), 1, n_hex), 16, 10).cast("long")
+
+
+def _pos_hash_rows_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splitter,
+    gram_fn,
+) -> DataFrame:
+    """Arrow twin of the (id, pos, 60-bit-md5-prefix-hash) producers:
+    ONE mapInPandas pass emits one row per unit (segment / span window)
+    instead of materializing unit STRINGS through interpreted explode
+    expressions (guide §4.2). ``splitter(text) -> list[str] | None``
+    tokenizes one doc (None = doc emits nothing), ``gram_fn(units) ->
+    iterable[(pos, gram_string)]`` yields the hashable units with their
+    1- or 0-based positions (caller's contract). Hashing is the
+    module's portable 15-hex md5 prefix with a bounded per-worker memo
+    — parity with the expression path is pinned by differential
+    tests."""
+    import pandas as pd  # noqa: F401
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, pos int, h long"
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def gh(g: str) -> int:
+            h = memo.get(g)
+            if h is None:
+                if len(memo) >= 200_000:  # bound worker memory
+                    memo.clear()
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                memo[g] = h
+            return h
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                units = splitter(txt)
+                if units is None:
+                    continue
+                for pos, g in gram_fn(units):
+                    ids.append(doc_id)
+                    poss.append(pos)
+                    hs.append(gh(g))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "pos": np.array(poss, dtype=np.int32),
+                    "h": np.array(hs, dtype=np.int64),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
 
 
 def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -943,6 +1005,7 @@ def dedup_segments_global(
     delimiter: str = "\n",
     min_len: int = 1,
     out_col: str = "text_deduped",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """CROSS-document segment dedup with global first-occurrence keep —
     the repeated-paragraph removal of C4/RefinedWeb-style pipelines
@@ -995,11 +1058,30 @@ def dedup_segments_global(
     arr = base.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), segs.alias("__segs")
     )
-    occ = arr.select(
-        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
-    ).filter(F.length("seg") >= min_len).select(
-        F.col(id_col), "pos", hex_prefix_long(F.col("seg"), 15).alias("h")
-    )
+    if use_arrow and delimiter:
+        # str.split(delim) == Java regex split on the escaped literal
+        # with limit -1: both keep leading/trailing empty segments and
+        # both map "" -> [""]; positions are posexplode's 0-based ones
+        def _split(txt):
+            return None if txt is None else txt.split(delimiter)
+
+        def _units(units):
+            return (
+                (pos, seg)
+                for pos, seg in enumerate(units)
+                if len(seg) >= min_len
+            )
+
+        occ = _pos_hash_rows_arrow(
+            base.filter(F.col(text_col).isNotNull()),
+            id_col, text_col, _split, _units,
+        )
+    else:
+        occ = arr.select(
+            F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
+        ).filter(F.length("seg") >= min_len).select(
+            F.col(id_col), "pos", hex_prefix_long(F.col("seg"), 15).alias("h")
+        )
     w = Window.partitionBy("h").orderBy(
         F.col(id_col).asc(), F.col("pos").asc()
     )
@@ -1065,6 +1147,7 @@ def exact_substring_dedup(
     stats: bool = True,
     removal: bool = True,
     out_col: str = "text_despanned",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Shared kernel for exact-substring deduplication (Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better",
@@ -1115,14 +1198,44 @@ def exact_substring_dedup(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col), words.alias("__ws"))
 
-    grams = base.filter(F.size("__ws") >= span_len).select(
-        F.col(id_col),
-        F.explode(span_window_grams(F.col("__ws"), span_len)).alias("pg"),
-    ).select(
-        id_col,
-        F.col("pg.pos").alias("pos"),
-        hex_prefix_long(F.col("pg.g"), 15).alias("h"),
-    )
+    if use_arrow:
+        # tokenization parity with the expression path: Spark trim
+        # strips 0x20 only; re.split(WS_RE) == Java split limit -1
+        import re as _re
+
+        ws_re = _re.compile(WS_RE)
+
+        def _split(txt):
+            if txt is None:
+                return None
+            t = txt.strip(" ")
+            if t == "":
+                return None
+            return ws_re.split(t)
+
+        def _units(units):
+            n = len(units) - span_len + 1
+            return (
+                (i + 1, " ".join(units[i : i + span_len]))
+                for i in range(n)
+            )
+
+        grams = _pos_hash_rows_arrow(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.trim(F.col(text_col)) != "")
+            ),
+            id_col, text_col, _split, _units,
+        )
+    else:
+        grams = base.filter(F.size("__ws") >= span_len).select(
+            F.col(id_col),
+            F.explode(span_window_grams(F.col("__ws"), span_len)).alias("pg"),
+        ).select(
+            id_col,
+            F.col("pg.pos").alias("pos"),
+            hex_prefix_long(F.col("pg.g"), 15).alias("h"),
+        )
     mark_cols = []
     w_rn = Window.partitionBy("h").orderBy(
         F.col(id_col).asc(), F.col("pos").asc()

@@ -689,3 +689,75 @@ def test_minhash_arrow_matches_expression_path(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_pos_hash_arrow_paths_match_expression(spark):
+    """The Arrow (id, pos, hash) producers behind dedup_segments_global
+    and exact_substring_dedup must be output-identical to the JVM
+    expression paths on adversarial docs and the sf0.01 corpus."""
+    from data_curator_spark.operators.dedup import (
+        dedup_segments_global,
+        exact_substring_dedup,
+    )
+
+    adversarial = [
+        (1, "alpha beta gamma alpha beta gamma delta epsilon zeta eta theta"),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, "\nleading newline words " + "tok " * 12),
+        (6, "a  b   c a  b   c " * 4),
+        (7, "x " * 40),
+        (8, "unicode wörds café " + "naïve résumé one two three four " * 2),
+        (9, "short doc"),
+    ]
+    df = spark.createDataFrame(adversarial, "doc_id long, text string")
+
+    def seg_rows(use_arrow):
+        return sorted(
+            tuple(r)
+            for r in dedup_segments_global(
+                df.filter(df.text.isNotNull()), "doc_id", "text",
+                delimiter=" ", use_arrow=use_arrow,
+            ).collect()
+        )
+
+    def es_rows(use_arrow):
+        return sorted(
+            tuple(r)
+            for r in exact_substring_dedup(
+                df.filter(df.text.isNotNull()), "doc_id", "text",
+                span_len=8, stats=True, removal=True, use_arrow=use_arrow,
+            ).collect()
+        )
+
+    assert seg_rows(True) == seg_rows(False)
+    assert es_rows(True) == es_rows(False)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).filter("text IS NOT NULL")
+    a = sorted(
+        tuple(r)
+        for r in dedup_segments_global(
+            docs, "doc_id", "text", delimiter=" "
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup_segments_global(
+            docs, "doc_id", "text", delimiter=" ", use_arrow=False
+        ).collect()
+    )
+    assert a == b
+    a = sorted(
+        tuple(r)
+        for r in exact_substring_dedup(docs, "doc_id", "text").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in exact_substring_dedup(
+            docs, "doc_id", "text", use_arrow=False
+        ).collect()
+    )
+    assert a == b
