@@ -870,6 +870,7 @@ def contamination_overlap(
     shingle_n: int = 5,
     min_overlap: int = 1,
     broadcast_benchmark: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing at least
     ``min_overlap`` distinct word ``shingle_n``-gram shingles with ANY
@@ -888,6 +889,33 @@ def contamination_overlap(
     countDistinct collapses map-side per doc."""
 
     def grams(df: DataFrame) -> DataFrame:
+        if use_arrow:
+            # Arrow twin of explode(word_shingles)+hex_prefix_long:
+            # per-doc DISTINCT shingles hashed in one mapInPandas pass
+            # (same tokenization-parity argument as minhash_signatures;
+            # pinned by tests/test_dedup.py)
+            import re as _re
+
+            ws_re = _re.compile(WS_RE)
+
+            def _split(txt):
+                if txt is None:
+                    return None
+                words = ws_re.split(txt.strip(" "))
+                return words if len(words) >= shingle_n else None
+
+            def _units(words):
+                n = len(words) - shingle_n + 1
+                return (
+                    (0, g)
+                    for g in {
+                        " ".join(words[i : i + shingle_n]) for i in range(n)
+                    }
+                )
+
+            return _pos_hash_rows_arrow(
+                df, id_col, content_col, _split, _units
+            ).select(id_col, "h")
         return df.select(
             F.col(id_col),
             F.explode(word_shingles(F.col(content_col), shingle_n)).alias("s"),

@@ -761,3 +761,24 @@ def test_pos_hash_arrow_paths_match_expression(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_contamination_arrow_matches_expression(spark):
+    """contamination_overlap's Arrow shingle-hash path must match the
+    expression path exactly, adversarial docs and sf0.01 corpus."""
+    from data_curator_spark.operators.dedup import contamination_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus = docs.filter("doc_id % 50 != 0")
+    bench = docs.filter("doc_id % 50 = 0")
+
+    def rows(use_arrow):
+        return sorted(
+            tuple(r)
+            for r in contamination_overlap(
+                corpus, bench, "doc_id", "text",
+                shingle_n=4, min_overlap=1, use_arrow=use_arrow,
+            ).collect()
+        )
+
+    assert rows(True) == rows(False)
