@@ -85,6 +85,7 @@ def _pos_hash_rows_arrow(
     text_col: str,
     splitter,
     gram_fn,
+    emit_first: bool = False,
 ) -> DataFrame:
     """Arrow twin of the (id, pos, 60-bit-md5-prefix-hash) producers:
     ONE mapInPandas pass emits one row per unit (segment / span window)
@@ -100,6 +101,12 @@ def _pos_hash_rows_arrow(
 
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, pos int, h long"
+    if emit_first:
+        # ``first`` = this row is its doc's first occurrence of h —
+        # lets a consumer that needs per-doc-DISTINCT hashes (document-
+        # frequency counting) share this one pass with a consumer that
+        # needs every position, instead of a second explode+distinct
+        schema += ", first boolean"
 
     def gen(batches):
         import hashlib
@@ -119,23 +126,65 @@ def _pos_hash_rows_arrow(
 
         for pdf in batches:
             ids, poss, hs = [], [], []
+            firsts: list[bool] = []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
                 units = splitter(txt)
                 if units is None:
                     continue
+                seen: set[int] = set()
                 for pos, g in gram_fn(units):
+                    h = gh(g)
                     ids.append(doc_id)
                     poss.append(pos)
-                    hs.append(gh(g))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "pos": np.array(poss, dtype=np.int32),
-                    "h": np.array(hs, dtype=np.int64),
-                }
-            )
+                    hs.append(h)
+                    if emit_first:
+                        firsts.append(h not in seen)
+                        seen.add(h)
+            cols = {
+                id_col: ids,
+                "pos": np.array(poss, dtype=np.int32),
+                "h": np.array(hs, dtype=np.int64),
+            }
+            if emit_first:
+                cols["first"] = np.array(firsts, dtype=bool)
+            yield pd.DataFrame(cols)
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
+
+
+def word_shingle_strings_arrow(
+    df: DataFrame, text_col: str, n: int
+) -> DataFrame:
+    """Per-doc-DISTINCT word ``n``-gram shingle STRINGS as one ``ngram``
+    column — Arrow twin of ``explode(word_shingles(...))`` for consumers
+    that need the strings themselves (corpus-wide boilerplate mining),
+    with the same tokenization-parity argument as the other Arrow
+    kernels (pinned by tests/test_dedup.py)."""
+    import re as _re
+
+    import pandas as pd  # noqa: F401
+
+    ws_pat = WS_RE
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(ws_pat)
+        for pdf in batches:
+            out: list[str] = []
+            for txt in pdf[text_col]:
+                if txt is None:
+                    continue
+                words = ws.split(txt.strip(" "))
+                m = len(words) - n + 1
+                if m < 1:
+                    continue
+                out.extend({" ".join(words[i : i + n]) for i in range(m)})
+            yield pd.DataFrame({"ngram": pd.Series(out, dtype="object")})
+
+    return df.select(F.col(text_col)).mapInPandas(gen, "ngram string")
 
 
 def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -940,6 +989,7 @@ def strip_hot_segments(
     min_df: int,
     delimiter: str = "\n",
     out_col: str = "text_stripped",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """EXECUTE boilerplate removal (the mining half is
     ``q_boilerplate_ngrams``): drop every text segment — line for code/
@@ -984,32 +1034,67 @@ def strip_hot_segments(
     segs = F.split(F.col(text_col), delim_re)
 
     base = df.select(F.col(id_col), F.col(text_col))
-    # per-doc-distinct BEFORE the shuffle: a segment repeated 10^4
-    # times inside one doc is one (hash) row, and DF semantics want
-    # distinct docs anyway
-    doc_hashes = base.filter(F.col(text_col).isNotNull()).select(
-        F.explode(F.array_distinct(segs)).alias("seg")
-    ).select(hex_prefix_long(F.col("seg"), 15).alias("h"))
-    hot = persist_tracked(
-        doc_hashes.groupBy("h").count().filter(F.col("count") >= min_df).select("h")
-    )
-    hint = F.broadcast if hot.count() <= BROADCAST_LABEL_CAP else (lambda d: d)
+    if use_arrow and delimiter:
+        # ONE Arrow pass serves BOTH phases: rows flagged first-in-doc
+        # give the per-doc-distinct hashes for DF counting, and the
+        # same persisted rows give the hot-position mapping — the
+        # expression path exploded (and hashed) the corpus twice
+        def _split(txt):
+            return None if txt is None else txt.split(delimiter)
 
-    # the rebuild joins per-doc HOT-POSITION arrays onto the UNEXPLODED
-    # segment arrays (the exact_substring_dedup shape) instead of
-    # reassembling the corpus text through a groupBy(id) collect_list —
-    # document text never shuffles: only (id, pos) rows of hot segments
-    # (bounded by boilerplate volume) reach the aggregation
-    arr = base.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), segs.alias("__segs")
-    )
-    hot_pos = arr.select(
-        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
-    ).join(
-        hint(hot),
-        on=hex_prefix_long(F.col("seg"), 15) == F.col("h"),
-        how="inner",
-    ).groupBy(id_col).agg(F.collect_list("pos").alias("__hpos"))
+        def _units(units):
+            return enumerate(units)
+
+        rows = persist_tracked(
+            _pos_hash_rows_arrow(
+                base.filter(F.col(text_col).isNotNull()),
+                id_col, text_col, _split, _units, emit_first=True,
+            )
+        )
+        hot = persist_tracked(
+            rows.filter(F.col("first"))
+            .groupBy("h")
+            .count()
+            .filter(F.col("count") >= min_df)
+            .select("h")
+        )
+        hint = F.broadcast if hot.count() <= BROADCAST_LABEL_CAP else (lambda d: d)
+        hot_pos = (
+            rows.join(hint(hot), on="h", how="inner")
+            .groupBy(id_col)
+            .agg(F.collect_list("pos").alias("__hpos"))
+        )
+        arr = base.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), segs.alias("__segs")
+        )
+    else:
+        # per-doc-distinct BEFORE the shuffle: a segment repeated 10^4
+        # times inside one doc is one (hash) row, and DF semantics want
+        # distinct docs anyway
+        doc_hashes = base.filter(F.col(text_col).isNotNull()).select(
+            F.explode(F.array_distinct(segs)).alias("seg")
+        ).select(hex_prefix_long(F.col("seg"), 15).alias("h"))
+        hot = persist_tracked(
+            doc_hashes.groupBy("h").count().filter(F.col("count") >= min_df).select("h")
+        )
+        hint = F.broadcast if hot.count() <= BROADCAST_LABEL_CAP else (lambda d: d)
+
+        # the rebuild joins per-doc HOT-POSITION arrays onto the
+        # UNEXPLODED segment arrays (the exact_substring_dedup shape)
+        # instead of reassembling the corpus text through a groupBy(id)
+        # collect_list — document text never shuffles: only (id, pos)
+        # rows of hot segments (bounded by boilerplate volume) reach
+        # the aggregation
+        arr = base.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), segs.alias("__segs")
+        )
+        hot_pos = arr.select(
+            F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
+        ).join(
+            hint(hot),
+            on=hex_prefix_long(F.col("seg"), 15) == F.col("h"),
+            how="inner",
+        ).groupBy(id_col).agg(F.collect_list("pos").alias("__hpos"))
     kept = F.when(
         F.col("__hpos").isNull(), F.col("__segs")
     ).otherwise(

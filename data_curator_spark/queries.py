@@ -2581,11 +2581,14 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, no global sort. doc_share is a single IEEE long/long division,
     bit-identical across engines, so the oracle needs no rounding.
     """
-    from data_curator_spark.operators.dedup import word_shingles
+    from data_curator_spark.operators.dedup import word_shingle_strings_arrow
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    grams = d.select(F.explode(word_shingles(F.col("text"), 3)).alias("ngram"))
-    total = d.agg(F.count(F.lit(1)).alias("__n"))
+    # Arrow shingle-string producer (differential-pinned twin of
+    # explode(word_shingles)); the doc count comes from a fresh
+    # ids-only scan so it skips the repartition exchange
+    grams = word_shingle_strings_arrow(d, "text", 3)
+    total = _t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("__n"))
     return (
         grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))

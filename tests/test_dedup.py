@@ -782,3 +782,48 @@ def test_contamination_arrow_matches_expression(spark):
         )
 
     assert rows(True) == rows(False)
+
+
+def test_strip_hot_segments_arrow_matches_expression(spark):
+    """strip_hot_segments' one-pass Arrow DF-count+position path must
+    match the two-explode expression path exactly."""
+    from data_curator_spark.operators.dedup import strip_hot_segments
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+
+    def rows(use_arrow):
+        return sorted(
+            tuple(r)
+            for r in strip_hot_segments(
+                docs, "doc_id", "text", min_df=5, delimiter=" ",
+                use_arrow=use_arrow,
+            ).collect()
+        )
+
+    assert rows(True) == rows(False)
+
+
+def test_word_shingle_strings_arrow_matches_expression(spark):
+    """The Arrow shingle-string producer must yield the identical
+    multiset of per-doc-distinct shingles as explode(word_shingles)."""
+    from pyspark.sql import functions as F
+
+    from data_curator_spark.operators.dedup import (
+        word_shingle_strings_arrow,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(
+        r["ngram"]
+        for r in word_shingle_strings_arrow(docs, "text", 3).collect()
+    )
+    b = sorted(
+        r["ngram"]
+        for r in docs.select(
+            F.explode(word_shingles(F.col("text"), 3)).alias("ngram")
+        ).collect()
+    )
+    assert a == b
