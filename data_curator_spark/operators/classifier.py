@@ -106,9 +106,89 @@ def _doc_feats(
     label_cols: tuple[str, ...],
     gram_len: int,
     n_buckets: int,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-doc hashed-gram counts: (id, [labels...,] bucket, cnt) —
-    map-side combined, ONE corpus pass."""
+    ONE corpus pass.
+
+    ``use_arrow=True`` (default) computes the per-doc bucket Counters
+    in one Arrow-batched mapInPandas pass: the grouping key is the
+    document, so no explode and no gram shuffle exist at all, and a
+    bounded per-worker memo hashes each DISTINCT char gram once
+    (corpus trigram vocabularies repeat massively across docs — the
+    JVM path re-hashed every occurrence). Bucket ids are bit-identical:
+    int(md5(gram)[:15], 16) % n_buckets == pmod(hex_prefix_long(g, 15),
+    n_buckets) for the non-negative 60-bit prefix, and Python slicing
+    matches Spark substring on code points. Expression path retained
+    under ``use_arrow=False``; differential test in
+    tests/test_classifier.py pins the two identical."""
+    if gram_len < 1:
+        raise ValueError(f"gram_len must be >= 1, got {gram_len}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if use_arrow:
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        label_types = [
+            (c, df.schema[c].dataType.simpleString()) for c in label_cols
+        ]
+        schema = ", ".join(
+            [f"{id_col} {id_type}"]
+            + [f"{c} {t}" for c, t in label_types]
+            + ["bucket long", "cnt long"]
+        )
+
+        def gen(batches):
+            import hashlib
+            from collections import Counter
+
+            import pandas as pd
+
+            memo: dict[str, int] = {}
+
+            def gb(g: str) -> int:
+                b = memo.get(g)
+                if b is None:
+                    if len(memo) >= 500_000:  # bound worker memory
+                        memo.clear()
+                    b = (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        % n_buckets
+                    )
+                    memo[g] = b
+                return b
+
+            for pdf in batches:
+                out_id, out_b, out_c = [], [], []
+                out_labels: list[list] = [[] for _ in label_cols]
+                for row in zip(
+                    pdf[id_col], *[pdf[c] for c in label_cols], pdf[text_col]
+                ):
+                    doc_id, labels, txt = row[0], row[1:-1], row[-1]
+                    if txt is None or len(txt) < gram_len:
+                        continue
+                    c = Counter(
+                        gb(txt[i : i + gram_len])
+                        for i in range(len(txt) - gram_len + 1)
+                    )
+                    for bucket, cnt in c.items():
+                        out_id.append(doc_id)
+                        for j, v in enumerate(labels):
+                            out_labels[j].append(v)
+                        out_b.append(bucket)
+                        out_c.append(cnt)
+                cols = {id_col: out_id}
+                for j, (name, _) in enumerate(label_types):
+                    cols[name] = out_labels[j]
+                cols["bucket"] = np.array(out_b, dtype=np.int64)
+                cols["cnt"] = np.array(out_c, dtype=np.int64)
+                yield pd.DataFrame(cols)
+
+        return df.select(
+            F.col(id_col), *[F.col(c) for c in label_cols], F.col(text_col)
+        ).mapInPandas(gen, schema)
     return (
         char_gram_buckets(
             df,

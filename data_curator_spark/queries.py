@@ -3351,27 +3351,13 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate; grams never leave their doc's shuffle key. Docs
     with <2 words have no bigrams and are excluded (both engines)."""
     d = _spread(_t(spark, sf_dir, "documents"), by="doc_id")
-    from data_curator_spark.operators.dedup import WS_RE
+    from data_curator_spark.operators.lm import bigram_repetition_stats
 
-    words = F.split(F.trim("text"), WS_RE)
-    idx = F.sequence(F.lit(1), F.size(words) - 1)
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(words) >= 2,
-                F.transform(idx, lambda i: F.array_join(F.slice(words, i, 2), " ")),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
-    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    # one Arrow pass — the grouping key is the doc, so the per-doc
+    # Counters replace the explode + two groupBys outright (expression
+    # twin retained in the operator, differential-pinned)
     return (
-        counts.groupBy("doc_id")
-        .agg(
-            F.sum("n").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_unique_bigrams"),
-            F.max("n").alias("top_count"),
-        )
+        bigram_repetition_stats(d, "doc_id", "text")
         .select(
             "doc_id",
             "n_bigrams",

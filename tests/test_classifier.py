@@ -181,3 +181,35 @@ def test_self_train_composition_matches_nb_langid(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_doc_feats_arrow_matches_expression(spark):
+    """The Arrow per-doc bucket-count kernel must equal the JVM
+    explode+groupBy path exactly (same md5 buckets, same counts),
+    adversarial docs + sf0.01 corpus."""
+    from data_curator_spark.operators.classifier import _doc_feats
+
+    adversarial = [
+        (1, "en", "plain text document with letters"),
+        (2, "fr", None),
+        (3, "de", ""),
+        (4, "en", "ab"),              # < gram_len: no rows
+        (5, "fr", "ñandú café naïve"),
+        (6, None, "null label row"),
+        (7, "en", "aaaaaaaaaaaaaaaa"),  # heavy gram repetition
+    ]
+    df = spark.createDataFrame(adversarial, "doc_id long, lang string, text string")
+
+    def rows(frame, use_arrow):
+        return sorted(
+            tuple(r)
+            for r in _doc_feats(
+                frame.filter(frame.lang.isNotNull()),
+                "doc_id", "text", ("lang",), 3, 32768,
+                use_arrow=use_arrow,
+            ).collect()
+        )
+
+    assert rows(df, True) == rows(df, False)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert rows(docs, True) == rows(docs, False)

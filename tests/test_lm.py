@@ -229,3 +229,32 @@ def test_heldout_bigram_prefers_seen_transitions(spark):
     assert (
         out[100].mean_surprisal_unats < out[101].mean_surprisal_unats
     )
+
+
+def test_bigram_repetition_stats_arrow_matches_expression(spark):
+    """Arrow per-doc bigram Counter pass == explode+groupBy expression
+    path, adversarial docs + sf0.01 corpus."""
+    from data_curator_spark.operators.lm import bigram_repetition_stats
+
+    adversarial = [
+        (1, "a b c a b c a b"),
+        (2, None),
+        (3, ""),
+        (4, "single"),
+        (5, "\nnl lead tok tok"),
+        (6, "x  y   z x  y"),
+        (7, "wörd café wörd café"),
+    ]
+    df = spark.createDataFrame(adversarial, "doc_id long, text string")
+
+    def rows(frame, use_arrow):
+        return sorted(
+            tuple(r)
+            for r in bigram_repetition_stats(
+                frame, "doc_id", "text", use_arrow=use_arrow
+            ).collect()
+        )
+
+    assert rows(df, True) == rows(df, False)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert rows(docs, True) == rows(docs, False)
