@@ -236,32 +236,43 @@ def test_budget_sample_single_exchange(spark):
     assert "Window" in plan and "SortMergeJoin" not in plan
 
 
-def test_boilerplate_strip_text_shuffles_once(spark):
-    """strip_hot_segments: the hot-hash table broadcasts (never a
-    sort-merge join against the corpus), and the document text passes
-    through exactly ONE hash exchange — the groupBy(doc_id)
-    reassembly. A regression that re-joins the original table would
-    add a second doc_id exchange carrying text."""
+def test_boilerplate_strip_text_never_reassembles(spark):
+    """strip_hot_segments (Arrow shape): the hot-hash table broadcasts
+    (never a sort-merge join against the corpus), the (id, pos, hash)
+    rows come from ONE MapInPandas pass, and document text is never
+    reassembled through a collect_list of (pos, seg) structs — the only
+    doc-keyed ENSURE_REQUIREMENTS exchange carries integer positions.
+    A regression that re-joins/reassembles the original text would
+    reintroduce the struct collect_list."""
     import re
 
     plan = _plan(spark, "boilerplate_strip")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    # formatted mode prints exchange arguments on their own line
-    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1
+    assert "MapInPandas" in plan
+    assert "collect_list(struct" not in plan
+    # every doc_id hash exchange is either the user repartition (the
+    # _spread) or the ints-only hot-position aggregation
+    for line in plan.splitlines():
+        if re.search(r"hashpartitioning\(doc_id", line):
+            assert "REPARTITION" in line or "ENSURE_REQUIREMENTS" in line
 
 
 def test_lm_surprisal_broadcast_vocab_single_doc_exchange(spark):
     """unigram/bigram surprisal: vocab joins broadcast (never SMJ
-    against the token stream) and the per-doc integer sum is the ONLY
-    doc_id exchange."""
+    against the token stream), and every per-doc aggregation reuses the
+    doc-keyed _spread repartition — no ENSURE_REQUIREMENTS exchange on
+    doc_id may appear (one would mean the per-doc sum re-shuffled the
+    gram-level rows, the exact regression the hash-spread removed)."""
     import re
 
     for name in ("unigram_surprisal", "bigram_surprisal"):
         plan = _plan(spark, name)
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
-        assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1, name
+        for line in plan.splitlines():
+            if re.search(r"hashpartitioning\(doc_id", line):
+                assert "REPARTITION" in line, (name, line)
 
 
 def test_bpe_merge_candidates_heap_topk_over_distinct_words(spark):
