@@ -79,17 +79,14 @@ def unigram_surprisal(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col), F.explode(words).alias("w"))
 
-    # per-doc word counts aggregated ONCE and persisted: they feed both
-    # the trainer (global counts re-aggregate this table, never the
-    # corpus) and the scorer (integer sums weighted by __cnt) — the
-    # earlier shape exploded the corpus twice, and the (id, w, cnt)
-    # table is smaller than the token stream wherever words repeat
-    # within a doc. With a doc-hash-partitioned input both per-doc
-    # groupBys also reuse that one exchange.
-    gcounts = persist_tracked(
-        toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    counts = gcounts.groupBy("w").agg(F.sum("__cnt").alias("c"))
+    # persist BEFORE the total: the scalar collect and the vocab
+    # materialization are two consumers of the same corpus-wide
+    # explode+groupBy — unpersisted, training would run twice.
+    # (A per-doc (id, w, cnt) pre-aggregation like bigram_surprisal's
+    # was tried and REVERTED: single-word explode is cheap enough that
+    # persisting the per-doc counts measured ~0.3s SLOWER at sf1.0 —
+    # the bigram win comes from its far costlier pair construction.)
+    counts = persist_tracked(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     total_row = counts.agg(F.sum("c").alias("t")).collect()[0]
     total = int(total_row["t"] or 0)
     if total == 0:
@@ -111,11 +108,11 @@ def unigram_surprisal(
     ).cast("long")
     vocab = counts.select("w", lp_q.alias("lp"))
     return (
-        gcounts.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w")
+        toks.join(size_gated_broadcast(vocab, VOCAB_BROADCAST_CAP), on="w")
         .groupBy(id_col)
         .agg(
-            F.sum("__cnt").alias("n_tokens"),
-            (-F.sum(F.col("__cnt") * F.col("lp"))).alias("surprisal_unats"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp")).alias("surprisal_unats"),
         )
         .select(
             id_col,
